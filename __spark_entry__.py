@@ -14,9 +14,28 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the CDC engine end-to-end — deterministic binlog replay
+    (inserts/updates/deletes/schema-change, duplicate + out-of-order
+    delivery) LWW-collapsed and MERGEd into a lake table; returns the final
+    corpus state. Deterministic for a fixed seed."""
+    from tenzir_spark.cdc.changegen import generate_changes
+    from tenzir_spark.cdc.runner import IngestRunner
+
+    root = tempfile.mkdtemp(prefix="tenzir_spark_entry_")
+    changes = os.path.join(root, "changes")
+    generate_changes(changes, n_events=4_000, n_docs=500, n_parts=4,
+                     n_batches=4, schema_change_batch=2, seed=42)
+    runner = IngestRunner(spark, os.path.join(root, "wh"), n_buckets=8)
+    runner.run(changes)
+    return runner.final_state().orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,93 @@
+"""CDC ingest job — the spark-submit entry point.
+
+Synthesizes (or reuses) a deterministic binlog change stream, replays it
+through the IngestRunner into a lake table, and prints ONE JSON line of
+throughput stats. Run it at two parallelism levels for the scaling report:
+
+    python jobs/run_ingest.py --cores 8  --events 2000000 --changes /tmp/chg --warehouse /tmp/whA
+    python jobs/run_ingest.py --cores 32 --events 2000000 --changes /tmp/chg --warehouse /tmp/whB
+
+On a real cluster submit with:
+    spark-submit --py-files tenzir_spark.zip jobs/run_ingest.py --master yarn ...
+(local[N] here stands in for N executor cores; the engine itself only uses
+DataFrame ops + hash bucketing, so the same plan distributes unchanged.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--events", type=int, default=1_000_000)
+    p.add_argument("--docs", type=int, default=100_000)
+    p.add_argument("--parts", type=int, default=8)
+    p.add_argument("--batches", type=int, default=10)
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--salt", type=int, default=16)
+    p.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    p.add_argument("--changes", default="/tmp/tenzir_spark_changes")
+    p.add_argument("--warehouse", default="/tmp/tenzir_spark_wh")
+    p.add_argument("--schema-change-batch", type=int, default=None)
+    p.add_argument("--start-batch", type=int, default=0, help="resume position (watermarks make over-replay safe)")
+    p.add_argument("--fresh", action="store_true", help="wipe warehouse before running")
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+
+    from tenzir_spark.cdc.changegen import generate_changes
+    from tenzir_spark.cdc.runner import IngestRunner
+    from tenzir_spark.session import get_spark
+
+    manifest_path = os.path.join(args.changes, "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        if manifest["n_events"] != args.events or manifest["seed"] != args.seed:
+            shutil.rmtree(args.changes)
+    if not os.path.exists(manifest_path):
+        t0 = time.monotonic()
+        manifest = generate_changes(
+            args.changes,
+            n_events=args.events,
+            n_docs=args.docs,
+            n_parts=args.parts,
+            n_batches=args.batches,
+            seed=args.seed,
+            schema_change_batch=args.schema_change_batch,
+        )
+        print(f"generated {args.events} events in {time.monotonic() - t0:.1f}s", file=sys.stderr)
+
+    if args.fresh and os.path.exists(args.warehouse):
+        shutil.rmtree(args.warehouse)
+
+    spark = get_spark("tenzir_spark_ingest", cores=args.cores)
+    runner = IngestRunner(
+        spark, args.warehouse, n_buckets=args.buckets, salt_buckets=args.salt
+    )
+    stats = runner.run(args.changes, start_batch=args.start_batch)
+    final_rows = runner.final_state().count()
+    out = {
+        "metric": "change_events_per_sec",
+        "value": round(stats["events_per_sec"], 1),
+        "unit": "events/sec",
+        "events_in": stats["events_in"],
+        "batches": stats["batches"],
+        "wall_sec": round(stats["wall_sec"], 2),
+        "cores": args.cores,
+        "final_rows": final_rows,
+        "table_version": runner.table.current_version(),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

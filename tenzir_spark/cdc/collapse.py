@@ -1,0 +1,50 @@
+"""Last-writer-wins collapse of a CDC micro-batch.
+
+Reference semantics: ``deduplicate`` suppresses repeated deliveries per key
+(libtenzir/builtins/operators/deduplicate.cpp:268-309 keeps a hashmap of
+projected keys); our CDC contract additionally requires that of several ops
+on one doc_id in a batch only the LAST (highest LSN) survives, and that a
+delete-then-insert nets to insert (SURVEY.md §7.3(d)).
+
+Spark-first design: NOT a window (`row_number` over partitionBy(key) sorts
+every group), but an algebraic aggregate ``max_by(struct(*), lsn)``:
+
+- Catalyst plans it as partial hash-aggregation before the shuffle, so a
+  hot key with millions of duplicate events is reduced map-side to one row
+  per map task — the shuffle then moves O(#tasks) rows per key, not O(#events).
+- Duplicate LSN deliveries are bit-identical redeliveries, so max_by's
+  tie-break is immaterial: dedup falls out for free.
+
+For pathological skew (one key = most of a batch) an optional two-phase
+salted variant spreads even the *partial* rows over ``salt`` reducers
+before the final single-row reduce.  Both phases stay algebraic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def collapse_lww(
+    batch: DataFrame,
+    key: str = "doc_id",
+    order: str = "lsn",
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """One row per ``key``: the full row holding the max ``order`` value."""
+    cols = batch.columns
+    winner = F.max_by(F.struct(*cols), F.col(order))
+    if salt_buckets and salt_buckets > 1:
+        salt = F.pmod(F.xxhash64(F.col(order)), F.lit(salt_buckets))
+        phase1 = (
+            batch.groupBy(F.col(key).alias("_k"), salt.alias("_salt"))
+            .agg(winner.alias("_w"))
+            .select("_k", "_w")
+        )
+        return (
+            phase1.groupBy("_k")
+            .agg(F.max_by(F.col("_w"), F.col(f"_w.{order}")).alias("_w"))
+            .select("_w.*")
+        )
+    return batch.groupBy(F.col(key).alias("_k")).agg(winner.alias("_w")).select("_w.*")

@@ -1,0 +1,210 @@
+"""An Iceberg-style ACID table layer over Parquet, in plain PySpark.
+
+Plays the role the reference gives its partition store + catalog
+(reference: libtenzir/src/active_partition.cpp persists Feather/Parquet
+stores, libtenzir/src/catalog.cpp:97-106 atomically merges partition
+synopses into the catalog; RFC rfc/002-fault-tolerance/README.md:116-127
+requires events be acknowledged only once the partition is durable).
+
+Design (mirrors Apache Iceberg's public spec, re-implemented from scratch
+because no Iceberg runtime jar ships in this sandbox):
+
+- Data files are immutable Parquet under
+  ``<root>/data/commit=<N>/_bucket=<K>/part-*.parquet``.  ``_bucket`` is a
+  hash bucket of the primary key (``pmod(xxhash64(key), n_buckets)``), so a
+  MERGE only rewrites the buckets containing touched keys — copy-on-write at
+  bucket granularity.  ``commit`` doubles as per-row lineage (which commit
+  wrote the row).
+- A snapshot is a JSON manifest: schema, file list, and free-form
+  properties (we store per-partition replay watermarks there, which is what
+  makes the sink exactly-once — the watermark and the data commit in ONE
+  atomic action, like Iceberg snapshot summary properties).
+- ``HEAD`` is an atomically-replaced pointer file; readers always see a
+  complete snapshot.  A crash mid-commit leaves orphan data files but the
+  table state is untouched and the replay watermark makes re-application
+  idempotent.
+
+At 100 TB: the manifest lists O(n_buckets × commits) files; `expire` /
+`compact` (rewrite_data_files analog) bound that.  Reads of a snapshot pass
+the explicit file list to the Parquet scan, so Spark still gets row-group
+pruning, predicate pushdown, and column pruning; selecting only touched
+buckets is manifest-level partition pruning, same as Iceberg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BUCKET_COL = "_bucket"
+COMMIT_COL = "_commit"
+
+
+def _atomic_write(path: str, payload: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class LakeTable:
+    """Single-writer ACID table. ``root = <warehouse>/<name>``."""
+
+    def __init__(self, warehouse: str, name: str):
+        self.root = os.path.join(warehouse, name)
+        self.data_dir = os.path.join(self.root, "data")
+        self.meta_dir = os.path.join(self.root, "_snapshots")
+        self.head_path = os.path.join(self.meta_dir, "HEAD")
+
+    # ---------------------------------------------------------------- meta
+    def exists(self) -> bool:
+        return os.path.exists(self.head_path)
+
+    def create(
+        self,
+        schema: T.StructType,
+        n_buckets: int = 64,
+        properties: dict | None = None,
+    ) -> None:
+        if self.exists():
+            raise ValueError(f"table already exists at {self.root}")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
+        snap = {
+            "version": 0,
+            "parent": None,
+            "schema": schema.jsonValue(),
+            "n_buckets": n_buckets,
+            "files": [],
+            "properties": properties or {},
+        }
+        _atomic_write(os.path.join(self.meta_dir, "v00000000.json"), json.dumps(snap))
+        _atomic_write(self.head_path, "0")
+
+    def current_version(self) -> int:
+        with open(self.head_path) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self.meta_dir, f"v{v:08d}.json")) as f:
+            return json.load(f)
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.snapshot()["schema"])
+
+    def n_buckets(self) -> int:
+        return int(self.snapshot()["n_buckets"])
+
+    def properties(self) -> dict:
+        return self.snapshot().get("properties", {})
+
+    def commit(
+        self,
+        files: list[dict],
+        schema: T.StructType,
+        properties: dict,
+        n_buckets: int | None = None,
+    ) -> int:
+        """Atomically publish a new snapshot. ``files`` is the FULL new list."""
+        parent = self.current_version()
+        version = parent + 1
+        snap = {
+            "version": version,
+            "parent": parent,
+            "schema": schema.jsonValue(),
+            "n_buckets": n_buckets or self.n_buckets(),
+            "files": files,
+            "properties": properties,
+        }
+        _atomic_write(os.path.join(self.meta_dir, f"v{version:08d}.json"), json.dumps(snap))
+        _atomic_write(self.head_path, str(version))
+        return version
+
+    # ---------------------------------------------------------------- expr
+    def bucket_expr(self, key_col: str) -> F.Column:
+        """Deterministic hash bucket of the primary key (Iceberg bucket
+        transform analog). xxhash64 is JVM-side and codegen'd."""
+        return F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_buckets())).cast("int")
+
+    def _read_schema(self, payload_schema: T.StructType) -> T.StructType:
+        fields = list(payload_schema.fields)
+        fields.append(T.StructField(BUCKET_COL, T.IntegerType(), True))
+        fields.append(T.StructField(COMMIT_COL, T.LongType(), True))
+        return T.StructType(fields)
+
+    # ---------------------------------------------------------------- read
+    def read_files(
+        self,
+        spark: SparkSession,
+        file_entries: list[dict],
+        payload_schema: T.StructType | None = None,
+    ) -> DataFrame:
+        """Read an explicit file list with the table schema. Old files that
+        predate an added column yield nulls for it (schema evolution on
+        read; reference analog: cast/schema reconciliation,
+        libtenzir/include/tenzir/cast.hpp:28-56)."""
+        schema = self._read_schema(payload_schema or self.schema())
+        if not file_entries:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, e["path"]) for e in file_entries]
+        return (
+            spark.read.schema(schema)
+            .option("basePath", self.data_dir)
+            .parquet(*paths)
+        )
+
+    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+        snap = self.snapshot()
+        entries = snap["files"]
+        if buckets is not None:
+            bset = set(buckets)
+            entries = [e for e in entries if e["bucket"] in bset]
+        return self.read_files(spark, entries, T.StructType.fromJson(snap["schema"]))
+
+    # --------------------------------------------------------------- write
+    def write_commit_files(self, df: DataFrame, commit_version: int) -> list[dict]:
+        """Write ``df`` (must carry ``_bucket``) as the data files of commit
+        ``commit_version``; returns manifest entries. The repartition on
+        ``_bucket`` clusters each bucket into one task so the writer emits
+        ~one file per bucket (bounded file counts at scale)."""
+        commit_dir = os.path.join(self.data_dir, f"{COMMIT_COL}={commit_version}")
+        n_parts = max(1, min(self.n_buckets(), int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))))
+        (
+            df.repartition(n_parts, BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(commit_dir)
+        )
+        entries = []
+        for dirpath, _dirnames, filenames in os.walk(commit_dir):
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                bucket = None
+                for part in dirpath.split(os.sep):
+                    if part.startswith(f"{BUCKET_COL}="):
+                        bucket = int(part.split("=", 1)[1])
+                if bucket is None:
+                    raise RuntimeError(f"unbucketed data file {full}")
+                entries.append({"path": rel, "bucket": bucket, "commit": commit_version})
+        return entries
+
+    def append(self, df: DataFrame, key_col: str, properties: dict | None = None) -> int:
+        """Append-only commit (no merge)."""
+        version = self.current_version() + 1
+        with_bucket = df.withColumn(BUCKET_COL, self.bucket_expr(key_col))
+        new_files = self.write_commit_files(with_bucket, version)
+        snap = self.snapshot()
+        props = dict(snap.get("properties", {}))
+        props.update(properties or {})
+        return self.commit(snap["files"] + new_files, T.StructType.fromJson(snap["schema"]), props)

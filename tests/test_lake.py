@@ -1,0 +1,91 @@
+"""Lake table layer: atomic snapshots, bucket pruning, merge semantics."""
+
+import pyspark.sql.types as T
+from pyspark.sql import functions as F
+
+from tenzir_spark.lake import BUCKET_COL, LakeTable, merge_batch
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_create_append_read(spark, tmp_path):
+    t = LakeTable(str(tmp_path), "t1")
+    t.create(SCHEMA, n_buckets=4)
+    df = _mk(spark, [("a", [1, 2], 2, "web"), ("b", [3], 1, "code")])
+    t.append(df, key_col="doc_id")
+    got = t.read(spark)
+    assert {r["doc_id"] for r in got.collect()} == {"a", "b"}
+    assert t.current_version() == 1
+
+
+def test_merge_upsert_delete(spark, tmp_path):
+    t = LakeTable(str(tmp_path), "t2")
+    t.create(SCHEMA, n_buckets=4)
+    t.append(_mk(spark, [("a", [1], 1, "web"), ("b", [2], 1, "web"), ("c", [3], 1, "web")]), "doc_id")
+
+    batch = spark.createDataFrame(
+        [("a", [9, 9], 2, "code", "update"), ("b", None, None, None, "delete"), ("d", [4], 1, "wiki", "insert")],
+        T.StructType(list(SCHEMA.fields) + [T.StructField("op", T.StringType())]),
+    )
+    merge_batch(spark, t, batch, key="doc_id")
+    rows = {r["doc_id"]: r for r in t.read(spark).collect()}
+    assert set(rows) == {"a", "c", "d"}
+    assert rows["a"]["tokens"] == [9, 9] and rows["a"]["source"] == "code"
+
+
+def test_cold_buckets_not_rewritten(spark, tmp_path):
+    t = LakeTable(str(tmp_path), "t3")
+    t.create(SCHEMA, n_buckets=16)
+    base = _mk(spark, [(f"k{i}", [i], 1, "web") for i in range(200)])
+    t.append(base, "doc_id")
+    files_before = {e["path"]: e for e in t.snapshot()["files"]}
+
+    batch = spark.createDataFrame(
+        [("k0", [99], 1, "web", "update")],
+        T.StructType(list(SCHEMA.fields) + [T.StructField("op", T.StringType())]),
+    )
+    st = merge_batch(spark, t, batch, key="doc_id")
+    assert st["touched_buckets"] == 1
+    files_after = {e["path"]: e for e in t.snapshot()["files"]}
+    carried = set(files_before) & set(files_after)
+    # every untouched bucket's file survives as metadata-only carry-over
+    touched_bucket = next(e["bucket"] for p, e in files_after.items() if p not in files_before)
+    assert all(files_before[p]["bucket"] != touched_bucket for p in carried)
+    assert len(carried) >= len(files_before) - 2
+
+
+def test_schema_evolution_on_read(spark, tmp_path):
+    t = LakeTable(str(tmp_path), "t4")
+    t.create(SCHEMA, n_buckets=4)
+    t.append(_mk(spark, [("a", [1], 1, "web")]), "doc_id")
+
+    evolved = T.StructType(list(SCHEMA.fields) + [T.StructField("meta", T.StringType(), True)])
+    batch = spark.createDataFrame(
+        [("b", [2], 1, "web", "m1", "insert")],
+        T.StructType(list(evolved.fields) + [T.StructField("op", T.StringType())]),
+    )
+    merge_batch(spark, t, batch, key="doc_id", evolved_schema=evolved)
+    rows = {r["doc_id"]: r for r in t.read(spark).collect()}
+    assert rows["a"]["meta"] is None and rows["b"]["meta"] == "m1"
+
+
+def test_atomic_snapshot_isolation(spark, tmp_path):
+    t = LakeTable(str(tmp_path), "t5")
+    t.create(SCHEMA, n_buckets=4, properties={"watermarks": {"0": 5}})
+    assert t.properties()["watermarks"] == {"0": 5}
+    t.append(_mk(spark, [("a", [1], 1, "web")]), "doc_id", properties={"watermarks": {"0": 9}})
+    assert t.properties()["watermarks"] == {"0": 9}
+    # old snapshot still readable (time travel)
+    assert t.snapshot(0)["properties"]["watermarks"] == {"0": 5}
+    assert t.read_files(spark, t.snapshot(0)["files"]).count() == 0
