@@ -1,0 +1,149 @@
+"""Large-scale training-data deduplication operators.
+
+Beyond the reference's ``deduplicate`` (which is keyed stream suppression,
+libtenzir/builtins/operators/deduplicate.cpp) these are the content-level
+dedup stages a 100 TB training-data pipeline needs: exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Design notes for scale:
+- All hashing is engine-portable (md5 of strings) so the DuckDB oracle can
+  replay the exact pipeline — and md5/sha are JVM codegen'd builtins.
+- MinHash signatures are computed per row with array expressions (no
+  explode -> no shuffle); only the LSH band self-join shuffles, on the
+  band key, whose cardinality is ~n_docs × n_bands with tiny values.
+- The candidate self-join is the classic LSH trick: at 10^9 docs a naive
+  all-pairs join is impossible; banding makes expected pair count linear
+  in the number of true near-dups. Band-key skew (a degenerate band that
+  half the corpus shares — e.g. empty documents) is the real-world failure
+  mode: filter degenerate shingle sets first, and AQE skew-join splits the
+  rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of a string (classic MinHash input)."""
+    n = F.greatest(F.length(col) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: col.substr(i, F.lit(k)))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as an array of hex strings: element i is the
+    lexicographic min of md5(i || shingle). String-min over md5 is a valid
+    random-permutation min-hash and is bit-identical across engines."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bands(signature: Column, num_hashes: int, bands: int) -> Column:
+    """Hash contiguous signature rows into band keys (banding LSH)."""
+    rows = num_hashes // bands
+    return F.array(
+        *[
+            F.md5(F.concat_ws(",", *[signature[j] for j in range(b * rows, (b + 1) * rows)]))
+            for b in range(bands)
+        ]
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate collapse by content hash: keep the smallest id per
+    distinct text, count the collapsed group."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs via banded MinHash LSH, verified with exact shingle
+    Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    prepped = (
+        df.select(
+            F.col(id_col).alias("id"),
+            char_shingles(F.col(text_col), k).alias("sh"),
+        )
+        .filter(F.size("sh") >= k)  # drop degenerate docs (LSH skew bombs)
+        .withColumn("bandkeys", lsh_bands(minhash_signature(F.col("sh"), num_hashes), num_hashes, bands))
+        .withColumn("band", F.explode("bandkeys"))
+        .drop("bandkeys")
+    )
+    a = prepped.alias("a")
+    b = prepped.alias("b")
+    cand = (
+        a.join(b, on="band")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                        threshold: float = 0.3) -> DataFrame:
+    """Exact word-n-gram Jaccard over all pairs — the brute-force baseline
+    (quadratic; only for bounded inputs / verification of the LSH path)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+    p = df.select(F.col(id_col).alias("id"), grams.alias("g")).filter(F.size("g") > 0)
+    a, b = p.alias("a"), p.alias("b")
+    jac = F.size(F.array_intersect("a.g", "b.g")) / F.size(F.array_union("a.g", "b.g"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """32-bit SimHash fingerprint: per-shingle md5-derived bits, bit-voted
+    per document. Pure JVM expressions: explode shingles, conv() the md5
+    prefix to an int, aggregate 32 signed bit-votes, reassemble."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(char_shingles(F.col(text_col), k)).alias("s"),
+    ).withColumn("h", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long"))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(32)
+    ]
+    voted = sh.groupBy("id").agg(*votes)
+    fp = None
+    for i in range(32):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return voted.select("id", fp.cast("long").alias("simhash"))

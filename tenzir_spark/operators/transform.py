@@ -1,0 +1,70 @@
+"""Scalar/value transform operators.
+
+Reference parity:
+- hash      -> libtenzir/builtins/operators/hash.cpp (hash.md:19-31):
+  SHA-256 of a field (+ optional salt) into <field>_hashed
+- timeshift -> libtenzir/builtins/operators/timeshift.cpp (timeshift.md:16-40)
+- parse     -> libtenzir/builtins/operators/parse.cpp (parse.md:16-21):
+  apply a parser to a string field; JSON via from_json, key=value via
+  str_to_map, regex via regexp_extract (format inventory SURVEY.md §2.2)
+- time parsing -> libtenzir/builtins/operators/time.cpp:478-530
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_field(df: DataFrame, field: str, salt: str | None = None,
+               out: str | None = None) -> DataFrame:
+    """SHA-256 digest of a field into ``<field>_hashed`` (hash.md)."""
+    col = F.col(field).cast("string")
+    if salt:
+        col = F.concat(col, F.lit(salt))
+    return df.withColumn(out or f"{field}_hashed", F.sha2(col, 256))
+
+
+def timeshift(df: DataFrame, field: str, start: str | None = None,
+              speed: float = 1.0) -> DataFrame:
+    """Re-anchor a time column to ``start`` and re-scale inter-event gaps by
+    ``speed`` (timeshift.md:16-40). The anchor (min over the whole input) is
+    a scalar aggregate broadcast into the projection — one extra pass, no
+    per-row Python."""
+    ts = F.col(field).cast("timestamp")  # NTZ parquet cols -> TIMESTAMP (UTC session)
+    w_anchor = F.expr(f"min(cast(`{field}` as timestamp)) over ()")  # window-min avoids a collect
+    delta_us = (F.unix_micros(ts) - F.unix_micros(w_anchor)) / F.lit(speed)
+    base = F.to_timestamp(F.lit(start)) if start else w_anchor
+    shifted = F.timestamp_micros((F.unix_micros(base) + delta_us).cast("long"))
+    return df.withColumn(field, shifted)
+
+
+def parse_json_field(df: DataFrame, field: str, schema: str,
+                     prefix: str | None = None) -> DataFrame:
+    """``parse <field> json`` — parse a JSON string column into typed
+    columns (reference JSON parser: libtenzir/builtins/formats/json.cpp,
+    schema inference via series_builder; here the schema is explicit or
+    pre-inferred with spark.read.json semantics)."""
+    parsed = F.from_json(F.col(field), schema)
+    out = df.withColumn("_parsed", parsed)
+    pfx = prefix if prefix is not None else f"{field}_"
+    for name in out.select("_parsed.*").columns:
+        out = out.withColumn(f"{pfx}{name}", F.col(f"_parsed.{name}"))
+    return out.drop("_parsed")
+
+
+def parse_kv_field(df: DataFrame, field: str, pair_sep: str = r"\s+",
+                   kv_sep: str = "=") -> DataFrame:
+    """``read kv`` analog (libtenzir/builtins/formats/kv.cpp): split a
+    key=value string into a map column."""
+    return df.withColumn(f"{field}_kv", F.str_to_map(F.col(field), F.lit(pair_sep), F.lit(kv_sep)))
+
+
+def parse_grok_field(df: DataFrame, field: str, pattern: str,
+                     names: list[str]) -> DataFrame:
+    """grok-lite (libtenzir/builtins/formats/grok.cpp): a regex with capture
+    groups extracted into named columns."""
+    out = df
+    for i, name in enumerate(names, start=1):
+        out = out.withColumn(name, F.regexp_extract(F.col(field), pattern, i))
+    return out

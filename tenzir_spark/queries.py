@@ -1,0 +1,696 @@
+"""Driver-contract query registry: every implemented operator as a
+(spark_query, duckdb_oracle_sql) pair over the shared test tables.
+
+Each entry demonstrates one operator (or composition) from SURVEY.md §2 /
+the training-data suite. Column names are aliased IDENTICALLY on both
+sides; floats are rounded on both sides; timestamps are emitted as
+formatted strings — the driver compares row count + schema + an
+order-insensitive value hash.
+
+Queries marked ``sql=None`` are non-SQL-expressible (custom vectorized
+UDFs, seeded-random LSH planes) and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tenzir_spark.operators import core as ops
+from tenzir_spark.operators import aggregate as agg
+from tenzir_spark.operators import dedup as dd
+from tenzir_spark.operators import similarity as sim
+from tenzir_spark.operators import text as tx
+from tenzir_spark.operators import transform as tf
+from tenzir_spark.operators import structural as st
+from tenzir_spark.operators.enrich import enrich as enrich_join, lookup_table_context
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# §2.3 projections / filters / row selection
+# --------------------------------------------------------------------------
+
+def q_where(spark, sf):
+    ev = load(spark, sf, "events")
+    out = ops.where(ev, (F.col("value") > 50) & (F.col("event_type") == "click"))
+    return out.select("event_id", "user_id", "value")
+
+SQL_WHERE = """
+SELECT event_id, user_id, value FROM events
+WHERE value > 50 AND event_type = 'click'
+"""
+
+
+def q_select(spark, sf):
+    return ops.select(load(spark, sf, "lineitem"), "l_orderkey", "l_partkey", "l_quantity")
+
+SQL_SELECT = "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem"
+
+
+def q_drop(spark, sf):
+    return ops.drop(load(spark, sf, "events"), "props", "ts")
+
+SQL_DROP = "SELECT event_id, user_id, event_type, value FROM events"
+
+
+def q_put(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return ops.put(li, {
+        "l_orderkey": F.col("l_orderkey"),
+        "l_linenumber": F.col("l_linenumber"),
+        "revenue": F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4),
+    })
+
+SQL_PUT = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS revenue
+FROM lineitem
+"""
+
+
+def q_extend(spark, sf):
+    ev = load(spark, sf, "events").select("event_id", "value")
+    return ops.extend(ev, {
+        "big": F.col("value") > 50,
+        "value_bucket": F.floor(F.col("value") / 10).cast("int"),
+    })
+
+SQL_EXTEND = """
+SELECT event_id, value, value > 50 AS big,
+       CAST(floor(value / 10) AS INT) AS value_bucket
+FROM events
+"""
+
+
+def q_rename(spark, sf):
+    ev = load(spark, sf, "events").select("event_id", "event_type")
+    return ops.rename(ev, {"id": "event_id", "kind": "event_type"})
+
+SQL_RENAME = "SELECT event_id AS id, event_type AS kind FROM events"
+
+
+def q_head(spark, sf):
+    return ops.head(load(spark, sf, "events"), 100, order_by="event_id").select(
+        "event_id", "user_id", "event_type")
+
+SQL_HEAD = """
+SELECT event_id, user_id, event_type FROM events ORDER BY event_id LIMIT 100
+"""
+
+
+def q_tail(spark, sf):
+    return ops.tail(load(spark, sf, "events"), 100, order_by="event_id").select(
+        "event_id", "user_id", "event_type")
+
+SQL_TAIL = """
+SELECT event_id, user_id, event_type FROM
+  (SELECT * FROM events ORDER BY event_id DESC LIMIT 100)
+ORDER BY event_id
+"""
+
+
+def q_slice(spark, sf):
+    ev = load(spark, sf, "events").select("event_id", "event_type")
+    return ops.slice_rows(ev, 10, 500, 7, order_by="event_id")
+
+SQL_SLICE = """
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (ORDER BY event_id) - 1 AS pos
+  FROM events)
+WHERE pos >= 10 AND pos < 500 AND (pos - 10) % 7 = 0
+"""
+
+
+def q_taste(spark, sf):
+    ev = load(spark, sf, "events").select("event_id", "event_type", "user_id")
+    return ops.taste(ev, 5, schema_col="event_type", order_by="event_id")
+
+SQL_TASTE = """
+SELECT event_id, event_type, user_id FROM events
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY event_id) <= 5
+"""
+
+
+def q_unique(spark, sf):
+    ev = load(spark, sf, "events").select("event_id", "event_type")
+    return ops.unique_adjacent(ev, cols=["event_type"], order_by="event_id")
+
+SQL_UNIQUE = """
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type,
+         lag(event_type) OVER (ORDER BY event_id) AS prev
+  FROM events)
+WHERE prev IS NULL OR event_type <> prev
+"""
+
+
+def q_deduplicate(spark, sf):
+    ev = load(spark, sf, "events").select("event_id", "user_id", "event_type")
+    return ops.deduplicate(ev, ["user_id", "event_type"], limit=2, order_by="event_id")
+
+SQL_DEDUPLICATE = """
+SELECT event_id, user_id, event_type FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) <= 2
+"""
+
+
+def q_enumerate(spark, sf):
+    ev = load(spark, sf, "events").filter(F.col("user_id") < 5).select("event_id")
+    return ops.enumerate_rows(ev, "index", order_by="event_id")
+
+SQL_ENUMERATE = """
+SELECT row_number() OVER (ORDER BY event_id) - 1 AS index, event_id
+FROM events WHERE user_id < 5
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregation / sort / top-k
+# --------------------------------------------------------------------------
+
+def q_summarize_q1(spark, sf):
+    li = load(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return agg.summarize(
+        li,
+        {
+            "sum_qty": F.round(F.sum("l_quantity"), 4),
+            "sum_base_price": F.round(F.sum("l_extendedprice"), 4),
+            "sum_disc_price": F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4),
+            "avg_qty": F.round(F.avg("l_quantity"), 4),
+            "avg_price": F.round(F.avg("l_extendedprice"), 4),
+            "avg_disc": F.round(F.avg("l_discount"), 4),
+            "count_order": F.count("*"),
+        },
+        by=["l_returnflag", "l_linestatus"],
+    )
+
+SQL_SUMMARIZE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_summarize_aggs(spark, sf):
+    ev = load(spark, sf, "events")
+    return agg.summarize(
+        ev,
+        {
+            "sum_v": F.round(F.sum("value"), 4),
+            "min_v": F.round(F.min("value"), 4),
+            "max_v": F.round(F.max("value"), 4),
+            "mean_v": F.round(F.avg("value"), 4),
+            "median_v": F.round(F.median("value"), 4),
+            "stddev_v": F.round(F.stddev_pop("value"), 4),
+            "var_v": F.round(F.var_pop("value"), 4),
+            "cnt": F.count("value"),
+            "cnt_users": F.count_distinct(F.col("user_id")),
+            "any_big": F.bool_or(F.col("value") > 90),
+            "all_pos": F.bool_and(F.col("value") > 0),
+        },
+        by=["event_type"],
+    )
+
+SQL_SUMMARIZE_AGGS = """
+SELECT event_type,
+       round(sum(value), 4) AS sum_v,
+       round(min(value), 4) AS min_v,
+       round(max(value), 4) AS max_v,
+       round(avg(value), 4) AS mean_v,
+       round(median(value), 4) AS median_v,
+       round(stddev_pop(value), 4) AS stddev_v,
+       round(var_pop(value), 4) AS var_v,
+       count(value) AS cnt,
+       count(DISTINCT user_id) AS cnt_users,
+       bool_or(value > 90) AS any_big,
+       bool_and(value > 0) AS all_pos
+FROM events GROUP BY event_type
+"""
+
+
+def q_summarize_resolution(spark, sf):
+    ev = load(spark, sf, "events")
+    out = agg.summarize(
+        ev,
+        {"n": F.count("*"), "sum_v": F.round(F.sum("value"), 4)},
+        resolution="hour",
+        time_col="ts",
+    )
+    return out.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"), "n", "sum_v")
+
+SQL_SUMMARIZE_RESOLUTION = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*) AS n, round(sum(value), 4) AS sum_v
+FROM events GROUP BY 1
+"""
+
+
+def q_distinct_collect(spark, sf):
+    ev = load(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("types_csv"),
+        F.count("*").alias("n"),
+    )
+
+SQL_DISTINCT_COLLECT = """
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+       count(*) AS n
+FROM events GROUP BY user_id
+"""
+
+
+def q_top(spark, sf):
+    return agg.top(load(spark, sf, "events"), "event_type")
+
+SQL_TOP = """
+SELECT event_type, count(*) AS count FROM events
+GROUP BY event_type ORDER BY count DESC, event_type
+"""
+
+
+def q_rare(spark, sf):
+    return agg.rare(load(spark, sf, "events"), "event_type")
+
+SQL_RARE = """
+SELECT event_type, count(*) AS count FROM events
+GROUP BY event_type ORDER BY count ASC, event_type
+"""
+
+
+def q_sort_ranked(spark, sf):
+    li = load(spark, sf, "lineitem")
+    w = Window.orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber"))
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 500)
+    )
+
+SQL_SORT_RANKED = """
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+       row_number() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
+FROM lineitem
+QUALIFY rank <= 500
+"""
+
+
+def q_measure(spark, sf):
+    return agg.measure(load(spark, sf, "lineitem"))
+
+SQL_MEASURE = "SELECT count(*) AS events FROM lineitem"
+
+
+# --------------------------------------------------------------------------
+# §2.5 structural + §2.2 parsing
+# --------------------------------------------------------------------------
+
+def q_parse_json(spark, sf):
+    ev = load(spark, sf, "events").select("event_id", "props")
+    out = tf.parse_json_field(ev, "props", "k INT", prefix="props_")
+    return out.select("event_id", "props_k")
+
+SQL_PARSE_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS props_k
+FROM events
+"""
+
+
+def q_flatten_roundtrip(spark, sf):
+    """unflatten then flatten: nest (event_id, (user_id, event_type)) and
+    recover dotted columns — exercises both structural ops with a
+    SQL-comparable flat output."""
+    ev = load(spark, sf, "events").select(
+        F.col("event_id"),
+        F.col("user_id").alias("actor.id"),
+        F.col("event_type").alias("actor.kind"),
+    )
+    nested = st.unflatten(ev, sep=".")
+    flat = st.flatten(nested, sep="_")
+    return flat.select("event_id", F.col("actor_id"), F.col("actor_kind"))
+
+SQL_FLATTEN_ROUNDTRIP = """
+SELECT event_id, user_id AS actor_id, event_type AS actor_kind FROM events
+"""
+
+
+def q_unroll(spark, sf):
+    em = load(spark, sf, "embeddings").filter(F.col("vec_id") < 20)
+    out = st.unroll(em.select("vec_id", "embedding"), "embedding", pos_field="pos")
+    return out.select("vec_id", "pos", F.round(F.col("embedding").cast("double"), 4).alias("val"))
+
+SQL_UNROLL = """
+SELECT vec_id,
+       CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+       round(CAST(unnest(embedding) AS DOUBLE), 4) AS val
+FROM embeddings WHERE vec_id < 20
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.6 value transforms, §2.7 enrichment
+# --------------------------------------------------------------------------
+
+def q_hash(spark, sf):
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    return tf.hash_field(docs, "text").select("doc_id", F.col("text_hashed"))
+
+SQL_HASH = "SELECT doc_id, sha256(text) AS text_hashed FROM documents"
+
+
+def q_enrich(spark, sf):
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    part = load(spark, sf, "part").select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    ctx = lookup_table_context(part, "l_partkey")
+    return enrich_join(li, ctx, on="l_partkey").select(
+        "l_orderkey", "l_linenumber", "p_brand")
+
+SQL_ENRICH = """
+SELECT l_orderkey, l_linenumber, p_brand
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q_join_q3(spark, sf):
+    """TPC-H Q3-style (joins are free in Spark; the reference has none —
+    SURVEY.md §2.4 'joins absent')."""
+    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = load(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                "o_orderpriority", "revenue")
+    )
+
+SQL_JOIN_Q3 = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_timeshift(spark, sf):
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 200).select("event_id", "ts")
+    out = tf.timeshift(ev, "ts", start="2030-01-01 00:00:00")
+    return out.select("event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"))
+
+SQL_TIMESHIFT = """
+SELECT event_id,
+       strftime(TIMESTAMP '2030-01-01 00:00:00'
+                + (ts - (min(ts) OVER ())), '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM events WHERE event_id < 200
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data suite: dedup / text / similarity
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    return dd.exact_dedup(load(spark, sf, "documents"), "text", "doc_id")
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_count(spark, sf):
+    docs = load(spark, sf, "documents")
+    return tx.token_count(docs, "text").select("doc_id", "n_tokens")
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def q_quality(spark, sf):
+    docs = load(spark, sf, "documents")
+    return tx.quality_score(docs, "text").select(
+        "doc_id", "n_tokens", "mean_word_len", "stop_ratio", "quality")
+
+SQL_QUALITY = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         (length(trim(text)) - (len(string_split_regex(trim(text), '\s+')) - 1))
+           / len(string_split_regex(trim(text), '\s+')) AS mwl,
+         (len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b'))
+          + len(regexp_extract_all(text, '\band\b')) + len(regexp_extract_all(text, '\bof\b'))
+          + len(regexp_extract_all(text, '\bto\b')) + len(regexp_extract_all(text, '\bin\b'))
+          + len(regexp_extract_all(text, '\bis\b')) + len(regexp_extract_all(text, '\bthat\b'))
+          + len(regexp_extract_all(text, '\bit\b')) + len(regexp_extract_all(text, '\bfor\b')))
+           / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS sr
+  FROM documents)
+SELECT doc_id, n_tokens, round(mwl, 4) AS mean_word_len, round(sr, 4) AS stop_ratio,
+       round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+         least(1.0, n_tokens / 100.0) * 0.4
+         + least(1.0, sr * 5) * 0.4
+         + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 0.2 ELSE 0.0 END
+       END, 4) AS quality
+FROM base
+"""
+
+
+def q_lang_id(spark, sf):
+    docs = load(spark, sf, "documents")
+    return tx.lang_id(docs, "text").select("doc_id", "lang_pred")
+
+SQL_LANG_ID = r"""
+WITH s AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '\bder\b')) + len(regexp_extract_all(text, '\bdie\b'))
+      + len(regexp_extract_all(text, '\bund\b')) AS s_de,
+    len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\band\b'))
+      + len(regexp_extract_all(text, '\bof\b')) AS s_en,
+    len(regexp_extract_all(text, '\bel\b')) + len(regexp_extract_all(text, '\bla\b'))
+      + len(regexp_extract_all(text, '\bque\b')) AS s_es,
+    len(regexp_extract_all(text, '\ble\b')) + len(regexp_extract_all(text, '\bla\b'))
+      + len(regexp_extract_all(text, '\bet\b')) AS s_fr
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+       WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+       WHEN s_es > greatest(s_de, s_en) THEN 'es'
+       WHEN s_en > s_de THEN 'en'
+       ELSE 'de' END AS lang_pred
+FROM s
+"""
+
+
+def q_fingerprint(spark, sf):
+    docs = load(spark, sf, "documents")
+    return tx.doc_fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_minhash_pairs(spark, sf):
+    docs = load(spark, sf, "documents")
+    return dd.minhash_near_dup_pairs(docs, "doc_id", "text", k=5, num_hashes=16,
+                                     bands=4, jaccard_threshold=0.5)
+
+SQL_MINHASH_PAIRS = """
+WITH sh AS (
+  SELECT doc_id AS id,
+         list_distinct([substring(text, CAST(i AS INT), 5)
+                        for i in range(1, greatest(length(text) - 4, 1) + 1)]) AS sh
+  FROM documents
+  WHERE len(list_distinct([substring(text, CAST(i AS INT), 5)
+                           for i in range(1, greatest(length(text) - 4, 1) + 1)])) >= 5
+),
+sig AS (
+  SELECT id, sh,
+         [list_min([md5(CAST(h AS VARCHAR) || ':' || s) for s in sh])
+          for h in range(0, 16)] AS sig
+  FROM sh
+),
+banded AS (
+  SELECT id, sh,
+         unnest([md5(sig[1] || ',' || sig[2] || ',' || sig[3] || ',' || sig[4]),
+                 md5(sig[5] || ',' || sig[6] || ',' || sig[7] || ',' || sig[8]),
+                 md5(sig[9] || ',' || sig[10] || ',' || sig[11] || ',' || sig[12]),
+                 md5(sig[13] || ',' || sig[14] || ',' || sig[15] || ',' || sig[16])]) AS band
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id
+)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / len(list_distinct(list_concat(sh_a, sh_b))), 4) AS jaccard
+FROM cand
+WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+            / len(list_distinct(list_concat(sh_a, sh_b))), 4) >= 0.5
+"""
+
+
+def q_ann_topk(spark, sf):
+    em = load(spark, sf, "embeddings")
+    qvec = em.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return sim.cosine_topk(em, "embedding", "vec_id", qvec, k=20)
+
+SQL_ANN_TOPK = """
+SELECT vec_id,
+       round(list_cosine_similarity(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
+FROM embeddings
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
+"""
+
+
+def q_cosine_pairs(spark, sf):
+    em = load(spark, sf, "embeddings")
+    return sim.cosine_near_dup_pairs(em, "embedding", "vec_id",
+                                     threshold=0.3, max_rows=200)
+
+SQL_COSINE_PAIRS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.3
+"""
+
+
+# ---- rows-only (non-SQL-expressible: vectorized UDFs / seeded LSH planes)
+
+def q_simhash(spark, sf):
+    return dd.simhash32(load(spark, sf, "documents"), "doc_id", "text", k=5)
+
+
+def q_ann_lsh(spark, sf):
+    em = load(spark, sf, "embeddings")
+    qvec = em.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return sim.cosine_topk_lsh(em, "embedding", "vec_id", qvec, k=20, n_bits=4)
+
+
+def q_token_fingerprint(spark, sf):
+    """Vectorized pandas-UDF token fingerprints over synthetic token arrays
+    derived from document words (the corpus-table invariant checker)."""
+    from tenzir_spark.functions.tokens import tokens_fingerprint, token_minhash_8
+
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.transform(
+            F.split(F.trim(F.col("text")), r"\s+"),
+            lambda w: (F.crc32(w) % 50000).cast("int"),
+        ).alias("tokens"),
+    )
+    return toks.select(
+        "doc_id",
+        tokens_fingerprint(F.col("tokens")).alias("fp"),
+        token_minhash_8(F.col("tokens")).alias("minhash"),
+    )
+
+
+def q_ngram_jaccard(spark, sf):
+    docs = load(spark, sf, "documents").filter(
+        (F.col("doc_id") < 100) & (F.length(F.trim(F.col("text"))) > 0))
+    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
+
+SQL_NGRAM_JACCARD = r"""
+WITH g AS (
+  SELECT doc_id AS id, list_distinct(string_split_regex(trim(text), '\s+')) AS g
+  FROM documents WHERE doc_id < 100 AND length(trim(text)) > 0
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+FROM g a, g b
+WHERE a.id < b.id
+  AND round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.g, b.g))), 4) >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    "where_filter": (q_where, SQL_WHERE),
+    "select_project": (q_select, SQL_SELECT),
+    "drop_fields": (q_drop, SQL_DROP),
+    "put_computed": (q_put, SQL_PUT),
+    "extend_fields": (q_extend, SQL_EXTEND),
+    "rename_fields": (q_rename, SQL_RENAME),
+    "head_n": (q_head, SQL_HEAD),
+    "tail_n": (q_tail, SQL_TAIL),
+    "slice_stride": (q_slice, SQL_SLICE),
+    "taste_per_schema": (q_taste, SQL_TASTE),
+    "unique_adjacent": (q_unique, SQL_UNIQUE),
+    "deduplicate_limit": (q_deduplicate, SQL_DEDUPLICATE),
+    "enumerate_rows": (q_enumerate, SQL_ENUMERATE),
+    "summarize_q1": (q_summarize_q1, SQL_SUMMARIZE_Q1),
+    "summarize_aggs": (q_summarize_aggs, SQL_SUMMARIZE_AGGS),
+    "summarize_resolution": (q_summarize_resolution, SQL_SUMMARIZE_RESOLUTION),
+    "distinct_collect": (q_distinct_collect, SQL_DISTINCT_COLLECT),
+    "top_values": (q_top, SQL_TOP),
+    "rare_values": (q_rare, SQL_RARE),
+    "sort_ranked": (q_sort_ranked, SQL_SORT_RANKED),
+    "measure_count": (q_measure, SQL_MEASURE),
+    "parse_json": (q_parse_json, SQL_PARSE_JSON),
+    "flatten_unflatten": (q_flatten_roundtrip, SQL_FLATTEN_ROUNDTRIP),
+    "unroll_list": (q_unroll, SQL_UNROLL),
+    "hash_sha256": (q_hash, SQL_HASH),
+    "enrich_lookup": (q_enrich, SQL_ENRICH),
+    "join_q3": (q_join_q3, SQL_JOIN_Q3),
+    "timeshift": (q_timeshift, SQL_TIMESHIFT),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "quality_score": (q_quality, SQL_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "minhash_lsh_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
+    "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "cosine_near_dup": (q_cosine_pairs, SQL_COSINE_PAIRS),
+    "simhash_fingerprint": (q_simhash, None),
+    "ann_lsh_topk": (q_ann_lsh, None),
+    "token_fingerprint_udf": (q_token_fingerprint, None),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,91 @@
+"""Vectorized token UDFs + multimodal plumbing."""
+
+import numpy as np
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def test_tokens_fingerprint_equality_invariant(spark):
+    from tenzir_spark.functions.tokens import tokens_fingerprint
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+    ])
+    rows = [
+        (1, [1, 2, 3]),
+        (2, [1, 2, 3]),     # identical -> same fp
+        (3, [3, 2, 1]),     # permuted -> different fp (order-sensitive)
+        (4, [1, 2]),        # prefix -> different fp
+        (5, []),            # empty
+        (6, None),          # null
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {r["id"]: r["fp"] for r in df.select("id", tokens_fingerprint("tokens").alias("fp")).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    assert got[1] != got[4]
+    assert got[5] is not None
+    assert got[6] is None
+
+
+def test_tokens_truncate(spark):
+    from tenzir_spark.functions.tokens import tokens_truncate_512
+
+    df = spark.createDataFrame(
+        [(list(range(1000)),), (list(range(5)),)],
+        T.StructType([T.StructField("tokens", T.ArrayType(T.IntegerType()))]),
+    )
+    out = df.select(F.size(tokens_truncate_512("tokens")).alias("n")).collect()
+    assert sorted(r["n"] for r in out) == [5, 512]
+
+
+def test_token_minhash_similarity(spark):
+    from tenzir_spark.functions.tokens import token_minhash_8
+
+    base = list(range(100))
+    near = base[:95] + [999, 998, 997, 996, 995]
+    far = list(range(1000, 1100))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)],
+        "id long, tokens array<int>",
+    )
+    sigs = {r["id"]: r["s"] for r in df.select("id", token_minhash_8("tokens").alias("s")).collect()}
+    match_near = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    match_far = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert match_near > match_far
+    assert match_far == 0
+
+
+def test_multimodal_feature_plumbing(spark):
+    from tenzir_spark.functions.multimodal import MEDIA_SCHEMA, extract_features, sample_frames
+
+    rows = [
+        ("m1", "image", b"\x01\x02\x03\x04" * 10, "image/png", 8, 8, None),
+        ("m2", "video", b"\xff" * 64, "video/mp4", 64, 48, 3500),
+        ("m3", "audio", None, "audio/wav", None, None, 2000),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(df).collect()
+    assert len(feats) == 3
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id["m1"]["n_bytes"] == 40
+    assert len(by_id["m2"]["feat"]) == 8
+    assert all(abs(x) < 1e-9 for x in by_id["m3"]["feat"])  # null payload -> zeros
+
+    frames = sample_frames(df, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+    import pytest
+
+    with pytest.raises(Exception):
+        extract_features(df, real_decoder=True).collect()
+
+
+def test_token_stats_jvm(spark):
+    from tenzir_spark.functions.tokens import token_stats
+
+    df = spark.createDataFrame([([5, 1, 9],)], "tokens array<int>")
+    r = token_stats(df).collect()[0]
+    assert (r["tok_len"], r["tok_min"], r["tok_max"]) == (3, 1, 9)
+    assert r["tok_sum_weighted"] == 5 * 1 + 1 * 2 + 9 * 3
