@@ -1,0 +1,102 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and a CDC ingest
+replay (the north-rule metric: sustained change-events/sec applied to the
+lake table), then prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the ``noop`` sink (full execution, no
+driver collect). Set ``BENCH_SKIP_CDC=1`` to skip the ingest segment, or
+``BENCH_CDC_EVENTS`` to resize it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "summarize_q1",        # group-by + 8 aggregates over lineitem (TPC-H Q1 shape)
+    "join_q3",             # 3-way join + agg + top-k (TPC-H Q3 shape)
+    "sort_ranked",         # global multi-key sort
+    "deduplicate_limit",   # stateful per-key suppression (window rank)
+    "dedup_exact",         # exact content dedup over documents
+    "minhash_lsh_pairs",   # MinHash+LSH near-dup pairs (shingle→band→bucket join)
+    "simhash_fingerprint", # SimHash per document
+    "ann_cosine_topk",     # brute-force cosine top-k over embeddings
+    "token_count",         # tokenization stats over documents
+    "quality_score",       # text quality heuristics
+    "flatten_unflatten",   # structural ops on events
+    "summarize_resolution",# time-bucketed rollup over events
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from tenzir_spark.session import get_spark
+    from tenzir_spark.queries import queries
+
+    spark = get_spark("tenzir_spark_bench", cores=cores)
+    reg = queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = reg.get(name)
+        if fn is None:
+            continue
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    extra: dict = {}
+    if os.environ.get("BENCH_SKIP_CDC", "") != "1":
+        from tenzir_spark.cdc.changegen import generate_changes
+        from tenzir_spark.cdc.runner import IngestRunner
+
+        n_events = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))
+        changes = f"/tmp/tenzir_spark_bench_changes_{n_events}"
+        wh = "/tmp/tenzir_spark_bench_wh"
+        if not os.path.exists(os.path.join(changes, "manifest.json")):
+            generate_changes(changes, n_events=n_events, n_docs=n_events // 10,
+                             n_parts=8, n_batches=10, seed=42)
+        if os.path.exists(wh):
+            shutil.rmtree(wh)
+        runner = IngestRunner(spark, wh, n_buckets=64, salt_buckets=16)
+        stats = runner.run(changes)
+        timings["cdc_ingest"] = round(stats["wall_sec"], 3)
+        extra["cdc_events_per_sec"] = round(stats["events_per_sec"], 1)
+        extra["cdc_events"] = stats["events_in"]
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "cores": cores,
+        **extra,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
