@@ -73,7 +73,12 @@ def main() -> None:
         spark, args.warehouse, n_buckets=args.buckets, salt_buckets=args.salt
     )
     stats = runner.run(args.changes, start_batch=args.start_batch)
+    for st in stats["batch_stats"]:
+        print(f"batch {st['batch_id']}: {st['events_in']} events in {st['wall_ms']}ms "
+              f"(applied_keys={st['applied_keys']}, v{st['version']})", file=sys.stderr)
+    t0 = time.monotonic()
     final_rows = runner.final_state().count()
+    print(f"final_state count in {time.monotonic() - t0:.1f}s", file=sys.stderr)
     out = {
         "metric": "change_events_per_sec",
         "value": round(stats["events_per_sec"], 1),

@@ -152,8 +152,26 @@ def generate_changes(
                 cols = {k: pa.concat_arrays([sc[k], cols[k].combine_chunks() if isinstance(cols[k], pa.ChunkedArray) else cols[k]]) for k in cols}
 
         tbl = pa.table(cols)
-        path = os.path.join(out_dir, f"batch-{b:05d}.parquet")
-        pq.write_table(tbl, path, compression="zstd")
+        # One file per source partition inside the batch directory — the
+        # shape a real binlog tail delivers (one WAL segment per Kafka/DB
+        # partition) AND what lets Spark read the micro-batch with
+        # n_parts-way parallelism instead of one task per batch file.
+        # Row groups of 65,536 mirror the reference's table-slice size
+        # (libtenzir/include/tenzir/defaults.hpp:32) and give the scan
+        # finer split granularity.
+        import pyarrow.compute as pc
+
+        path = os.path.join(out_dir, f"batch-{b:05d}")
+        os.makedirs(path, exist_ok=True)
+        for p in range(n_parts):
+            sub = tbl.filter(pc.equal(tbl["part_id"], p))
+            if sub.num_rows:
+                pq.write_table(
+                    sub,
+                    os.path.join(path, f"part-{p:03d}.parquet"),
+                    compression="zstd",
+                    row_group_size=65_536,
+                )
         batches.append({"batch_id": b, "path": path, "rows": tbl.num_rows,
                         "lsn_min": int(lsn[lo]), "lsn_max": int(lsn[hi - 1])})
 

@@ -15,7 +15,10 @@ import pyarrow.parquet as pq
 
 
 def naive_replay(changes_dir: str) -> pd.DataFrame:
-    files = sorted(glob.glob(os.path.join(changes_dir, "batch-*.parquet")))
+    files = sorted(
+        glob.glob(os.path.join(changes_dir, "batch-*.parquet"))
+        + glob.glob(os.path.join(changes_dir, "batch-*", "part-*.parquet"))
+    )
     frames = [pq.read_table(f).to_pandas() for f in files]
     all_cols = ["lsn", "op", "doc_id", "tokens", "n_tok", "source", "meta"]
     norm = []

@@ -34,8 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tenzir_spark.cdc.collapse import collapse_lww
-from tenzir_spark.lake.merge import merge_batch
-from tenzir_spark.lake.table import BUCKET_COL, COMMIT_COL, LakeTable
+from tenzir_spark.lake.table import BUCKET_COL, COMMIT_COL, DELETED_COL, LakeTable
 
 CONTROL_COLS = ("lsn", "epoch", "part_id", "op")
 
@@ -68,8 +67,11 @@ class IngestRunner:
         warehouse: str,
         table_name: str = "corpus",
         n_buckets: int = 32,
-        salt_buckets: int = 16,
+        salt_buckets: int = 0,
         key: str = "doc_id",
+        compact_min_rows: int = 2_000_000,
+        compact_ratio: float = 0.5,
+        compact_max_commits: int = 64,
     ):
         self.spark = spark
         self.warehouse = warehouse
@@ -78,12 +80,27 @@ class IngestRunner:
         self.n_buckets = n_buckets
         self.salt_buckets = salt_buckets
         self.key = key
+        # merge-on-read compaction policy: fold deltas into the base once
+        # they exceed max(compact_min_rows, compact_ratio × base rows) or
+        # the manifest accumulates too many delta commits.
+        self.compact_min_rows = compact_min_rows
+        self.compact_ratio = compact_ratio
+        self.compact_max_commits = compact_max_commits
 
     # ------------------------------------------------------------- helpers
     def ensure_table(self, payload_schema: T.StructType = BASE_PAYLOAD_SCHEMA) -> None:
         if not self.table.exists():
-            self.table.create(payload_schema, n_buckets=self.n_buckets,
+            self.table.create(payload_schema, n_buckets=self.n_buckets, key=self.key,
                               properties={"watermarks": {}, "last_batch_id": -1})
+
+    def _maybe_compact(self) -> None:
+        p = self.table.delta_pressure()
+        if not p["delta_commits"]:
+            return
+        threshold = max(self.compact_min_rows,
+                        int(self.compact_ratio * p.get("base_rows", 0)))
+        if p["delta_rows"] >= threshold or p["delta_commits"] >= self.compact_max_commits:
+            self.table.compact(self.spark)
 
     def watermarks(self) -> dict[str, int]:
         return dict(self.table.properties().get("watermarks", {}))
@@ -142,17 +159,38 @@ class IngestRunner:
         if fresh_total > 0 or new_fields:
             data = raw.filter(is_fresh & (F.col("op") != "schema_change") & F.col(self.key).isNotNull())
             collapsed = collapse_lww(data, key=self.key, order="lsn",
-                                     salt_buckets=self.salt_buckets).cache()
-            n_keys = collapsed.count()
-            if n_keys:
-                applied_rows = collapsed.groupBy("part_id").count().collect()
-            props = {"watermarks": new_wm, "last_batch_id": batch_id}
-            merge_batch(
-                spark, self.table, collapsed,
-                key=self.key, new_properties=props,
-                evolved_schema=evolved, batch_rows=n_keys,
+                                     salt_buckets=self.salt_buckets)
+            # merge-on-read delta: payload aligned to the (possibly evolved)
+            # schema + bucket + tombstone flag; O(batch) write, base untouched
+            delta = collapsed.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in collapsed.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in evolved.fields
+                ],
+                (F.col("op") == "delete").alias(DELETED_COL),
+                F.col("part_id"),
+            ).withColumn(BUCKET_COL, self.table.bucket_expr(self.key)).cache()
+            # ONE action for lineage counts + touched-bucket set + n_keys
+            applied_rows = (
+                delta.groupBy("part_id")
+                .agg(F.count("*").alias("count"),
+                     F.collect_set(BUCKET_COL).alias("bset"))
+                .collect()
             )
-            collapsed.unpersist()
+            n_keys = sum(r["count"] for r in applied_rows)
+            buckets = sorted({b for r in applied_rows for b in r["bset"]})
+            props = {"watermarks": new_wm, "last_batch_id": batch_id}
+            self.table.delta_commit(
+                delta.drop("part_id"),
+                schema=evolved,
+                buckets=buckets,
+                rows=n_keys,
+                properties=props,
+            )
+            delta.unpersist()
+            self._maybe_compact()
         # else: the whole batch was already applied (pure redelivery) —
         # watermarks can't have advanced, so skip the commit entirely.
 
@@ -170,9 +208,7 @@ class IngestRunner:
             )
             for r in pre
         ]
-        spark.createDataFrame(metrics, METRICS_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(self.metrics_dir)
+        self._write_metrics(metrics, batch_id)
         return {
             "batch_id": batch_id,
             "events_in": sum(r["events_in"] for r in pre),
@@ -182,12 +218,32 @@ class IngestRunner:
             "version": self.table.current_version(),
         }
 
+    def _write_metrics(self, rows: list[tuple], batch_id: int) -> None:
+        """Metrics are tiny driver-local lineage rows — writing them through
+        a Spark job costs a full job-launch round trip per batch; pyarrow
+        writes them in microseconds. (On a cluster the metrics table would
+        be object-store parquet just the same.)"""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.metrics_dir, exist_ok=True)
+        names = [f.name for f in METRICS_SCHEMA.fields]
+        cols = list(zip(*rows)) if rows else [[] for _ in names]
+        tbl = pa.table(
+            {n: pa.array(c, type=pa.int64() if n != "part_id" else pa.int32())
+             for n, c in zip(names, cols)}
+        )
+        pq.write_table(tbl, os.path.join(self.metrics_dir, f"batch-{batch_id:06d}.parquet"))
+
     def run(self, changes_dir: str, start_batch: int = 0, max_batches: int | None = None) -> dict:
         """Consume the change log; resumable — re-running from ANY
         ``start_batch`` ≤ the true position yields the identical final
         table (watermark idempotence)."""
         self.ensure_table()
-        files = sorted(glob.glob(os.path.join(changes_dir, "batch-*.parquet")))
+        files = sorted(
+            p for p in glob.glob(os.path.join(changes_dir, "batch-*"))
+            if os.path.isdir(p) or p.endswith(".parquet")
+        )
         if max_batches is not None:
             files = files[: start_batch + max_batches]
         t0 = time.monotonic()

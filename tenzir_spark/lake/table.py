@@ -43,6 +43,7 @@ from pyspark.sql import types as T
 
 BUCKET_COL = "_bucket"
 COMMIT_COL = "_commit"
+DELETED_COL = "_deleted"
 
 
 def _atomic_write(path: str, payload: str) -> None:
@@ -72,6 +73,7 @@ class LakeTable:
         schema: T.StructType,
         n_buckets: int = 64,
         properties: dict | None = None,
+        key: str = "doc_id",
     ) -> None:
         if self.exists():
             raise ValueError(f"table already exists at {self.root}")
@@ -82,6 +84,7 @@ class LakeTable:
             "parent": None,
             "schema": schema.jsonValue(),
             "n_buckets": n_buckets,
+            "key": key,
             "files": [],
             "properties": properties or {},
         }
@@ -121,6 +124,7 @@ class LakeTable:
             "parent": parent,
             "schema": schema.jsonValue(),
             "n_buckets": n_buckets or self.n_buckets(),
+            "key": self.snapshot().get("key", "doc_id"),
             "files": files,
             "properties": properties,
         }
@@ -134,10 +138,14 @@ class LakeTable:
         transform analog). xxhash64 is JVM-side and codegen'd."""
         return F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_buckets())).cast("int")
 
-    def _read_schema(self, payload_schema: T.StructType) -> T.StructType:
+    def _read_schema(
+        self, payload_schema: T.StructType, with_deleted: bool = False
+    ) -> T.StructType:
         fields = list(payload_schema.fields)
         fields.append(T.StructField(BUCKET_COL, T.IntegerType(), True))
         fields.append(T.StructField(COMMIT_COL, T.LongType(), True))
+        if with_deleted:
+            fields.append(T.StructField(DELETED_COL, T.BooleanType(), True))
         return T.StructType(fields)
 
     # ---------------------------------------------------------------- read
@@ -146,12 +154,18 @@ class LakeTable:
         spark: SparkSession,
         file_entries: list[dict],
         payload_schema: T.StructType | None = None,
+        with_deleted: bool = False,
     ) -> DataFrame:
         """Read an explicit file list with the table schema. Old files that
         predate an added column yield nulls for it (schema evolution on
         read; reference analog: cast/schema reconciliation,
-        libtenzir/include/tenzir/cast.hpp:28-56)."""
-        schema = self._read_schema(payload_schema or self.schema())
+        libtenzir/include/tenzir/cast.hpp:28-56).
+
+        NOTE: base files (``_commit=N/_bucket=K/``) and delta files
+        (``_commit=N/`` flat, with ``_bucket``/``_deleted`` physical) have
+        different directory depths — read them in SEPARATE calls to keep
+        partition discovery consistent."""
+        schema = self._read_schema(payload_schema or self.schema(), with_deleted)
         if not file_entries:
             return spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, e["path"]) for e in file_entries]
@@ -161,13 +175,69 @@ class LakeTable:
             .parquet(*paths)
         )
 
+    @staticmethod
+    def _split_entries(entries: list[dict]) -> tuple[list[dict], list[dict]]:
+        base = [e for e in entries if e.get("kind", "base") == "base"]
+        deltas = [e for e in entries if e.get("kind") == "delta"]
+        return base, deltas
+
     def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+        """Current table state. If merge-on-read delta files are present,
+        the LWW resolution (winner = highest commit per key, tombstones
+        dropped) is applied — but ONLY to the buckets the deltas touch;
+        cold buckets stream through with zero shuffle (the manifest's
+        per-delta bucket list is our partition-pruning synopsis, reference
+        analog: catalog pruning, libtenzir/src/catalog.cpp:119-171)."""
         snap = self.snapshot()
+        schema = T.StructType.fromJson(snap["schema"])
         entries = snap["files"]
         if buckets is not None:
             bset = set(buckets)
-            entries = [e for e in entries if e["bucket"] in bset]
-        return self.read_files(spark, entries, T.StructType.fromJson(snap["schema"]))
+            entries = [
+                e for e in entries
+                if (e.get("kind", "base") == "base" and e["bucket"] in bset)
+                or (e.get("kind") == "delta" and bset & set(e["buckets"]))
+            ]
+        base, deltas = self._split_entries(entries)
+        if not deltas:
+            return self.read_files(spark, base, schema)
+        key = snap.get("key", "doc_id")
+        hot = set()
+        for e in deltas:
+            hot.update(e["buckets"])
+        cold_base = [e for e in base if e["bucket"] not in hot]
+        hot_base = [e for e in base if e["bucket"] in hot]
+        resolved = self._resolve(spark, hot_base, deltas, schema, key)
+        if buckets is not None:
+            # delta files span buckets; keep only the requested ones
+            resolved = resolved.filter(F.col(BUCKET_COL).isin(list(bset)))
+        cold = self.read_files(spark, cold_base, schema)
+        return cold.unionByName(resolved)
+
+    def _resolve(
+        self,
+        spark: SparkSession,
+        hot_base: list[dict],
+        deltas: list[dict],
+        schema: T.StructType,
+        key: str,
+    ) -> DataFrame:
+        """Merge-on-read LWW: per key keep the row from the highest commit,
+        then drop tombstones. Algebraic ``max_by`` → map-side partial
+        aggregation; only hot-bucket rows shuffle."""
+        base_df = self.read_files(spark, hot_base, schema, with_deleted=True)
+        delta_df = self.read_files(spark, deltas, schema, with_deleted=True)
+        both = base_df.unionByName(delta_df)
+        cols = both.columns
+        winner = (
+            both.groupBy(F.col(key).alias("_k"))
+            .agg(F.max_by(F.struct(*cols), F.col(COMMIT_COL)).alias("_w"))
+            .select("_w.*")
+        )
+        return (
+            winner.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+            .drop(DELETED_COL)
+        )
 
     # --------------------------------------------------------------- write
     def write_commit_files(self, df: DataFrame, commit_version: int) -> list[dict]:
@@ -196,8 +266,103 @@ class LakeTable:
                         bucket = int(part.split("=", 1)[1])
                 if bucket is None:
                     raise RuntimeError(f"unbucketed data file {full}")
-                entries.append({"path": rel, "bucket": bucket, "commit": commit_version})
+                import pyarrow.parquet as pq
+
+                entries.append(
+                    {
+                        "path": rel,
+                        "bucket": bucket,
+                        "commit": commit_version,
+                        "rows": pq.read_metadata(full).num_rows,
+                    }
+                )
         return entries
+
+    def delta_commit(
+        self,
+        df: DataFrame,
+        *,
+        schema: T.StructType,
+        buckets: list[int],
+        rows: int,
+        properties: dict,
+    ) -> int:
+        """Merge-on-read fast path: append the collapsed batch (payload +
+        ``_bucket`` + ``_deleted``, exactly one row per key) as flat delta
+        files — O(batch) I/O regardless of table size. Watermarks travel in
+        ``properties`` → data + progress commit in ONE atomic snapshot
+        (exactly-once, rfc/002-fault-tolerance/README.md:116-127 analog).
+        """
+        version = self.current_version() + 1
+        commit_dir = os.path.join(self.data_dir, f"{COMMIT_COL}={version}")
+        out = df.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields],
+            F.col(BUCKET_COL).cast("int"),
+            F.col(DELETED_COL).cast("boolean"),
+        )
+        # no repartition/coalesce: AQE partition coalescing already sizes the
+        # reduce stage of the upstream collapse; a coalesce(1) here would
+        # serialize that whole stage onto one task
+        out.write.mode("overwrite").parquet(commit_dir)
+        entries = []
+        for fn in sorted(os.listdir(commit_dir)):
+            if fn.endswith(".parquet"):
+                entries.append(
+                    {
+                        "path": os.path.relpath(os.path.join(commit_dir, fn), self.root),
+                        "kind": "delta",
+                        "commit": version,
+                        "buckets": sorted(buckets),
+                        "rows": rows,
+                    }
+                )
+        # per-entry rows would need footer reads; manifest-level total is enough
+        if len(entries) > 1:
+            per = rows // len(entries)
+            for e in entries:
+                e["rows"] = per
+        snap = self.snapshot()
+        props = dict(snap.get("properties", {}))
+        props.update(properties)
+        v = self.commit(snap["files"] + entries, schema, props)
+        assert v == version
+        return v
+
+    def delta_pressure(self) -> dict:
+        """How much merge-on-read debt has accumulated (compaction policy
+        input; reference analog: `rebuild` merges undersized partitions,
+        builtins/commands/rebuild.cpp:45-47)."""
+        base, deltas = self._split_entries(self.snapshot()["files"])
+        return {
+            "delta_commits": len({e["commit"] for e in deltas}),
+            "delta_rows": sum(e.get("rows", 0) for e in deltas),
+            "base_files": len(base),
+            "base_rows": sum(e.get("rows", 0) for e in base),
+        }
+
+    def compact(self, spark: SparkSession) -> int | None:
+        """Fold ALL delta files into the base (Iceberg `rewrite_data_files`
+        analog): resolve LWW winners for the touched buckets, write them as
+        new bucket-partitioned base files, drop tombstones, carry cold base
+        files over as metadata. Amortized: cost ∝ hot-bucket data, runs
+        only when `delta_pressure` crosses the caller's policy."""
+        snap = self.snapshot()
+        schema = T.StructType.fromJson(snap["schema"])
+        base, deltas = self._split_entries(snap["files"])
+        if not deltas:
+            return None
+        key = snap.get("key", "doc_id")
+        hot = set()
+        for e in deltas:
+            hot.update(e["buckets"])
+        cold_base = [e for e in base if e["bucket"] not in hot]
+        hot_base = [e for e in base if e["bucket"] in hot]
+        resolved = self._resolve(spark, hot_base, deltas, schema, key)
+        version = self.current_version() + 1
+        new_files = self.write_commit_files(
+            resolved.select(*[f.name for f in schema.fields], BUCKET_COL), version
+        )
+        return self.commit(cold_base + new_files, schema, snap.get("properties", {}))
 
     def append(self, df: DataFrame, key_col: str, properties: dict | None = None) -> int:
         """Append-only commit (no merge)."""

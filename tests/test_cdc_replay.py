@@ -72,7 +72,7 @@ def test_duplicate_batch_redelivery_is_noop(spark, changes_dir, oracle, tmp_path
     # redeliver every batch again — exactly-once must hold
     import glob
 
-    for i, p in enumerate(sorted(glob.glob(os.path.join(changes_dir, "batch-*.parquet")))):
+    for i, p in enumerate(sorted(glob.glob(os.path.join(changes_dir, "batch-*")))):
         r.apply_batch(p, 100 + i)
     assert r.table.current_version() == v  # no new snapshots
     assert_state_equal(_engine_state(r), oracle)
@@ -102,13 +102,36 @@ def test_metrics_lineage(spark, changes_dir, tmp_path):
     }
     delivered = sum(
         pq.read_metadata(p).num_rows
-        for p in glob.glob(os.path.join(changes_dir, "batch-*.parquet"))
+        for p in glob.glob(os.path.join(changes_dir, "batch-*", "part-*.parquet"))
     )
     assert int(m["events_in"].sum()) == delivered == stats["events_in"]
     assert (m.groupby("part_id")["watermark_lsn"].max() > 0).all()
 
 
 def test_salted_collapse_equivalent(spark, changes_dir, oracle, tmp_path):
-    r = IngestRunner(spark, str(tmp_path / "wh"), n_buckets=8, salt_buckets=0)
+    # two-phase salted collapse (for pathological hot keys) must be
+    # semantically identical to the default single-phase algebraic form
+    r = IngestRunner(spark, str(tmp_path / "wh"), n_buckets=8, salt_buckets=16)
     r.run(changes_dir)
+    assert_state_equal(_engine_state(r), oracle)
+
+
+def test_compaction_preserves_state(spark, changes_dir, oracle, tmp_path):
+    # force compaction after nearly every batch; final state must be
+    # identical and delta debt must be folded into the base
+    r = IngestRunner(spark, str(tmp_path / "wh"), n_buckets=8,
+                     compact_min_rows=1, compact_ratio=0.0)
+    r.run(changes_dir)
+    p = r.table.delta_pressure()
+    assert p["delta_commits"] == 0, "compaction must fold all deltas"
+    assert_state_equal(_engine_state(r), oracle)
+
+
+def test_mor_resolution_without_compaction(spark, changes_dir, oracle, tmp_path):
+    # never compact: the merge-on-read resolution alone must produce the
+    # oracle state (tombstones filtered, highest commit wins per key)
+    r = IngestRunner(spark, str(tmp_path / "wh"), n_buckets=8,
+                     compact_min_rows=10**12, compact_max_commits=10**6)
+    r.run(changes_dir)
+    assert r.table.delta_pressure()["delta_commits"] > 0
     assert_state_equal(_engine_state(r), oracle)
