@@ -16,6 +16,7 @@ splitting.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -40,26 +41,91 @@ def enrich(
     return df.join(right, on=on, how="inner" if filter else "left")
 
 
+class BloomFilter:
+    """Deterministic vectorized Bloom filter (bloom_filter.cpp /
+    src/sketch/bloom_filter.cpp analog). Double-hashing scheme
+    h_i = h1 + i*h2 (Kirsch-Mitzenmacher) over md5 halves — stable across
+    engines and runs, unlike JVM sketch internals. All ops are numpy
+    array-at-a-time; the bitset broadcasts to executors."""
+
+    def __init__(self, expected: int = 1_000_000, fpp: float = 0.01):
+        import math
+
+        m = max(64, int(-expected * math.log(fpp) / (math.log(2) ** 2)))
+        self.m = 1 << max(6, (m - 1).bit_length())  # power of two → mask
+        self.k = max(1, round(self.m / expected * math.log(2)))
+        import numpy as np
+
+        self.bits = np.zeros(self.m // 8, dtype=np.uint8)
+
+    @staticmethod
+    def _h12(values) -> tuple:
+        """Vectorized dual hash: pandas hash_array (siphash, C impl) with
+        two fixed keys — deterministic across processes, no per-row
+        Python."""
+        import numpy as np
+        from pandas.util import hash_array
+
+        arr = np.asarray(values)
+        if arr.dtype == object:
+            arr = arr.astype(str).astype(object)
+        h1 = hash_array(arr, hash_key="tenzirsparkbl00A")  # exactly 16 bytes
+        h2 = hash_array(arr, hash_key="tenzirsparkbl00B") | np.uint64(1)
+        return h1.astype(np.uint64), h2.astype(np.uint64)
+
+    def add_many(self, values) -> None:
+        import numpy as np
+
+        h1, h2 = self._h12(values)
+        mask = np.uint64(self.m - 1)
+        for i in range(self.k):
+            idx = (h1 + np.uint64(i) * h2) & mask
+            np.bitwise_or.at(self.bits, (idx >> np.uint64(3)).astype(np.int64),
+                             np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+
+    def might_contain_many(self, values):
+        import numpy as np
+
+        h1, h2 = self._h12(values)
+        mask = np.uint64(self.m - 1)
+        out = np.ones(len(values), dtype=bool)
+        for i in range(self.k):
+            idx = (h1 + np.uint64(i) * h2) & mask
+            got = self.bits[(idx >> np.uint64(3)).astype(np.int64)]
+            out &= (got >> (idx & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        return out
+
+
 def bloom_filter_context(df: DataFrame, col: str, expected: int = 1_000_000,
-                         fpp: float = 0.01):
-    """Build a Bloom filter over a column (bloom_filter.cpp analog) using
-    Spark's built-in DataFrameStatFunctions (JVM-side, mergeable)."""
-    return df.stat.bloomFilter(col, expected, fpp)
+                         fpp: float = 0.01) -> BloomFilter:
+    """Build a Bloom filter context over a column. The context table is
+    broadcast-small by definition (the reference ships whole contexts to
+    every node, plugin.hpp:660-727), so a driver-side collect of the key
+    column is the same data movement."""
+    bf = BloomFilter(expected, fpp)
+    keys = [r[0] for r in df.select(col).filter(F.col(col).isNotNull()).collect()]
+    bf.add_many(keys)
+    return bf
 
 
-def enrich_bloom(df: DataFrame, bloom, col: str, out: str = "matched") -> DataFrame:
-    """Tag rows whose value might be in the Bloom context. The filter object
-    is serialized once into the task closure (broadcast semantics)."""
+def enrich_bloom(df: DataFrame, bloom: BloomFilter, col: str, out: str = "matched") -> DataFrame:
+    """Tag rows whose value might be in the Bloom context; Arrow-batched
+    pandas UDF, numpy bit probes — no per-row Python."""
     spark = df.sparkSession
     b = spark.sparkContext.broadcast(bloom)
 
     from pyspark.sql import types as T
-    import pandas as pd
 
     @F.pandas_udf(T.BooleanType())
     def _contains(s: pd.Series) -> pd.Series:
         bf = b.value
-        return s.map(lambda v: v is not None and bf.mightContain(v))
+        valid = s.notna()
+        import numpy as np
+
+        res = np.zeros(len(s), dtype=bool)
+        if valid.any():
+            res[valid.to_numpy()] = bf.might_contain_many(s[valid].tolist())
+        return pd.Series(res)
 
     return df.withColumn(out, _contains(F.col(col)))
 

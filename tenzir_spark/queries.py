@@ -641,6 +641,278 @@ WHERE a.id < b.id
 
 
 # --------------------------------------------------------------------------
+# §2.2 format parsers (bytes→events): lines synthesized from the events
+# table, parsed back by the Spark-side parser; the oracle reconstructs the
+# fields directly — a broken parser mismatches.
+# --------------------------------------------------------------------------
+
+def _syslog_lines(spark, sf):
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 2000)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        F.concat(
+            F.lit("<"), (F.col("event_id") % 190).cast("int"), F.lit(">"),
+            F.lit("Jan 12 03:04:05 host-"), F.col("user_id"),
+            F.lit(" app-"), F.col("event_type"),
+            F.lit("["), F.col("event_id"), F.lit("]: value_cents="), cents,
+        ).alias("line"),
+    )
+
+
+def q_parse_syslog(spark, sf):
+    from tenzir_spark.sources.formats import parse_syslog3164
+
+    lines = _syslog_lines(spark, sf)
+    return lines.select("event_id", *parse_syslog3164("line"))
+
+SQL_PARSE_SYSLOG = """
+SELECT event_id,
+       CAST((event_id % 190) // 8 AS INT) AS facility,
+       CAST((event_id % 190) % 8 AS INT) AS severity,
+       'Jan 12 03:04:05' AS timestamp,
+       'host-' || user_id AS hostname,
+       'app-' || event_type AS app_name,
+       event_id AS process_id,
+       'value_cents=' || CAST(round(value * 100) AS BIGINT) AS content
+FROM events WHERE event_id < 2000
+"""
+
+
+def q_parse_syslog5424(spark, sf):
+    from tenzir_spark.sources.formats import parse_syslog5424
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 2000)
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("<"), (F.col("event_id") % 190).cast("int"), F.lit(">1 "),
+            F.lit("2024-01-12T03:04:05Z host-"), F.col("user_id"),
+            F.lit(" app-"), F.col("event_type"),
+            F.lit(" "), F.col("event_id"), F.lit(" msg-"), F.col("user_id") % 7,
+            F.lit(" - event value recorded"),
+        ).alias("line"),
+    )
+    parsed = lines.select("event_id", *parse_syslog5424("line"))
+    return parsed.drop("structured_data")
+
+SQL_PARSE_SYSLOG5424 = """
+SELECT event_id,
+       CAST((event_id % 190) // 8 AS INT) AS facility,
+       CAST((event_id % 190) % 8 AS INT) AS severity,
+       1 AS version,
+       '2024-01-12T03:04:05Z' AS timestamp,
+       'host-' || user_id AS hostname,
+       'app-' || event_type AS app_name,
+       CAST(event_id AS VARCHAR) AS process_id,
+       'msg-' || (user_id % 7) AS message_id,
+       'event value recorded' AS message
+FROM events WHERE event_id < 2000
+"""
+
+
+def q_parse_cef(spark, sf):
+    from tenzir_spark.sources.formats import parse_cef
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 2000)
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("CEF:0|TestVendor|TestProduct|1.0|sig-"), F.col("event_type"),
+            F.lit("|"), F.col("event_type"), F.lit(" event|5|src=10.0."),
+            F.col("user_id") % 256, F.lit("."), F.col("event_id") % 256,
+            F.lit(" act="), F.col("event_type"),
+        ).alias("line"),
+    )
+    p = lines.select("event_id", *parse_cef("line"))
+    return p.select(
+        "event_id", "cef_version", "device_vendor", "device_product",
+        "signature_id", "name", "severity",
+        F.col("extension")["src"].alias("src"),
+        F.col("extension")["act"].alias("act"),
+    )
+
+SQL_PARSE_CEF = """
+SELECT event_id, 0 AS cef_version, 'TestVendor' AS device_vendor,
+       'TestProduct' AS device_product,
+       'sig-' || event_type AS signature_id,
+       event_type || ' event' AS name, '5' AS severity,
+       '10.0.' || (user_id % 256) || '.' || (event_id % 256) AS src,
+       event_type AS act
+FROM events WHERE event_id < 2000
+"""
+
+
+def q_parse_leef(spark, sf):
+    from tenzir_spark.sources.formats import parse_leef
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 2000)
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("LEEF:1.0|TestVendor|TestProduct|2.0|ev-"), F.col("event_type"),
+            F.lit("|usrName=user"), F.col("user_id"),
+            F.lit("\tdevTime=2024-01-12"),
+        ).alias("line"),
+    )
+    p = lines.select(F.col("event_id").alias("eid"), *parse_leef("line"))
+    return p.select(
+        F.col("eid").alias("event_id"),
+        "leef_version", "vendor", "product_name", "product_version",
+        F.col("attributes")["usrName"].alias("usr_name"),
+        F.col("attributes")["devTime"].alias("dev_time"),
+    )
+
+SQL_PARSE_LEEF = """
+SELECT event_id, '1.0' AS leef_version, 'TestVendor' AS vendor,
+       'TestProduct' AS product_name, '2.0' AS product_version,
+       'user' || user_id AS usr_name, '2024-01-12' AS dev_time
+FROM events WHERE event_id < 2000
+"""
+
+
+def q_parse_xsv(spark, sf):
+    from tenzir_spark.sources.formats import parse_xsv_line
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 2000)
+    lines = ev.select(
+        F.concat_ws(
+            ";", F.col("event_id"), F.col("user_id"), F.col("event_type")
+        ).alias("line")
+    )
+    parts = lines.select(parse_xsv_line("line", ["event_id", "user_id", "event_type"], ";"))
+    return parts.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+    )
+
+SQL_PARSE_XSV = "SELECT event_id, user_id, event_type FROM events WHERE event_id < 2000"
+
+
+# --------------------------------------------------------------------------
+# §2.4 remaining aggregation functions + order/control operators
+# --------------------------------------------------------------------------
+
+def q_collect_sample(spark, sf):
+    """`collect` (list of non-null values) and `sample` (first non-null —
+    made deterministic as the value at the lowest event_id, matching
+    aggregation-functions/{collect,sample}.cpp semantics under defined
+    order)."""
+    ev = load(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.withColumn("cents", cents)
+        .groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            F.sort_array(F.collect_list("cents")).alias("collected"),
+            F.min_by("cents", "event_id").alias("sampled"),
+        )
+    )
+
+SQL_COLLECT_SAMPLE = """
+SELECT user_id % 10 AS user_bucket,
+       list_sort(list(CAST(round(value * 100) AS BIGINT))) AS collected,
+       arg_min(CAST(round(value * 100) AS BIGINT), event_id) AS sampled
+FROM events GROUP BY user_id % 10
+"""
+
+
+def q_approx_median(spark, sf):
+    """`approximate_median` (T-Digest, approximate_median.cpp:42-67) →
+    percentile_approx. Approximate sketches differ across engines — driver
+    records the rows-only check."""
+    ev = load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5).alias("approx_median_v")
+    )
+
+
+def q_reverse_enumerate(spark, sf):
+    """`reverse` ≡ slice ::-1 (reverse.cpp) made observable by enumerating
+    the reversed order (value-hash is order-insensitive, so the row index
+    is the witness)."""
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 5000)
+    w = Window.orderBy(F.desc("event_id"))
+    return ev.select("event_id").withColumn("idx", F.row_number().over(w))
+
+SQL_REVERSE = """
+SELECT event_id, CAST(row_number() OVER (ORDER BY event_id DESC) AS INT) AS idx
+FROM events WHERE event_id < 5000
+"""
+
+
+def q_repeat(spark, sf):
+    """`repeat 3` (repeat.cpp:17-25) — whole-input repetition via
+    crossJoin(range(n)); no driver buffering, unlike the reference."""
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 1000).select("event_id", "user_id")
+    n = spark.range(3).select(F.col("id").alias("rep"))
+    return ev.crossJoin(n)
+
+SQL_REPEAT = """
+SELECT event_id, user_id, r.rep FROM events, (SELECT UNNEST(range(3)) AS rep) r
+WHERE event_id < 1000
+"""
+
+
+def q_enrich_subnet(spark, sf):
+    """CIDR-containment enrich via prefix-expansion equi-join
+    (lookup_table.cpp:80-115 subnet tree analog)."""
+    from tenzir_spark.operators.enrich import enrich_subnet
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 5000)
+    probe = ev.select(
+        "event_id",
+        F.concat(F.lit("10.0."), F.col("user_id") % 25, F.lit("."),
+                 F.col("event_id") % 256).alias("ip"),
+    )
+    nation = load(spark, sf, "nation")
+    subnets = nation.select(
+        F.concat(F.lit("10.0."), F.col("n_nationkey")).alias("net24"),
+        F.col("n_name").alias("net_label"),
+        F.lit(24).alias("prefix"),
+    )
+    out = enrich_subnet(probe, subnets, "ip")
+    return out.select("event_id", "ip", "net_label")
+
+SQL_ENRICH_SUBNET = """
+SELECT e.event_id,
+       '10.0.' || (e.user_id % 25) || '.' || (e.event_id % 256) AS ip,
+       n.n_name AS net_label
+FROM events e
+LEFT JOIN nation n ON '10.0.' || (e.user_id % 25) = '10.0.' || n.n_nationkey
+WHERE e.event_id < 5000
+"""
+
+
+def q_bloom_membership(spark, sf):
+    """Bloom-filter context (bloom_filter.cpp): JVM BloomFilter built over
+    customer names, probed from orders. Sketch bit-patterns are
+    implementation-defined → rows-only check."""
+    from tenzir_spark.operators.enrich import bloom_filter_context, enrich_bloom
+
+    cust = load(spark, sf, "customer").filter(F.col("c_custkey") % 3 == 0)
+    bloom = bloom_filter_context(cust, "c_custkey", expected=100_000)
+    orders = load(spark, sf, "orders").filter(F.col("o_orderkey") < 5000)
+    return enrich_bloom(orders.select("o_orderkey", "o_custkey"), bloom, "o_custkey")
+
+
+def q_yield_nested(spark, sf):
+    """`yield props.k` (yield.cpp:17-27) — zoom into a nested record parsed
+    from the props JSON column."""
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 5000)
+    nested = ev.select(
+        "event_id", F.from_json(F.col("props"), "k INT").alias("props_rec")
+    )
+    return nested.select("event_id", F.col("props_rec.k").alias("k"))
+
+SQL_YIELD = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+FROM events WHERE event_id < 5000
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -685,6 +957,18 @@ REGISTRY: dict[str, tuple] = {
     "simhash_fingerprint": (q_simhash, None),
     "ann_lsh_topk": (q_ann_lsh, None),
     "token_fingerprint_udf": (q_token_fingerprint, None),
+    "parse_syslog3164": (q_parse_syslog, SQL_PARSE_SYSLOG),
+    "parse_syslog5424": (q_parse_syslog5424, SQL_PARSE_SYSLOG5424),
+    "parse_cef": (q_parse_cef, SQL_PARSE_CEF),
+    "parse_leef": (q_parse_leef, SQL_PARSE_LEEF),
+    "parse_xsv": (q_parse_xsv, SQL_PARSE_XSV),
+    "collect_sample": (q_collect_sample, SQL_COLLECT_SAMPLE),
+    "approx_median": (q_approx_median, None),
+    "reverse_enumerate": (q_reverse_enumerate, SQL_REVERSE),
+    "repeat_n": (q_repeat, SQL_REPEAT),
+    "enrich_subnet": (q_enrich_subnet, SQL_ENRICH_SUBNET),
+    "bloom_membership": (q_bloom_membership, None),
+    "yield_nested": (q_yield_nested, SQL_YIELD),
 }
 
 

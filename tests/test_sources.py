@@ -1,0 +1,118 @@
+"""Format parsers (§2.2): golden asserts on literal wire-format strings.
+
+Mirrors the reference's BATS golden tests over fixture inputs
+(tenzir/integration/tests/*.bats diffing checked-in references)."""
+
+import textwrap
+
+from pyspark.sql import Row
+
+from tenzir_spark.sources import (
+    parse_cef,
+    parse_leef,
+    parse_syslog3164,
+    parse_syslog5424,
+    read_zeek_tsv,
+)
+
+ZEEK_CONN = textwrap.dedent(
+    """\
+    #separator \\x09
+    #set_separator\t,
+    #empty_field\t(empty)
+    #unset_field\t-
+    #path\tconn
+    #fields\tts\tuid\tid.orig_h\tid.orig_p\tproto\tduration\torig_bytes\tlocal_orig
+    #types\ttime\tstring\taddr\tport\tenum\tinterval\tcount\tbool
+    1637155963.237882\tCZ5FCZpYw\t10.0.0.1\t52386\ttcp\t0.25\t124\tT
+    1637155965.000000\tAbCdEfGh1\t192.168.1.9\t443\tudp\t-\t-\tF
+    """
+).replace("    ", "")
+
+
+def test_zeek_tsv(spark, tmp_path):
+    p = tmp_path / "conn.log"
+    p.write_text(ZEEK_CONN)
+    df = read_zeek_tsv(spark, str(p))
+    rows = df.orderBy("uid").collect()
+    assert df.columns == [
+        "ts", "uid", "id.orig_h", "id.orig_p", "proto", "duration",
+        "orig_bytes", "local_orig",
+    ]
+    r = {x["uid"]: x for x in rows}
+    assert r["CZ5FCZpYw"]["id.orig_h"] == "10.0.0.1"
+    assert r["CZ5FCZpYw"]["id.orig_p"] == 52386
+    assert r["CZ5FCZpYw"]["duration"] == 0.25
+    assert r["CZ5FCZpYw"]["orig_bytes"] == 124
+    assert r["CZ5FCZpYw"]["local_orig"] is True
+    # unset fields ('-') decode as NULL
+    assert r["AbCdEfGh1"]["duration"] is None
+    assert r["AbCdEfGh1"]["orig_bytes"] is None
+    assert r["AbCdEfGh1"]["local_orig"] is False
+
+
+def test_syslog_3164(spark):
+    line = "<165>Nov 17 13:32:43 myhost sshd[1234]: Failed password for root"
+    df = spark.createDataFrame([Row(line=line)])
+    r = df.select(*parse_syslog3164("line")).collect()[0]
+    assert (r["facility"], r["severity"]) == (20, 5)
+    assert r["timestamp"] == "Nov 17 13:32:43"
+    assert r["hostname"] == "myhost"
+    assert r["app_name"] == "sshd"
+    assert r["process_id"] == 1234
+    assert r["content"] == "Failed password for root"
+
+
+def test_syslog_5424(spark):
+    line = ('<34>1 2003-10-11T22:14:15.003Z mymachine.example.com su 1 ID47 '
+            '[exampleSDID@32473 iut="3"] BOM an application event')
+    df = spark.createDataFrame([Row(line=line)])
+    r = df.select(*parse_syslog5424("line")).collect()[0]
+    assert (r["facility"], r["severity"]) == (4, 2)
+    assert r["version"] == 1
+    assert r["hostname"] == "mymachine.example.com"
+    assert r["app_name"] == "su"
+    assert r["process_id"] == "1"
+    assert r["message_id"] == "ID47"
+    assert r["structured_data"] == '[exampleSDID@32473 iut="3"]'
+    assert r["message"] == "BOM an application event"
+
+
+def test_cef(spark):
+    line = ("CEF:0|Security|threatmanager|1.0|100|worm successfully stopped|10|"
+            "src=10.0.0.1 dst=2.1.2.2 spt=1232")
+    df = spark.createDataFrame([Row(line=line)])
+    r = df.select(*parse_cef("line")).collect()[0]
+    assert r["cef_version"] == 0
+    assert r["device_vendor"] == "Security"
+    assert r["device_product"] == "threatmanager"
+    assert r["signature_id"] == "100"
+    assert r["name"] == "worm successfully stopped"
+    assert r["severity"] == "10"
+    assert r["extension"] == {"src": "10.0.0.1", "dst": "2.1.2.2", "spt": "1232"}
+
+
+def test_leef(spark):
+    line = "LEEF:1.0|Microsoft|MSExchange|4.0 SP1|15345|src=192.0.2.0\tdst=172.50.123.1"
+    df = spark.createDataFrame([Row(line=line)])
+    r = df.select(*parse_leef("line")).collect()[0]
+    assert r["leef_version"] == "1.0"
+    assert r["vendor"] == "Microsoft"
+    assert r["product_name"] == "MSExchange"
+    assert r["product_version"] == "4.0 SP1"
+    assert r["event_id"] == "15345"
+    assert r["attributes"] == {"src": "192.0.2.0", "dst": "172.50.123.1"}
+
+
+def test_bloom_filter_deterministic(spark):
+    from tenzir_spark.operators.enrich import BloomFilter
+
+    bf1 = BloomFilter(expected=1000)
+    bf1.add_many([f"k{i}" for i in range(500)])
+    bf2 = BloomFilter(expected=1000)
+    bf2.add_many([f"k{i}" for i in range(500)])
+    assert (bf1.bits == bf2.bits).all()
+    hits = bf1.might_contain_many([f"k{i}" for i in range(500)])
+    assert hits.all()  # no false negatives, ever
+    misses = bf1.might_contain_many([f"absent{i}" for i in range(1000)])
+    assert misses.mean() < 0.05  # fpp ~1%
