@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tenzir_spark.cdc.collapse import collapse_lww
-from tenzir_spark.lake.table import BUCKET_COL, COMMIT_COL, DELETED_COL, LakeTable
+from tenzir_spark.lake.table import (
+    BUCKET_COL,
+    COMMIT_COL,
+    DELETED_COL,
+    PART_COL,
+    LakeTable,
+)
 
 CONTROL_COLS = ("lsn", "epoch", "part_id", "op")
 
@@ -92,6 +98,22 @@ class IngestRunner:
         if not self.table.exists():
             self.table.create(payload_schema, n_buckets=self.n_buckets, key=self.key,
                               properties={"watermarks": {}, "last_batch_id": -1})
+
+    def _lineage_from_commit(self, version: int) -> dict[int, int]:
+        """Per-source-partition applied counts, read from the delta files'
+        ``_part`` lineage column via pyarrow (driver-local, no Spark job)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        counts: dict[int, int] = {}
+        for e in self.table.snapshot()["files"]:
+            if e.get("kind") == "delta" and e["commit"] == version:
+                col = pq.read_table(
+                    os.path.join(self.table.root, e["path"]), columns=[PART_COL]
+                )[PART_COL].to_numpy(zero_copy_only=False)
+                for p, c in zip(*np.unique(col[col != None], return_counts=True)):  # noqa: E711
+                    counts[int(p)] = counts.get(int(p), 0) + int(c)
+        return counts
 
     def _maybe_compact(self) -> None:
         p = self.table.delta_pressure()
@@ -154,14 +176,17 @@ class IngestRunner:
             else table_schema
         )
 
-        applied_rows: list = []
+        applied_by_part: dict[int, int] = {}
         n_keys = 0
         if fresh_total > 0 or new_fields:
             data = raw.filter(is_fresh & (F.col("op") != "schema_change") & F.col(self.key).isNotNull())
             collapsed = collapse_lww(data, key=self.key, order="lsn",
                                      salt_buckets=self.salt_buckets)
             # merge-on-read delta: payload aligned to the (possibly evolved)
-            # schema + bucket + tombstone flag; O(batch) write, base untouched
+            # schema + bucket + tombstone flag + source-partition lineage.
+            # ONE Spark job (collapse→write); rows/buckets/lineage come from
+            # the written parquet footers — no cache of wide token arrays
+            # (caching them thrashes GC under high task concurrency).
             delta = collapsed.select(
                 *[
                     F.col(f.name).cast(f.dataType).alias(f.name)
@@ -170,32 +195,19 @@ class IngestRunner:
                     for f in evolved.fields
                 ],
                 (F.col("op") == "delete").alias(DELETED_COL),
-                F.col("part_id"),
-            ).withColumn(BUCKET_COL, self.table.bucket_expr(self.key)).cache()
-            # ONE action for lineage counts + touched-bucket set + n_keys
-            applied_rows = (
-                delta.groupBy("part_id")
-                .agg(F.count("*").alias("count"),
-                     F.collect_set(BUCKET_COL).alias("bset"))
-                .collect()
-            )
-            n_keys = sum(r["count"] for r in applied_rows)
-            buckets = sorted({b for r in applied_rows for b in r["bset"]})
+                F.col("part_id").alias(PART_COL),
+            ).withColumn(BUCKET_COL, self.table.bucket_expr(self.key))
             props = {"watermarks": new_wm, "last_batch_id": batch_id}
-            self.table.delta_commit(
-                delta.drop("part_id"),
-                schema=evolved,
-                buckets=buckets,
-                rows=n_keys,
-                properties=props,
+            version, dstats = self.table.delta_commit(
+                delta, schema=evolved, properties=props,
             )
-            delta.unpersist()
+            n_keys = dstats["rows"]
+            applied_by_part = self._lineage_from_commit(version)
             self._maybe_compact()
         # else: the whole batch was already applied (pure redelivery) —
         # watermarks can't have advanced, so skip the commit entirely.
 
         wall_ms = int((time.monotonic() - t0) * 1000)
-        applied_by_part = {int(r["part_id"]): int(r["count"]) for r in applied_rows}
         metrics = [
             (
                 batch_id,

@@ -44,6 +44,7 @@ from pyspark.sql import types as T
 BUCKET_COL = "_bucket"
 COMMIT_COL = "_commit"
 DELETED_COL = "_deleted"
+PART_COL = "_part"  # source-partition lineage carried in delta files
 
 
 def _atomic_write(path: str, payload: str) -> None:
@@ -146,6 +147,7 @@ class LakeTable:
         fields.append(T.StructField(COMMIT_COL, T.LongType(), True))
         if with_deleted:
             fields.append(T.StructField(DELETED_COL, T.BooleanType(), True))
+            fields.append(T.StructField(PART_COL, T.IntegerType(), True))
         return T.StructType(fields)
 
     # ---------------------------------------------------------------- read
@@ -236,7 +238,7 @@ class LakeTable:
         )
         return (
             winner.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
-            .drop(DELETED_COL)
+            .drop(DELETED_COL, PART_COL)
         )
 
     # --------------------------------------------------------------- write
@@ -283,50 +285,75 @@ class LakeTable:
         df: DataFrame,
         *,
         schema: T.StructType,
-        buckets: list[int],
-        rows: int,
         properties: dict,
-    ) -> int:
+    ) -> tuple[int, dict]:
         """Merge-on-read fast path: append the collapsed batch (payload +
         ``_bucket`` + ``_deleted``, exactly one row per key) as flat delta
         files — O(batch) I/O regardless of table size. Watermarks travel in
         ``properties`` → data + progress commit in ONE atomic snapshot
         (exactly-once, rfc/002-fault-tolerance/README.md:116-127 analog).
+
+        Per-file row counts and the touched-bucket synopsis are derived
+        from the written parquet footers/stats on the driver — no second
+        Spark job over the batch and no caching of token payloads (cache
+        churn of wide array columns is what kills local-mode GC).
+        Returns (version, {"rows": n, "buckets": [...]}).
         """
         version = self.current_version() + 1
         commit_dir = os.path.join(self.data_dir, f"{COMMIT_COL}={version}")
-        out = df.select(
+        sel = [
             *[F.col(f.name).cast(f.dataType) for f in schema.fields],
             F.col(BUCKET_COL).cast("int"),
             F.col(DELETED_COL).cast("boolean"),
-        )
+        ]
+        if PART_COL in df.columns:
+            sel.append(F.col(PART_COL).cast("int"))
+        out = df.select(*sel)
         # no repartition/coalesce: AQE partition coalescing already sizes the
         # reduce stage of the upstream collapse; a coalesce(1) here would
         # serialize that whole stage onto one task
         out.write.mode("overwrite").parquet(commit_dir)
+
+        import pyarrow.parquet as pq
+
         entries = []
+        buckets: set[int] = set()
+        total = 0
         for fn in sorted(os.listdir(commit_dir)):
-            if fn.endswith(".parquet"):
-                entries.append(
-                    {
-                        "path": os.path.relpath(os.path.join(commit_dir, fn), self.root),
-                        "kind": "delta",
-                        "commit": version,
-                        "buckets": sorted(buckets),
-                        "rows": rows,
-                    }
-                )
-        # per-entry rows would need footer reads; manifest-level total is enough
-        if len(entries) > 1:
-            per = rows // len(entries)
-            for e in entries:
-                e["rows"] = per
+            if not fn.endswith(".parquet"):
+                continue
+            full = os.path.join(commit_dir, fn)
+            md = pq.read_metadata(full)
+            rows = md.num_rows
+            fbuckets: set[int] = set()
+            idx = md.schema.names.index(BUCKET_COL)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    fbuckets.update(range(int(st.min), int(st.max) + 1))
+                else:  # fall back to the column itself (tiny)
+                    fbuckets.update(
+                        pq.read_table(full, columns=[BUCKET_COL])[BUCKET_COL]
+                        .to_pylist()
+                    )
+                    break
+            total += rows
+            buckets |= fbuckets
+            entries.append(
+                {
+                    "path": os.path.relpath(full, self.root),
+                    "kind": "delta",
+                    "commit": version,
+                    "buckets": sorted(fbuckets),
+                    "rows": rows,
+                }
+            )
         snap = self.snapshot()
         props = dict(snap.get("properties", {}))
         props.update(properties)
         v = self.commit(snap["files"] + entries, schema, props)
         assert v == version
-        return v
+        return v, {"rows": total, "buckets": sorted(buckets)}
 
     def delta_pressure(self) -> dict:
         """How much merge-on-read debt has accumulated (compaction policy

@@ -36,6 +36,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # max_by(struct(...)) — the LWW collapse — is a TypedImperativeAggregate
+        # (ObjectHashAggregateExec). The default fallback threshold (128 keys!)
+        # silently degrades every partial aggregation to an external SORT of
+        # the full batch including token arrays. A micro-batch map task sees
+        # ≤ ~100k distinct keys ≈ tens of MB of entries — keep it hashing.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -1,0 +1,90 @@
+"""TQL expression compiler: suffix/type extractors, short forms, subnet
+containment (web/docs/language/expressions.md semantics)."""
+
+import pytest
+from pyspark.sql import Row
+
+from tenzir_spark.plans import compile_expr, parse_expr
+from tenzir_spark.plans.expr import where_tql
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        Row(src_ip="10.0.1.5", dest=Row(ip="192.168.1.9", port=443),
+            proto="tcp", bytes=1200, note=None),
+        Row(src_ip="10.0.2.7", dest=Row(ip="172.16.0.1", port=80),
+            proto="udp", bytes=90, note="x"),
+        Row(src_ip="8.8.8.8", dest=Row(ip="10.0.1.99", port=53),
+            proto="udp", bytes=5000, note="dns lookup"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def ids(df, expr):
+    return sorted(r["src_ip"] for r in where_tql(df, expr).collect())
+
+
+def test_simple_predicates(df):
+    assert ids(df, 'proto == "tcp"') == ["10.0.1.5"]
+    assert ids(df, "bytes > 1000") == ["10.0.1.5", "8.8.8.8"]
+    assert ids(df, 'proto != "tcp" && bytes < 100') == ["10.0.2.7"]
+    assert ids(df, 'proto == "tcp" || bytes == 5000') == ["10.0.1.5", "8.8.8.8"]
+    assert ids(df, '!(proto == "tcp")') == ["10.0.2.7", "8.8.8.8"]
+
+
+def test_suffix_field_extractor(df):
+    # `ip` ≡ `*.ip` → matches dest.ip (nested) — disjunction semantics
+    assert ids(df, 'ip == "192.168.1.9"') == ["10.0.1.5"]
+    # full-path wins when present
+    assert ids(df, 'dest.ip == "172.16.0.1"') == ["10.0.2.7"]
+    assert ids(df, "port == 53") == ["8.8.8.8"]
+
+
+def test_type_extractor(df):
+    # :int64 == 443 → any integer field equals 443 (port)
+    assert ids(df, ":int64 == 443") == ["10.0.1.5"]
+    # :ip matches src_ip AND dest.ip (name-convention ip typing)
+    assert ids(df, ':ip == "10.0.1.99"') == ["8.8.8.8"]
+
+
+def test_short_forms(df):
+    # bare field → field != null
+    assert ids(df, "note") == ["10.0.2.7", "8.8.8.8"]
+    # bare value → :type == value
+    assert ids(df, "443") == ["10.0.1.5"]
+
+
+def test_membership(df):
+    assert ids(df, 'proto in ["tcp", "icmp"]') == ["10.0.1.5"]
+    assert ids(df, 'proto !in ["tcp", "icmp"]') == ["10.0.2.7", "8.8.8.8"]
+    # substring: literal in field
+    assert ids(df, '"dns" in note') == ["8.8.8.8"]
+
+
+def test_subnet_containment(df):
+    assert ids(df, "src_ip in 10.0.0.0/8") == ["10.0.1.5", "10.0.2.7"]
+    assert ids(df, "src_ip in 10.0.2.0/24") == ["10.0.2.7"]
+    # non-octet-aligned prefix → numeric range path
+    assert ids(df, "src_ip in 10.0.0.0/15") == ["10.0.1.5", "10.0.2.7"]
+    # type extractor + subnet: any ip-typed field inside the subnet
+    assert ids(df, ":ip in 192.168.0.0/16") == ["10.0.1.5"]
+
+
+def test_null_semantics(df):
+    assert ids(df, "note == null") == ["10.0.1.5"]
+    assert ids(df, "note != null") == ["10.0.2.7", "8.8.8.8"]
+
+
+def test_unresolved_extractor_is_false(df):
+    assert ids(df, "nonexistent == 1") == []
+
+
+def test_parse_roundtrip():
+    e = parse_expr('(a.b == 1 || :ip in 10.0.0.0/8) && !("x" in name)')
+    # structural smoke: And of [Or[...], Not[...]]
+    from tenzir_spark.plans.expr import And, Not, Or
+
+    assert isinstance(e, And)
+    assert isinstance(e.items[0], Or)
+    assert isinstance(e.items[1], Not)
