@@ -57,10 +57,10 @@ def generate_changes(
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
 
-    # Global event skeleton: unique, dense LSNs; part = lsn % n_parts keeps
-    # per-partition LSNs strictly increasing (the binlog contract).
+    # Global event skeleton: unique, dense LSNs (a global total order, so
+    # per-partition LSNs are strictly increasing subsequences — the binlog
+    # contract).
     lsn = np.arange(1, n_events + 1, dtype=np.int64)
-    part_id = (lsn % n_parts).astype(np.int32)
 
     hot = rng.random(n_events) < hot_frac
     doc_idx = np.where(
@@ -68,6 +68,14 @@ def generate_changes(
         rng.integers(0, max(hot_doc_count, 1), n_events),
         rng.integers(hot_doc_count, max(n_docs, hot_doc_count + 1), n_events),
     ).astype(np.int64)
+
+    # Source partition = hash of the KEY, as keyed CDC topics route it
+    # (Debezium→Kafka semantics): all events of one doc live in one
+    # partition, so per-partition ordered delivery ⇒ per-doc total order —
+    # the invariant every downstream consumer (and our watermark
+    # idempotence) relies on. A doc whose ops straddled partitions would
+    # have NO defined global order under partitioned delivery.
+    part_id = ((doc_idx * 2654435761 + 0x9E3779B9) % n_parts).astype(np.int32)
 
     # op: first global occurrence of a doc -> insert, later -> update,
     # overridden by delete draws (never delete the first occurrence).
@@ -172,6 +180,13 @@ def generate_changes(
                     compression="zstd",
                     row_group_size=65_536,
                 )
+        # Strictly increasing mtimes per batch: Spark's streaming file
+        # source orders by modification time, and the binlog contract
+        # requires segments of one partition to arrive in order. Sub-ms
+        # writes of small test batches would otherwise tie and interleave.
+        base_t = 1_700_000_000 + b * 60
+        for fn in os.listdir(path):
+            os.utime(os.path.join(path, fn), (base_t, base_t))
         batches.append({"batch_id": b, "path": path, "rows": tbl.num_rows,
                         "lsn_min": int(lsn[lo]), "lsn_max": int(lsn[hi - 1])})
 

@@ -132,9 +132,15 @@ class IngestRunner:
 
     # ------------------------------------------------------------ the loop
     def apply_batch(self, path: str, batch_id: int) -> dict:
+        return self.apply_batch_df(self.spark.read.parquet(path), batch_id)
+
+    def apply_batch_df(self, raw: DataFrame, batch_id: int) -> dict:
+        """Micro-batch body — also the ``foreachBatch`` target of the
+        Structured Streaming front-end (streaming/ingest.py). All durable
+        state lives in the table snapshot, so the SAME idempotence guard
+        covers batch replay, streaming-checkpoint replay, and redelivery."""
         t0 = time.monotonic()
         spark = self.spark
-        raw = spark.read.parquet(path)
         wm = self.watermarks()
 
         # -- idempotence: only events strictly above the committed watermark
