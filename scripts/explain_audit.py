@@ -1,0 +1,79 @@
+"""Physical-plan audit: print `explain(formatted)` for headline queries and
+grep for the properties that must hold at 100 TB:
+
+- parquet scans carry PushedFilters / narrow ReadSchema (pushdown+pruning)
+- small-side joins are BroadcastHashJoin (no shuffle of the big side)
+- aggregations are partial (HashAggregate x2 around the exchange)
+- the hot path stays inside WholeStageCodegen spans
+- no CartesianProduct / row-at-a-time Python UDF in the hot path
+
+Usage: python scripts/explain_audit.py [name ...]   (default: audit set)
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+AUDIT = {
+    # name: (must-contain regexes, must-NOT-contain regexes)
+    "summarize_q1": ([r"PushedFilters: \[.*LessThanOrEqual", r"HashAggregate"], [r"CartesianProduct"]),
+    "join_q3": ([r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", r"PushedFilters: \[.*EqualTo"], [r"CartesianProduct"]),
+    "where_filter": ([r"PushedFilters: \[.*GreaterThan", r"ReadSchema: [^\n]*value"], []),
+    "select_project": ([r"ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double>"], []),
+    "enrich_lookup": ([r"BroadcastHashJoin"], [r"SortMergeJoin"]),
+    "enrich_subnet": ([r"BroadcastHashJoin"], [r"SortMergeJoin"]),
+    "dedup_exact": ([r"HashAggregate"], []),
+    "summarize_resolution": ([r"HashAggregate"], []),
+    "top_values": ([r"HashAggregate", r"TakeOrderedAndProject|Sort"], []),
+    "minhash_lsh_pairs": ([r"HashAggregate|SortAggregate"], [r"CartesianProduct"]),
+    "ann_cosine_topk": ([], [r"CartesianProduct"]),  # broadcast NL join on 1-row query side is fine
+    "token_count": ([r"codegen id"], [r"BatchEvalPython"]),
+}
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    from tenzir_spark.queries import queries
+    from tenzir_spark.session import get_spark
+
+    names = sys.argv[1:] or list(AUDIT)
+    spark = get_spark("explain_audit", cores=4)
+    reg = queries()
+    failures = 0
+    for name in names:
+        fn = reg.get(name)
+        if fn is None:
+            print(f"SKIP {name}: not in registry")
+            continue
+        txt = plan_text(fn(spark, SF_DIR))
+        must, must_not = AUDIT.get(name, ([], []))
+        bad = [m for m in must if not re.search(m, txt)]
+        worse = [m for m in must_not if re.search(m, txt)]
+        if bad or worse:
+            failures += 1
+            print(f"FAIL {name}: missing={bad} forbidden-present={worse}")
+            if os.environ.get("AUDIT_VERBOSE"):
+                print(txt)
+        else:
+            spans = len(set(re.findall(r"codegen id : (\d+)", txt)))
+            print(f"PASS {name}: codegen_spans={spans}")
+    print(f"\n{len(names) - failures} ok, {failures} failing")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

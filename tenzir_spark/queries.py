@@ -912,6 +912,47 @@ FROM events WHERE event_id < 5000
 """
 
 
+def q_multimodal_features(spark, sf):
+    """Binary media columns → mapInPandas feature extraction (decode is a
+    deterministic stub; Spark-side schema/batching/pruning is real). Media
+    synthesized from documents bytes — rows-only check (UDF output)."""
+    from tenzir_spark.functions.multimodal import MEDIA_SCHEMA, extract_features
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id")).alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+    )
+    return extract_features(media)
+
+
+def q_frame_sampling(spark, sf):
+    """Video frame-sampling plumbing: one row per sampled frame timestamp."""
+    from tenzir_spark.functions.multimodal import sample_frames
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id")).alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 2, "video").otherwise("image").alias("kind"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+    )
+    return sample_frames(media, every_ms=1000)
+
+SQL_FRAME_SAMPLING = """
+SELECT 'm' || doc_id AS media_id,
+       CAST(UNNEST(range(0, greatest(n_chars * 10 - 1, 0) + 1, 1000)) AS BIGINT) AS frame_ts_ms
+FROM documents
+WHERE doc_id < 500 AND doc_id % 3 = 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -969,6 +1010,8 @@ REGISTRY: dict[str, tuple] = {
     "enrich_subnet": (q_enrich_subnet, SQL_ENRICH_SUBNET),
     "bloom_membership": (q_bloom_membership, None),
     "yield_nested": (q_yield_nested, SQL_YIELD),
+    "multimodal_features": (q_multimodal_features, None),
+    "frame_sampling": (q_frame_sampling, SQL_FRAME_SAMPLING),
 }
 
 
