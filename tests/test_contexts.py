@@ -1,0 +1,57 @@
+"""Context lifecycle (context.md:16-45): create/update/remove/reset/
+inspect/time-travel/apply."""
+
+import pytest
+from pyspark.sql import Row
+
+from tenzir_spark.operators.contexts import ContextStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ContextStore(spark, str(tmp_path))
+
+
+def _ctx_rows(spark):
+    return spark.createDataFrame(
+        [Row(ioc="1.2.3.4", label="bad"), Row(ioc="5.6.7.8", label="worse")]
+    )
+
+
+def test_create_inspect_apply(spark, store):
+    store.create("threats", _ctx_rows(spark), key="ioc")
+    assert store.list() == ["threats"]
+    assert store.inspect("threats").count() == 2
+
+    events = spark.createDataFrame(
+        [Row(src="1.2.3.4", n=1), Row(src="9.9.9.9", n=2)]
+    )
+    out = store.apply(events, "threats", on="src")
+    got = {r["src"]: r["label"] for r in out.collect()}
+    assert got == {"1.2.3.4": "bad", "9.9.9.9": None}
+    # --filter form
+    assert store.apply(events, "threats", on="src", filter=True).count() == 1
+
+
+def test_update_lww_and_remove(spark, store):
+    store.create("threats", _ctx_rows(spark), key="ioc")
+    store.update(
+        "threats",
+        spark.createDataFrame([Row(ioc="1.2.3.4", label="worst"), Row(ioc="9.9.9.9", label="new")]),
+    )
+    got = {r["ioc"]: r["label"] for r in store.inspect("threats").collect()}
+    assert got == {"1.2.3.4": "worst", "5.6.7.8": "worse", "9.9.9.9": "new"}
+
+    store.remove("threats", spark.createDataFrame([Row(ioc="5.6.7.8")]))
+    assert {r["ioc"] for r in store.inspect("threats").collect()} == {"1.2.3.4", "9.9.9.9"}
+
+
+def test_reset_delete_timetravel(spark, store):
+    store.create("threats", _ctx_rows(spark), key="ioc")
+    v_full = store._table("threats").current_version()
+    store.reset("threats")
+    assert store.inspect("threats").count() == 0
+    # the pre-reset snapshot is still queryable (save/load analog)
+    assert store.inspect_at("threats", v_full).count() == 2
+    store.delete("threats")
+    assert store.list() == []
