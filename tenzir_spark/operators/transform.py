@@ -12,6 +12,7 @@ Reference parity:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -58,6 +59,51 @@ def parse_kv_field(df: DataFrame, field: str, pair_sep: str = r"\s+",
     """``read kv`` analog (libtenzir/builtins/formats/kv.cpp): split a
     key=value string into a map column."""
     return df.withColumn(f"{field}_kv", F.str_to_map(F.col(field), F.lit(pair_sep), F.lit(kv_sep)))
+
+
+def pseudonymize_ip(df: DataFrame, field: str, seed: str = "tenzir",
+                    out: str | None = None) -> DataFrame:
+    """``pseudonymize -m crypto-pan`` analog (pseudonymize.md:20-40,
+    libtenzir/builtins/operators/pseudonymize.cpp): prefix-preserving IPv4
+    anonymization. Same structural guarantee as Crypto-PAn — two addresses
+    sharing a k-bit prefix map to outputs sharing exactly a k-bit prefix —
+    built on a keyed PRF per prefix (vectorized siphash over numpy; the
+    reference uses AES, unavailable here; SAME structure, different PRF).
+
+    Vectorization: 32 hash_array calls over the whole batch (one per bit),
+    zero per-row Python.
+    """
+    import numpy as np
+    from pandas.util import hash_array
+    from pyspark.sql import types as T
+
+    key = (seed + "0123456789abcdef")[:16]
+
+    @F.pandas_udf(T.StringType())
+    def _anon(s: pd.Series) -> pd.Series:
+        valid = s.notna()
+        parts = s.where(valid, "0.0.0.0").str.split(".", expand=True)
+        ip = np.zeros(len(s), dtype=np.uint32)
+        for i in range(4):
+            ip = (ip << np.uint32(8)) | parts[i].astype(np.uint32).to_numpy()
+        outv = np.zeros(len(s), dtype=np.uint32)
+        for bit in range(32):
+            # PRF of the (bit)-bit prefix decides the flip of bit `bit`
+            prefix = (ip >> np.uint32(32 - bit)).astype(np.uint64) if bit else np.zeros(len(s), dtype=np.uint64)
+            # mix the bit index into the hashed value domain
+            h = hash_array((prefix << np.uint64(6)) | np.uint64(bit), hash_key=key)
+            flip = (h & np.uint64(1)).astype(np.uint32)
+            orig = (ip >> np.uint32(31 - bit)) & np.uint32(1)
+            outv = (outv << np.uint32(1)) | (orig ^ flip)
+        octets = [((outv >> np.uint32(sh)) & np.uint32(255)).astype("U3") for sh in (24, 16, 8, 0)]
+        dot = np.full(len(s), ".", dtype="U1")
+        joined = np.char.add(
+            np.char.add(np.char.add(np.char.add(np.char.add(np.char.add(
+                octets[0], dot), octets[1]), dot), octets[2]), dot), octets[3],
+        )
+        return pd.Series(joined).where(valid.to_numpy(), None)
+
+    return df.withColumn(out or f"{field}_pseudonymized", _anon(F.col(field)))
 
 
 def parse_grok_field(df: DataFrame, field: str, pattern: str,

@@ -912,6 +912,21 @@ FROM events WHERE event_id < 5000
 """
 
 
+def q_pseudonymize(spark, sf):
+    """Prefix-preserving IP anonymization (pseudonymize.cpp analog) over
+    synthesized IPs; keyed-PRF construction → rows-only check."""
+    from tenzir_spark.operators.transform import pseudonymize_ip
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 5000)
+    ips = ev.select(
+        "event_id",
+        F.concat(F.lit("10."), (F.col("user_id") % 256).cast("int"), F.lit("."),
+                 ((F.col("event_id") / 256) % 256).cast("int"), F.lit("."),
+                 (F.col("event_id") % 256).cast("int")).alias("ip"),
+    )
+    return pseudonymize_ip(ips, "ip")
+
+
 def q_multimodal_features(spark, sf):
     """Binary media columns → mapInPandas feature extraction (decode is a
     deterministic stub; Spark-side schema/batching/pruning is real). Media
@@ -1011,6 +1026,7 @@ REGISTRY: dict[str, tuple] = {
     "bloom_membership": (q_bloom_membership, None),
     "yield_nested": (q_yield_nested, SQL_YIELD),
     "multimodal_features": (q_multimodal_features, None),
+    "pseudonymize_ip": (q_pseudonymize, None),
     "frame_sampling": (q_frame_sampling, SQL_FRAME_SAMPLING),
 }
 

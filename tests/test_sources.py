@@ -116,3 +116,35 @@ def test_bloom_filter_deterministic(spark):
     assert hits.all()  # no false negatives, ever
     misses = bf1.might_contain_many([f"absent{i}" for i in range(1000)])
     assert misses.mean() < 0.05  # fpp ~1%
+
+
+def test_pseudonymize_prefix_preserving(spark):
+    """Crypto-PAn property: shared k-bit prefixes are preserved exactly."""
+    from pyspark.sql import Row
+    from tenzir_spark.operators.transform import pseudonymize_ip
+
+    ips = ["10.1.2.3", "10.1.2.77", "10.1.9.3", "10.200.2.3", "192.168.1.1", None]
+    df = spark.createDataFrame([Row(ip=x) for x in ips])
+    out = {r["ip"]: r["ip_pseudonymized"] for r in pseudonymize_ip(df, "ip").collect()}
+
+    def bits(s):
+        return "".join(f"{int(o):08b}" for o in s.split("."))
+
+    def common_prefix(a, b):
+        ba, bb = bits(a), bits(b)
+        n = 0
+        while n < 32 and ba[n] == bb[n]:
+            n += 1
+        return n
+
+    for a in ips[:5]:
+        for b in ips[:5]:
+            if a is b:
+                continue
+            assert common_prefix(a, b) == common_prefix(out[a], out[b]), (a, b)
+    assert out[None] is None
+    # deterministic across invocations
+    out2 = {r["ip"]: r["ip_pseudonymized"] for r in pseudonymize_ip(df, "ip").collect()}
+    assert out == out2
+    # and actually anonymized
+    assert out["10.1.2.3"] != "10.1.2.3"
