@@ -1,0 +1,100 @@
+"""North-rule scaling evidence: run the identical CDC replay at two
+parallelism levels (local[N] stands in for N executor cores — no real
+cluster in this sandbox) on the same input and report throughput at both
+plus scaling efficiency.
+
+Methodology notes (also in BASELINE.md):
+- input + warehouse + shuffle dirs live on tmpfs: in local mode all
+  "executors" share ONE disk (358 MB/s here), an artifact a real cluster
+  doesn't have — per-node disks scale with the node count. tmpfs isolates
+  compute scaling from the sandbox's single vda.
+- throughput is reported both TOTAL and STEADY-STATE (excluding the first
+  batch, which carries JVM/JIT warmup — on a 10^10-event run the warmup
+  share is ~0).
+
+Usage: python scripts/scaling_report.py [--events 16000000] [--cores 8,32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_one(cores: int, args) -> dict:
+    wh = f"/dev/shm/scaling_wh_{cores}"
+    local = f"/dev/shm/spark_local_{cores}"
+    for d in (wh, local):
+        shutil.rmtree(d, ignore_errors=True)
+    cmd = [
+        sys.executable, os.path.join(ROOT, "jobs", "run_ingest.py"),
+        "--cores", str(cores),
+        "--events", str(args.events),
+        "--docs", str(args.docs),
+        "--batches", str(args.batches),
+        "--parts", str(args.parts),
+        "--changes", args.changes,
+        "--warehouse", wh,
+        "--local-dir", local,
+        "--fresh",
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True)
+    batches = []
+    for line in out.stderr.splitlines():
+        if line.startswith("batch ") and " events in " in line:
+            ev = int(line.split(": ")[1].split(" events")[0])
+            ms = int(line.split(" events in ")[1].split("ms")[0])
+            batches.append((ev, ms))
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    steady = batches[1:] if len(batches) > 1 else batches
+    steady_events = sum(e for e, _ in steady)
+    steady_sec = sum(m for _, m in steady) / 1000
+    stats["steady_events_per_sec"] = round(steady_events / steady_sec, 1) if steady_sec else None
+    stats["batch_walls_ms"] = [m for _, m in batches]
+    for d in (wh, local):
+        shutil.rmtree(d, ignore_errors=True)
+    return stats
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--events", type=int, default=16_000_000)
+    p.add_argument("--docs", type=int, default=1_600_000)
+    p.add_argument("--batches", type=int, default=16)
+    p.add_argument("--parts", type=int, default=32)
+    p.add_argument("--changes", default="/dev/shm/chg_heavy16")
+    p.add_argument("--cores", default="8,32")
+    args = p.parse_args()
+
+    results = {}
+    for c in [int(x) for x in args.cores.split(",")]:
+        results[c] = run_one(c, args)
+        print(json.dumps({"cores": c, **{k: results[c][k] for k in
+              ("value", "steady_events_per_sec", "wall_sec", "final_rows")}}),
+              flush=True)
+
+    cs = sorted(results)
+    if len(cs) == 2:
+        n, m = cs
+        r = m / n
+        for kind, key in (("total", "value"), ("steady", "steady_events_per_sec")):
+            eff = (results[m][key] / results[n][key]) / r
+            print(json.dumps({
+                "metric": f"scaling_efficiency_{kind}",
+                "from_cores": n, "to_cores": m,
+                f"events_per_sec_{n}": results[n][key],
+                f"events_per_sec_{m}": results[m][key],
+                "efficiency": round(eff, 3),
+            }), flush=True)
+    with open(os.path.join(ROOT, "scaling_report.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
