@@ -197,6 +197,37 @@ def parse_cef(col: Column | str) -> list[Column]:
     return out
 
 
+def parse_yaml_field(df: DataFrame, field: str, schema: str,
+                     out: str = "parsed") -> DataFrame:
+    """``read yaml`` analog (yaml.cpp): YAML documents in a string column →
+    typed struct. YAML needs a real parser (pyyaml) — Arrow-batched
+    mapInPandas keeps it out of the row-at-a-time path; the JSON hop lets
+    Spark's schema machinery do the typing."""
+    import json
+
+    import pandas as pd
+    import yaml as _yaml
+
+    src_cols = df.columns
+
+    def _parse(batches):
+        for pdf in batches:
+            js = pdf[field].map(
+                lambda s: None if s is None else json.dumps(_yaml.safe_load(s))
+            )
+            yield pdf.assign(_yaml_json=js)
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("_yaml_json", T.StringType())]
+    )
+    with_json = df.mapInPandas(_parse, out_schema)
+    return with_json.select(
+        *src_cols, F.from_json("_yaml_json", schema).alias(out)
+    )
+
+
 def parse_leef(col: Column | str, delim: str = r"\t") -> list[Column]:
     """LEEF:version|vendor|product|product_version|event_id|attrs
     (leef.cpp); attributes are delimiter-separated key=value pairs."""
