@@ -912,6 +912,45 @@ FROM events WHERE event_id < 5000
 """
 
 
+def q_where_tql(spark, sf):
+    """`where <TQL expression>` through the expression compiler
+    (plans/expr.py): suffix extractors + short forms + conjunctions."""
+    from tenzir_spark.plans.expr import where_tql
+
+    ev = load(spark, sf, "events")
+    out = where_tql(ev, 'value > 50 && event_type == "click" && props')
+    return out.select("event_id", "user_id", "value")
+
+SQL_WHERE_TQL = """
+SELECT event_id, user_id, value FROM events
+WHERE value > 50 AND event_type = 'click' AND props IS NOT NULL
+"""
+
+
+def q_sigma_rule(spark, sf):
+    """Sigma detection rule compiled to a Catalyst predicate
+    (operators/sigma.py; sigma.md:20-60)."""
+    from tenzir_spark.operators.sigma import sigma
+
+    rule = """
+title: Click Burst
+detection:
+  sel_type:
+    event_type: click
+  sel_val:
+    props|contains: '"k": 9'
+  condition: sel_type and sel_val
+"""
+    ev = load(spark, sf, "events")
+    return sigma(ev, rule).select("event_id", "event_type", "props", "sigma_tag")
+
+SQL_SIGMA_RULE = """
+SELECT event_id, event_type, props, 'Click Burst' AS sigma_tag
+FROM events
+WHERE lower(event_type) = 'click' AND contains(lower(props), '"k": 9')
+"""
+
+
 def q_pseudonymize(spark, sf):
     """Prefix-preserving IP anonymization (pseudonymize.cpp analog) over
     synthesized IPs; keyed-PRF construction → rows-only check."""
@@ -1027,6 +1066,8 @@ REGISTRY: dict[str, tuple] = {
     "yield_nested": (q_yield_nested, SQL_YIELD),
     "multimodal_features": (q_multimodal_features, None),
     "pseudonymize_ip": (q_pseudonymize, None),
+    "where_tql": (q_where_tql, SQL_WHERE_TQL),
+    "sigma_rule": (q_sigma_rule, SQL_SIGMA_RULE),
     "frame_sampling": (q_frame_sampling, SQL_FRAME_SAMPLING),
 }
 
