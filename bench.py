@@ -70,19 +70,27 @@ def main() -> None:
         from tenzir_spark.cdc.changegen import generate_changes
         from tenzir_spark.cdc.runner import IngestRunner
 
-        n_events = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))
-        changes = f"/tmp/tenzir_spark_bench_changes_{n_events}"
-        wh = "/tmp/tenzir_spark_bench_wh"
+        n_events = int(os.environ.get("BENCH_CDC_EVENTS", "2000000"))
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+        changes = f"{base}/tenzir_spark_bench_changes_{n_events}"
+        wh = f"{base}/tenzir_spark_bench_wh"
         if not os.path.exists(os.path.join(changes, "manifest.json")):
             generate_changes(changes, n_events=n_events, n_docs=n_events // 10,
-                             n_parts=8, n_batches=10, seed=42)
+                             n_parts=2 * cores, n_batches=8, seed=42,
+                             token_len=(64, 256))
         if os.path.exists(wh):
             shutil.rmtree(wh)
-        runner = IngestRunner(spark, wh, n_buckets=64, salt_buckets=16)
+        runner = IngestRunner(spark, wh, n_buckets=64)
         stats = runner.run(changes)
         timings["cdc_ingest"] = round(stats["wall_sec"], 3)
         extra["cdc_events_per_sec"] = round(stats["events_per_sec"], 1)
         extra["cdc_events"] = stats["events_in"]
+        steady = stats["batch_stats"][1:]
+        if steady:
+            ev = sum(b["events_in"] for b in steady)
+            sec = sum(b["wall_ms"] for b in steady) / 1000
+            extra["cdc_steady_events_per_sec"] = round(ev / sec, 1) if sec else None
+        shutil.rmtree(wh, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     out = {
