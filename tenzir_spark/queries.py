@@ -520,7 +520,11 @@ FROM documents
 
 
 def q_minhash_pairs(spark, sf):
-    docs = load(spark, sf, "documents")
+    # the shingle+minhash stage does ~2000 md5s per doc: repartition the
+    # tiny test file so the compute spreads (a 100 TB input already has
+    # thousands of splits; this is a small-file artifact)
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     return dd.minhash_near_dup_pairs(docs, "doc_id", "text", k=5, num_hashes=16,
                                      bands=4, jaccard_threshold=0.5)
 
@@ -547,9 +551,14 @@ banded AS (
                  md5(sig[13] || ',' || sig[14] || ',' || sig[15] || ',' || sig[16])]) AS band
   FROM sig
 ),
+small AS (
+  SELECT banded.* FROM banded
+  JOIN (SELECT band FROM banded GROUP BY band HAVING count(*) <= 64) ok
+  USING (band)
+),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
-  FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id
+  FROM small a JOIN small b ON a.band = b.band AND a.id < b.id
 )
 SELECT id_a, id_b,
        round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
