@@ -71,11 +71,11 @@ def set_fields(df: DataFrame, fields: Mapping[str, Column]) -> DataFrame:
 
 
 def replace_fields(df: DataFrame, fields: Mapping[str, Column]) -> DataFrame:
-    """Overwrite existing fields only (replace.md)."""
-    missing = set(fields) - set(df.columns)
-    if missing:
-        raise ValueError(f"replace of non-existent fields {sorted(missing)}")
-    return df.withColumns(dict(fields))
+    """Overwrite existing fields only (replace.md:17-22); extractors that
+    match no field are ignored — the reference's multi-schema extractor
+    semantics, where an unmatched extractor simply doesn't bind."""
+    present = {k: v for k, v in fields.items() if k in df.columns}
+    return df.withColumns(present) if present else df
 
 
 def rename(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:

@@ -86,6 +86,33 @@ FROM events
 """
 
 
+def q_replace(spark, sf):
+    """`replace` — overwrite EXISTING fields only; unknown names ignored
+    (put_extend_replace_set.cpp shared impl)."""
+    ev = load(spark, sf, "events").select("event_id", "value", "event_type")
+    return ops.replace_fields(ev, {
+        "value": F.round(F.col("value") / 100, 4),
+        "not_a_column": F.lit(1),  # must be ignored
+    })
+
+SQL_REPLACE = """
+SELECT event_id, round(value / 100, 4) AS value, event_type FROM events
+"""
+
+
+def q_set_fields(spark, sf):
+    """`set` — upsert: overwrite existing + append new (set.md)."""
+    ev = load(spark, sf, "events").select("event_id", "value")
+    return ops.set_fields(ev, {
+        "value": F.round(F.col("value") / 100, 4),
+        "flag": F.col("value") > 50,
+    })
+
+SQL_SET = """
+SELECT event_id, round(value / 100, 4) AS value, value > 50 AS flag FROM events
+"""
+
+
 def q_rename(spark, sf):
     ev = load(spark, sf, "events").select("event_id", "event_type")
     return ops.rename(ev, {"id": "event_id", "kind": "event_type"})
@@ -1026,6 +1053,8 @@ REGISTRY: dict[str, tuple] = {
     "drop_fields": (q_drop, SQL_DROP),
     "put_computed": (q_put, SQL_PUT),
     "extend_fields": (q_extend, SQL_EXTEND),
+    "replace_fields": (q_replace, SQL_REPLACE),
+    "set_fields": (q_set_fields, SQL_SET),
     "rename_fields": (q_rename, SQL_RENAME),
     "head_n": (q_head, SQL_HEAD),
     "tail_n": (q_tail, SQL_TAIL),
