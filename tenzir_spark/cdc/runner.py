@@ -78,6 +78,7 @@ class IngestRunner:
         compact_min_rows: int = 2_000_000,
         compact_ratio: float = 0.5,
         compact_max_commits: int = 64,
+        async_compact: bool = False,
     ):
         self.spark = spark
         self.warehouse = warehouse
@@ -92,6 +93,12 @@ class IngestRunner:
         self.compact_min_rows = compact_min_rows
         self.compact_ratio = compact_ratio
         self.compact_max_commits = compact_max_commits
+        # async_compact overlaps the fold with subsequent batches (the lake
+        # layer's commit rebase makes this safe); ingest wall time then
+        # excludes the compaction spikes. Off by default for deterministic
+        # snapshot counts in tests.
+        self.async_compact = async_compact
+        self._compact_thread = None
 
     # ------------------------------------------------------------- helpers
     def ensure_table(self, payload_schema: T.StructType = BASE_PAYLOAD_SCHEMA) -> None:
@@ -122,7 +129,23 @@ class IngestRunner:
         threshold = max(self.compact_min_rows,
                         int(self.compact_ratio * p.get("base_rows", 0)))
         if p["delta_rows"] >= threshold or p["delta_commits"] >= self.compact_max_commits:
-            self.table.compact(self.spark)
+            if not self.async_compact:
+                self.table.compact(self.spark)
+                return
+            if self._compact_thread is not None and self._compact_thread.is_alive():
+                return  # one background fold at a time; debt retried next batch
+            import threading
+
+            self._compact_thread = threading.Thread(
+                target=self.table.compact, args=(self.spark,), daemon=True
+            )
+            self._compact_thread.start()
+
+    def finish_compaction(self) -> None:
+        """Wait for any background fold to complete (call at end of run)."""
+        if self._compact_thread is not None:
+            self._compact_thread.join()
+            self._compact_thread = None
 
     def watermarks(self) -> dict[str, int]:
         return dict(self.table.properties().get("watermarks", {}))
@@ -273,6 +296,7 @@ class IngestRunner:
             st = self.apply_batch(path, i)
             events += st["events_in"]
             batch_stats.append(st)
+        self.finish_compaction()
         wall = time.monotonic() - t0
         return {
             "batches": len(batch_stats),

@@ -86,12 +86,12 @@ def merge_batch(
     upserts = batch.filter(F.col(op_col) != delete_value).select(*payload_cols, BUCKET_COL)
     new_hot = survivors.unionByName(upserts)
 
-    version = table.current_version() + 1
-    new_files = table.write_commit_files(new_hot, version)
+    cid = table._alloc_commit_id()
+    new_files = table.write_commit_files(new_hot, cid)
 
     props = dict(snap.get("properties", {}))
     props.update(new_properties or {})
-    table.commit(cold_files + new_files, payload_schema, props)
+    version = table.commit(cold_files + new_files, payload_schema, props)
 
     n_deletes = batch.filter(F.col(op_col) == delete_value).count()
     batch.unpersist()

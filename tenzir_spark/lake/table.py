@@ -60,10 +60,31 @@ class LakeTable:
     """Single-writer ACID table. ``root = <warehouse>/<name>``."""
 
     def __init__(self, warehouse: str, name: str):
+        import threading
+
         self.root = os.path.join(warehouse, name)
         self.data_dir = os.path.join(self.root, "data")
         self.meta_dir = os.path.join(self.root, "_snapshots")
         self.head_path = os.path.join(self.meta_dir, "HEAD")
+        # guards manifest swaps + commit-id allocation when a background
+        # compaction thread overlaps the ingest thread (single process)
+        self._lock = threading.RLock()
+        self._next_cid: int | None = None
+
+    def _alloc_commit_id(self) -> int:
+        """Commit ids name data directories (``_commit=<id>``) and define
+        LWW ordering; they are allocated monotonically and independently of
+        snapshot versions so a background compaction and a foreground delta
+        commit can both write files concurrently without colliding."""
+        with self._lock:
+            if self._next_cid is None:
+                entries = self.snapshot()["files"]
+                self._next_cid = max(
+                    [e["commit"] for e in entries] + [self.current_version()]
+                ) + 1
+            cid = self._next_cid
+            self._next_cid += 1
+            return cid
 
     # ---------------------------------------------------------------- meta
     def exists(self) -> bool:
@@ -299,8 +320,8 @@ class LakeTable:
         churn of wide array columns is what kills local-mode GC).
         Returns (version, {"rows": n, "buckets": [...]}).
         """
-        version = self.current_version() + 1
-        commit_dir = os.path.join(self.data_dir, f"{COMMIT_COL}={version}")
+        cid = self._alloc_commit_id()
+        commit_dir = os.path.join(self.data_dir, f"{COMMIT_COL}={cid}")
         sel = [
             *[F.col(f.name).cast(f.dataType) for f in schema.fields],
             F.col(BUCKET_COL).cast("int"),
@@ -343,16 +364,16 @@ class LakeTable:
                 {
                     "path": os.path.relpath(full, self.root),
                     "kind": "delta",
-                    "commit": version,
+                    "commit": cid,
                     "buckets": sorted(fbuckets),
                     "rows": rows,
                 }
             )
-        snap = self.snapshot()
-        props = dict(snap.get("properties", {}))
-        props.update(properties)
-        v = self.commit(snap["files"] + entries, schema, props)
-        assert v == version
+        with self._lock:
+            snap = self.snapshot()
+            props = dict(snap.get("properties", {}))
+            props.update(properties)
+            v = self.commit(snap["files"] + entries, schema, props)
         return v, {"rows": total, "buckets": sorted(buckets)}
 
     def delta_pressure(self) -> dict:
@@ -368,12 +389,21 @@ class LakeTable:
         }
 
     def compact(self, spark: SparkSession) -> int | None:
-        """Fold ALL delta files into the base (Iceberg `rewrite_data_files`
-        analog): resolve LWW winners for the touched buckets, write them as
-        new bucket-partitioned base files, drop tombstones, carry cold base
-        files over as metadata. Amortized: cost ∝ hot-bucket data, runs
-        only when `delta_pressure` crosses the caller's policy."""
-        snap = self.snapshot()
+        """Fold the CURRENT delta files into the base (Iceberg
+        `rewrite_data_files` analog): resolve LWW winners for the touched
+        buckets, write them as new bucket-partitioned base files, drop
+        tombstones, carry cold base files over as metadata. Amortized:
+        cost ∝ hot-bucket data, runs only when `delta_pressure` crosses the
+        caller's policy.
+
+        Safe to run CONCURRENTLY with delta commits (background-compaction
+        mode): the heavy resolve+write works against a pinned snapshot
+        outside the lock; the final manifest swap REBASES — files committed
+        since the pinned snapshot (newer deltas) are carried over untouched,
+        and their higher commit ids still win LWW over the folded base."""
+        with self._lock:
+            snap = self.snapshot()
+            cid = self._alloc_commit_id()
         schema = T.StructType.fromJson(snap["schema"])
         base, deltas = self._split_entries(snap["files"])
         if not deltas:
@@ -385,18 +415,26 @@ class LakeTable:
         cold_base = [e for e in base if e["bucket"] not in hot]
         hot_base = [e for e in base if e["bucket"] in hot]
         resolved = self._resolve(spark, hot_base, deltas, schema, key)
-        version = self.current_version() + 1
         new_files = self.write_commit_files(
-            resolved.select(*[f.name for f in schema.fields], BUCKET_COL), version
+            resolved.select(*[f.name for f in schema.fields], BUCKET_COL), cid
         )
-        return self.commit(cold_base + new_files, schema, snap.get("properties", {}))
+        with self._lock:
+            head = self.snapshot()
+            pinned = {e["path"] for e in snap["files"]}
+            added_since = [e for e in head["files"] if e["path"] not in pinned]
+            return self.commit(
+                cold_base + new_files + added_since,
+                T.StructType.fromJson(head["schema"]),  # may have evolved
+                head.get("properties", {}),
+            )
 
     def append(self, df: DataFrame, key_col: str, properties: dict | None = None) -> int:
         """Append-only commit (no merge)."""
-        version = self.current_version() + 1
+        cid = self._alloc_commit_id()
         with_bucket = df.withColumn(BUCKET_COL, self.bucket_expr(key_col))
-        new_files = self.write_commit_files(with_bucket, version)
-        snap = self.snapshot()
-        props = dict(snap.get("properties", {}))
-        props.update(properties or {})
-        return self.commit(snap["files"] + new_files, T.StructType.fromJson(snap["schema"]), props)
+        new_files = self.write_commit_files(with_bucket, cid)
+        with self._lock:
+            snap = self.snapshot()
+            props = dict(snap.get("properties", {}))
+            props.update(properties or {})
+            return self.commit(snap["files"] + new_files, T.StructType.fromJson(snap["schema"]), props)

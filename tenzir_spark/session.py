@@ -18,19 +18,23 @@ def get_spark(
     shuffle_partitions: int | None = None,
     driver_memory: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     ``cores`` defaults to $SPARK_GRAFT_CPUS (driver contract) or 4.
     ``shuffle_partitions`` defaults to 2*cores — on a real cluster you would
     size this to total executor cores; AQE coalesces the excess at runtime.
+    ``master`` overrides local[cores] (e.g. ``spark://127.0.0.1:7077`` for a
+    multi-executor standalone cluster; ``cores`` then sizes shuffle
+    parallelism only).
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cores, 8)
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

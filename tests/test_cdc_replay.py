@@ -135,3 +135,12 @@ def test_mor_resolution_without_compaction(spark, changes_dir, oracle, tmp_path)
     r.run(changes_dir)
     assert r.table.delta_pressure()["delta_commits"] > 0
     assert_state_equal(_engine_state(r), oracle)
+
+
+def test_async_compaction_preserves_state(spark, changes_dir, oracle, tmp_path):
+    # background folds overlap subsequent batches; rebase keeps newer
+    # deltas; final state must still equal the oracle
+    r = IngestRunner(spark, str(tmp_path / "wh"), n_buckets=8,
+                     compact_min_rows=1, compact_ratio=0.0, async_compact=True)
+    r.run(changes_dir)
+    assert_state_equal(_engine_state(r), oracle)
