@@ -44,6 +44,10 @@ def main() -> None:
                    help="local-mode heap. Measured: oversizing (48g) is 3x "
                         "SLOWER than 8-12g here (G1 region sizing + cold "
                         "pages); don't throw memory at local mode")
+    p.add_argument("--async-compact", action="store_true",
+                   help="fold merge-on-read debt in a background thread "
+                        "(commit rebase keeps newer deltas); hides the "
+                        "compaction spikes from ingest wall time")
     p.add_argument("--local-dir", default=None,
                    help="spark.local.dir (shuffle spill). In local mode every "
                         "'executor' thread shares ONE disk — an artifact a real "
@@ -82,7 +86,8 @@ def main() -> None:
     spark = get_spark("tenzir_spark_ingest", cores=args.cores,
                       driver_memory=args.driver_mem, extra_conf=extra)
     runner = IngestRunner(
-        spark, args.warehouse, n_buckets=args.buckets, salt_buckets=args.salt
+        spark, args.warehouse, n_buckets=args.buckets, salt_buckets=args.salt,
+        async_compact=args.async_compact,
     )
     stats = runner.run(args.changes, start_batch=args.start_batch)
     for st in stats["batch_stats"]:

@@ -44,6 +44,8 @@ def run_one(cores: int, args) -> dict:
         "--local-dir", local,
         "--fresh",
     ]
+    if os.environ.get("SR_ASYNC", "") == "1":
+        cmd.append("--async-compact")
     out = subprocess.run(cmd, capture_output=True, text=True)
     batches = []
     for line in out.stderr.splitlines():

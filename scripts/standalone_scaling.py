@@ -72,7 +72,8 @@ def run_ingest(n_workers: int, changes: str) -> dict:
             "spark.local.dir": "/dev/shm/sa_local_driver",
         },
     )
-    runner = IngestRunner(spark, wh, n_buckets=64)
+    runner = IngestRunner(spark, wh, n_buckets=64,
+                          async_compact=os.environ.get("SA_ASYNC", "") == "1")
     stats = runner.run(changes)
     final_rows = runner.final_state().count()
     spark.stop()

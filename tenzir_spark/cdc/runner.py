@@ -136,16 +136,27 @@ class IngestRunner:
                 return  # one background fold at a time; debt retried next batch
             import threading
 
-            self._compact_thread = threading.Thread(
-                target=self.table.compact, args=(self.spark,), daemon=True
-            )
+            def _fold():
+                try:
+                    self.table.compact(self.spark)
+                except Exception as e:  # noqa: BLE001 - surfaced at join
+                    self._compact_error = e
+
+            self._compact_error = None
+            self._compact_thread = threading.Thread(target=_fold, daemon=True)
             self._compact_thread.start()
 
     def finish_compaction(self) -> None:
-        """Wait for any background fold to complete (call at end of run)."""
+        """Wait for any background fold to complete (call at end of run).
+        A failed fold is not a data error (deltas stay; resolution still
+        correct) but is surfaced so the operator sees the debt."""
         if self._compact_thread is not None:
             self._compact_thread.join()
             self._compact_thread = None
+            if getattr(self, "_compact_error", None) is not None:
+                import warnings
+
+                warnings.warn(f"background compaction failed: {self._compact_error!r}")
 
     def watermarks(self) -> dict[str, int]:
         return dict(self.table.properties().get("watermarks", {}))
