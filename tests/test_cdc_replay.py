@@ -144,3 +144,37 @@ def test_async_compaction_preserves_state(spark, changes_dir, oracle, tmp_path):
                      compact_min_rows=1, compact_ratio=0.0, async_compact=True)
     r.run(changes_dir)
     assert_state_equal(_engine_state(r), oracle)
+
+
+def test_crash_mid_commit_is_invisible(spark, changes_dir, oracle, tmp_path, monkeypatch):
+    """ACID: a crash AFTER delta files are written but BEFORE the manifest
+    swap leaves orphan files only — table state unchanged, and the retried
+    batch converges to the oracle (the reference's durability-ack chain,
+    rfc/002-fault-tolerance/README.md:116-127)."""
+    import glob
+
+    from tenzir_spark.lake.table import LakeTable
+
+    wh = str(tmp_path / "wh")
+    r = IngestRunner(spark, wh, n_buckets=8)
+    batches = sorted(glob.glob(os.path.join(changes_dir, "batch-*")))
+    r.ensure_table()
+    r.apply_batch(batches[0], 0)
+    v_before = r.table.current_version()
+
+    real_commit = LakeTable.commit
+
+    def exploding_commit(self, *a, **k):
+        raise RuntimeError("simulated crash before manifest swap")
+
+    monkeypatch.setattr(LakeTable, "commit", exploding_commit)
+    with pytest.raises(RuntimeError):
+        r.apply_batch(batches[1], 1)
+    monkeypatch.setattr(LakeTable, "commit", real_commit)
+
+    # crash left no visible change
+    assert r.table.current_version() == v_before
+    # retry the batch, then the rest — identical final state
+    for i, p in enumerate(batches[1:], start=1):
+        r.apply_batch(p, i)
+    assert_state_equal(_engine_state(r), oracle)
