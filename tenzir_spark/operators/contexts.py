@@ -111,3 +111,27 @@ class ContextStore:
         if isinstance(on, str) and on != key:
             ctx = ctx.withColumnRenamed(key, on)
         return enrich(df, ctx, on=on, filter=filter)
+
+    def lookup_live(self, stream_df: DataFrame, name: str, on: str) -> DataFrame:
+        """`lookup <ctx> --live` (lookup.md:23-40): filter the live feed to
+        context matches — a stream-static broadcast join; works on both
+        batch and readStream DataFrames."""
+        return self.apply(stream_df, name, on=on, filter=True)
+
+    def lookup_retro(self, table, name: str, on: str,
+                     since_version: int | None = None) -> DataFrame:
+        """`lookup <ctx> --retro`: when the context gains entries, query
+        HISTORICAL data for matches. ``since_version`` restricts the scan
+        to context entries added after that context version (the
+        translate-updates-into-retro-queries behavior); the storage scan
+        itself prunes via the lake manifest."""
+        ctx = self.inspect(name)
+        if since_version is not None:
+            old = self.inspect_at(name, since_version)
+            key = self._table(name).properties()["key"]
+            ctx = ctx.join(old.select(key), on=key, how="left_anti")
+        key = self._table(name).properties()["key"]
+        if on != key:
+            ctx = ctx.withColumnRenamed(key, on)
+        hist = table.read(self.spark)
+        return enrich(hist, ctx, on=on, filter=True)

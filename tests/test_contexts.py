@@ -55,3 +55,29 @@ def test_reset_delete_timetravel(spark, store):
     assert store.inspect_at("threats", v_full).count() == 2
     store.delete("threats")
     assert store.list() == []
+
+
+def test_lookup_live_and_retro(spark, store, tmp_path):
+    import pyspark.sql.types as T
+
+    from tenzir_spark.lake.table import LakeTable
+
+    store.create("threats", _ctx_rows(spark), key="ioc")
+    v0 = store._table("threats").current_version()
+
+    # --live: filter a feed to matches
+    feed = spark.createDataFrame([Row(src="1.2.3.4", n=1), Row(src="9.9.9.9", n=2)])
+    assert [r["src"] for r in store.lookup_live(feed, "threats", on="src").collect()] == ["1.2.3.4"]
+
+    # --retro: a context UPDATE triggers a historical query for NEW iocs only
+    hist = LakeTable(str(tmp_path), "hist")
+    schema = T.StructType([T.StructField("src", T.StringType()),
+                           T.StructField("n", T.LongType())])
+    hist.create(schema, n_buckets=2, key="src")
+    hist.append(spark.createDataFrame(
+        [Row(src="1.2.3.4", n=10), Row(src="7.7.7.7", n=11), Row(src="9.9.9.9", n=12)]), "src")
+
+    store.update("threats", spark.createDataFrame([Row(ioc="7.7.7.7", label="fresh")]))
+    got = store.lookup_retro(hist, "threats", on="src", since_version=v0).collect()
+    # only the NEWLY added ioc matches retro (1.2.3.4 was known before v0)
+    assert [(r["src"], r["label"]) for r in got] == [("7.7.7.7", "fresh")]
