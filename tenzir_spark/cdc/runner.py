@@ -187,24 +187,44 @@ class IngestRunner:
             wm_col = F.lit(None).cast("long")
         is_fresh = F.col("lsn") > F.coalesce(wm_col, F.lit(-1))
 
-        # -- one pass over the raw batch for lineage counts + watermarks
-        pre = (
-            raw.groupBy("part_id")
-            .agg(
-                F.count("*").alias("events_in"),
-                F.count(F.when(is_fresh, 1)).alias("fresh"),
-                F.count_distinct(F.when(is_fresh, F.col("lsn"))).alias("fresh_unique"),
-                F.max(F.when(is_fresh, F.col("lsn"))).alias("wmax"),
-            )
-            .collect()
-        )
-        fresh_total = sum(r["fresh"] for r in pre)
+        # -- lineage counts + watermarks: a slim column-pruned pass, run in
+        # a SIDE THREAD so it overlaps the heavy collapse+write job (its
+        # result is only needed at the manifest swap, via the deferred
+        # properties callable below)
+        import threading
 
-        new_wm = dict(wm)
-        for r in pre:
-            if r["wmax"] is not None:
-                k = str(int(r["part_id"]))
-                new_wm[k] = max(int(new_wm.get(k, -1)), int(r["wmax"]))
+        stats_box: dict = {}
+
+        def _stats_job():
+            try:
+                stats_box["pre"] = (
+                    raw.groupBy("part_id")
+                    .agg(
+                        F.count("*").alias("events_in"),
+                        F.count(F.when(is_fresh, 1)).alias("fresh"),
+                        F.count_distinct(F.when(is_fresh, F.col("lsn"))).alias("fresh_unique"),
+                        F.max(F.when(is_fresh, F.col("lsn"))).alias("wmax"),
+                    )
+                    .collect()
+                )
+            except Exception as e:  # noqa: BLE001 - re-raised at join
+                stats_box["error"] = e
+
+        stats_thread = threading.Thread(target=_stats_job, daemon=True)
+        stats_thread.start()
+
+        def _stats():
+            stats_thread.join()
+            if "error" in stats_box:
+                raise stats_box["error"]
+            if "new_wm" not in stats_box:
+                new_wm = dict(wm)
+                for r in stats_box["pre"]:
+                    if r["wmax"] is not None:
+                        k = str(int(r["part_id"]))
+                        new_wm[k] = max(int(new_wm.get(k, -1)), int(r["wmax"]))
+                stats_box["new_wm"] = new_wm
+            return stats_box
 
         # -- schema reconciliation (added columns)
         table_schema = self.table.schema()
@@ -216,37 +236,46 @@ class IngestRunner:
             else table_schema
         )
 
-        applied_by_part: dict[int, int] = {}
-        n_keys = 0
-        if fresh_total > 0 or new_fields:
-            data = raw.filter(is_fresh & (F.col("op") != "schema_change") & F.col(self.key).isNotNull())
-            collapsed = collapse_lww(data, key=self.key, order="lsn",
-                                     salt_buckets=self.salt_buckets)
-            # merge-on-read delta: payload aligned to the (possibly evolved)
-            # schema + bucket + tombstone flag + source-partition lineage.
-            # ONE Spark job (collapse→write); rows/buckets/lineage come from
-            # the written parquet footers — no cache of wide token arrays
-            # (caching them thrashes GC under high task concurrency).
-            delta = collapsed.select(
-                *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    if f.name in collapsed.columns
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in evolved.fields
-                ],
-                (F.col("op") == "delete").alias(DELETED_COL),
-                F.col("part_id").alias(PART_COL),
-            ).withColumn(BUCKET_COL, self.table.bucket_expr(self.key))
-            props = {"watermarks": new_wm, "last_batch_id": batch_id}
-            version, dstats = self.table.delta_commit(
-                delta, schema=evolved, properties=props,
-            )
-            n_keys = dstats["rows"]
-            applied_by_part = self._lineage_from_commit(version)
-            self._maybe_compact()
-        # else: the whole batch was already applied (pure redelivery) —
-        # watermarks can't have advanced, so skip the commit entirely.
+        data = raw.filter(is_fresh & (F.col("op") != "schema_change") & F.col(self.key).isNotNull())
+        collapsed = collapse_lww(data, key=self.key, order="lsn",
+                                 salt_buckets=self.salt_buckets)
+        # merge-on-read delta: payload aligned to the (possibly evolved)
+        # schema + bucket + tombstone flag + source-partition lineage.
+        # ONE Spark job (collapse→write); rows/buckets/lineage come from
+        # the written parquet footers — no cache of wide token arrays
+        # (caching them thrashes GC under high task concurrency).
+        delta = collapsed.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in collapsed.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in evolved.fields
+            ],
+            (F.col("op") == "delete").alias(DELETED_COL),
+            F.col("part_id").alias(PART_COL),
+        ).withColumn(BUCKET_COL, self.table.bucket_expr(self.key))
 
+        def _props():
+            s = _stats()
+            if s["new_wm"] == wm:
+                return {}  # pure redelivery: no progress to record
+            return {"watermarks": s["new_wm"], "last_batch_id": batch_id}
+
+        # pure redelivery nets out to a no-op: empty delta + unchanged
+        # watermarks/schema → delta_commit aborts without a snapshot
+        version, dstats = self.table.delta_commit(
+            delta, schema=evolved, properties=_props, allow_noop_abort=True,
+        )
+        n_keys = dstats["rows"]
+        applied_by_part = (
+            self._lineage_from_commit(version) if version is not None else {}
+        )
+        if version is not None:
+            self._maybe_compact()
+
+        s = _stats()
+        pre, new_wm = s["pre"], s["new_wm"]
+        fresh_total = sum(r["fresh"] for r in pre)
         wall_ms = int((time.monotonic() - t0) * 1000)
         metrics = [
             (

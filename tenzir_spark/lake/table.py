@@ -306,8 +306,9 @@ class LakeTable:
         df: DataFrame,
         *,
         schema: T.StructType,
-        properties: dict,
-    ) -> tuple[int, dict]:
+        properties,
+        allow_noop_abort: bool = False,
+    ) -> tuple[int | None, dict]:
         """Merge-on-read fast path: append the collapsed batch (payload +
         ``_bucket`` + ``_deleted``, exactly one row per key) as flat delta
         files — O(batch) I/O regardless of table size. Watermarks travel in
@@ -319,6 +320,13 @@ class LakeTable:
         Spark job over the batch and no caching of token payloads (cache
         churn of wide array columns is what kills local-mode GC).
         Returns (version, {"rows": n, "buckets": [...]}).
+
+        ``properties`` may be a CALLABLE evaluated only at the manifest
+        swap — lets the caller overlap a side computation (e.g. the
+        watermark stats job) with the heavy write. With
+        ``allow_noop_abort``, a commit that would change nothing (zero
+        rows, identical schema and properties) is aborted: files removed,
+        no snapshot — this is what keeps pure redelivery invisible.
         """
         cid = self._alloc_commit_id()
         commit_dir = os.path.join(self.data_dir, f"{COMMIT_COL}={cid}")
@@ -369,10 +377,24 @@ class LakeTable:
                     "rows": rows,
                 }
             )
+        new_props = properties() if callable(properties) else properties
+        if total == 0:
+            # empty delta: drop the files; commit only if schema/props moved
+            import shutil
+
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            entries = []
         with self._lock:
             snap = self.snapshot()
             props = dict(snap.get("properties", {}))
-            props.update(properties)
+            props.update(new_props)
+            if (
+                allow_noop_abort
+                and not entries
+                and props == snap.get("properties", {})
+                and schema.jsonValue() == snap["schema"]
+            ):
+                return None, {"rows": 0, "buckets": []}
             v = self.commit(snap["files"] + entries, schema, props)
         return v, {"rows": total, "buckets": sorted(buckets)}
 
