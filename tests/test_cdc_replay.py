@@ -178,3 +178,35 @@ def test_crash_mid_commit_is_invisible(spark, changes_dir, oracle, tmp_path, mon
     for i, p in enumerate(batches[1:], start=1):
         r.apply_batch(p, i)
     assert_state_equal(_engine_state(r), oracle)
+
+
+def test_rebatching_invariance(spark, tmp_path):
+    """The SAME logical log delivered as 1, 3, or 8 micro-batches must
+    produce the identical final table (micro-batch boundaries are an
+    operational artifact, not a semantic one)."""
+    states = []
+    for nb in (1, 3, 8):
+        d = str(tmp_path / f"chg_{nb}")
+        generate_changes(d, n_events=6_000, n_docs=700, n_parts=4,
+                         n_batches=nb, hot_doc_count=3, hot_frac=0.2)
+        r = IngestRunner(spark, str(tmp_path / f"wh_{nb}"), n_buckets=8)
+        r.run(d)
+        states.append(_engine_state(r))
+    assert_state_equal(states[0], states[1])
+    assert_state_equal(states[0], states[2])
+
+
+def test_extreme_hot_key_skew(spark, tmp_path):
+    """60% of all events hitting ONE doc (pathological skew): algebraic
+    partial aggregation must keep the collapse correct; result equals the
+    oracle; salted variant agrees."""
+    d = str(tmp_path / "chg_skew")
+    generate_changes(d, n_events=10_000, n_docs=500, n_parts=4, n_batches=4,
+                     hot_doc_count=1, hot_frac=0.6)
+    oracle = naive_replay(d)
+    r1 = IngestRunner(spark, str(tmp_path / "wh_plain"), n_buckets=8)
+    r1.run(d)
+    assert_state_equal(_engine_state(r1), oracle)
+    r2 = IngestRunner(spark, str(tmp_path / "wh_salt"), n_buckets=8, salt_buckets=16)
+    r2.run(d)
+    assert_state_equal(_engine_state(r2), oracle)
