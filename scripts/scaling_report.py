@@ -74,6 +74,15 @@ def main() -> None:
     p.add_argument("--cores", default="8,32")
     args = p.parse_args()
 
+    if not os.path.exists(os.path.join(args.changes, "manifest.json")):
+        sys.path.insert(0, ROOT)
+        from tenzir_spark.cdc.changegen import generate_changes
+
+        print(f"generating {args.events} events at {args.changes} ...", file=sys.stderr)
+        generate_changes(args.changes, n_events=args.events, n_docs=args.docs,
+                         n_parts=args.parts, n_batches=args.batches, seed=42,
+                         token_len=(64, 256))
+
     results = {}
     for c in [int(x) for x in args.cores.split(",")]:
         results[c] = run_one(c, args)

@@ -100,6 +100,13 @@ def main() -> None:
     p.add_argument("--workers", default="1,4")
     args = p.parse_args()
 
+    if not os.path.exists(os.path.join(args.changes, "manifest.json")):
+        from tenzir_spark.cdc.changegen import generate_changes
+
+        print(f"generating input at {args.changes} ...", file=sys.stderr)
+        generate_changes(args.changes, n_events=16_000_000, n_docs=1_600_000,
+                         n_parts=32, n_batches=16, seed=42, token_len=(64, 256))
+
     results = {}
     for n in [int(x) for x in args.workers.split(",")]:
         stop_cluster(n)
