@@ -79,6 +79,7 @@ class IngestRunner:
         compact_ratio: float = 0.5,
         compact_max_commits: int = 64,
         async_compact: bool = False,
+        collapse_mode: str = "maxby",
     ):
         self.spark = spark
         self.warehouse = warehouse
@@ -99,6 +100,10 @@ class IngestRunner:
         # snapshot counts in tests.
         self.async_compact = async_compact
         self._compact_thread = None
+        # "maxby" (algebraic partial-agg; default) or "semijoin" (payload
+        # never shuffles; needs file-backed input for _metadata row ids and
+        # a broadcastable winner set — see collapse.py for the trade-off)
+        self.collapse_mode = collapse_mode
 
     # ------------------------------------------------------------- helpers
     def ensure_table(self, payload_schema: T.StructType = BASE_PAYLOAD_SCHEMA) -> None:
@@ -237,8 +242,13 @@ class IngestRunner:
         )
 
         data = raw.filter(is_fresh & (F.col("op") != "schema_change") & F.col(self.key).isNotNull())
-        collapsed = collapse_lww(data, key=self.key, order="lsn",
-                                 salt_buckets=self.salt_buckets)
+        if self.collapse_mode == "semijoin":
+            from tenzir_spark.cdc.collapse import collapse_lww_semijoin
+
+            collapsed = collapse_lww_semijoin(data, key=self.key, order="lsn")
+        else:
+            collapsed = collapse_lww(data, key=self.key, order="lsn",
+                                     salt_buckets=self.salt_buckets)
         # merge-on-read delta: payload aligned to the (possibly evolved)
         # schema + bucket + tombstone flag + source-partition lineage.
         # ONE Spark job (collapse→write); rows/buckets/lineage come from

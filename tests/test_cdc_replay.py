@@ -210,3 +210,10 @@ def test_extreme_hot_key_skew(spark, tmp_path):
     r2 = IngestRunner(spark, str(tmp_path / "wh_salt"), n_buckets=8, salt_buckets=16)
     r2.run(d)
     assert_state_equal(_engine_state(r2), oracle)
+
+
+def test_semijoin_collapse_mode_matches_oracle(spark, changes_dir, oracle, tmp_path):
+    r = IngestRunner(spark, str(tmp_path / "wh"), n_buckets=8,
+                     collapse_mode="semijoin")
+    r.run(changes_dir)
+    assert_state_equal(_engine_state(r), oracle)
