@@ -53,10 +53,17 @@ def collapse_lww_semijoin(
          with ZERO exchange.
 
     Dedup of exact redeliveries (same lsn twice) falls out: one row
-    identity survives per key. Requires the winner set to fit a broadcast
-    (≲5M keys/batch); the runner falls back to the algebraic path above
-    that bound. Measured (1M-event, 160-token batches, local[32], tmpfs):
-    ~35% less wall and ~2× less memory traffic than struct max_by."""
+    identity survives per key. The winner set must fit a broadcast for the
+    payload to stay exchange-free; rather than FORCING the broadcast (an
+    oversized winner set would OOM the driver), the join is left unhinted
+    and AQE converts it to a broadcast join at runtime from the actual
+    shuffle size of the winners side — small batches get the broadcast
+    plan, a pathological batch degrades to a (correct, payload-shuffling)
+    hash join instead of failing. session.py raises
+    ``spark.sql.adaptive.autoBroadcastJoinThreshold`` so typical winner
+    sets (tens of MB of (file, row) pairs) still convert. Measured
+    (1M-event, 160-token batches, local[32], tmpfs): ~35% less wall and
+    ~2× less memory traffic than struct max_by."""
     ident = [F.col("_metadata.file_path").alias("_fp"),
              F.col("_metadata.row_index").alias("_ri")]
     slim = batch.select(F.col(key).alias("_k"), F.col(order).alias("_o"), *ident)
@@ -67,7 +74,7 @@ def collapse_lww_semijoin(
     )
     full = batch.select("*", *ident)
     return (
-        full.join(F.broadcast(winners), on=["_fp", "_ri"], how="left_semi")
+        full.join(winners, on=["_fp", "_ri"], how="left_semi")
         .drop("_fp", "_ri")
     )
 

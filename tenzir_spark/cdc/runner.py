@@ -111,15 +111,18 @@ class IngestRunner:
             self.table.create(payload_schema, n_buckets=self.n_buckets, key=self.key,
                               properties={"watermarks": {}, "last_batch_id": -1})
 
-    def _lineage_from_commit(self, version: int) -> dict[int, int]:
+    def _lineage_from_commit(self, cid: int) -> dict[int, int]:
         """Per-source-partition applied counts, read from the delta files'
-        ``_part`` lineage column via pyarrow (driver-local, no Spark job)."""
+        ``_part`` lineage column via pyarrow (driver-local, no Spark job).
+        Matches on the data-commit id delta_commit reports — NOT the
+        snapshot version: the two counters diverge permanently after any
+        aborted commit (noop-abort redelivery, empty compaction)."""
         import numpy as np
         import pyarrow.parquet as pq
 
         counts: dict[int, int] = {}
         for e in self.table.snapshot()["files"]:
-            if e.get("kind") == "delta" and e["commit"] == version:
+            if e.get("kind") == "delta" and e["commit"] == cid:
                 col = pq.read_table(
                     os.path.join(self.table.root, e["path"]), columns=[PART_COL]
                 )[PART_COL].to_numpy(zero_copy_only=False)
@@ -278,7 +281,7 @@ class IngestRunner:
         )
         n_keys = dstats["rows"]
         applied_by_part = (
-            self._lineage_from_commit(version) if version is not None else {}
+            self._lineage_from_commit(dstats["cid"]) if version is not None else {}
         )
         if version is not None:
             self._maybe_compact()

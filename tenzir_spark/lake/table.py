@@ -70,6 +70,12 @@ class LakeTable:
         # compaction thread overlaps the ingest thread (single process)
         self._lock = threading.RLock()
         self._next_cid: int | None = None
+        # delta cids allocated but not yet published (manifest not swapped).
+        # compact() consults this set: a delta whose cid is LOWER than the
+        # fold's cid but which publishes after the fold pinned its snapshot
+        # would lose LWW to the folded base (lost update / tombstone
+        # resurrection) — the fold aborts instead.
+        self._inflight_deltas: set[int] = set()
 
     def _alloc_commit_id(self) -> int:
         """Commit ids name data directories (``_commit=<id>``) and define
@@ -327,8 +333,34 @@ class LakeTable:
         ``allow_noop_abort``, a commit that would change nothing (zero
         rows, identical schema and properties) is aborted: files removed,
         no snapshot — this is what keeps pure redelivery invisible.
+
+        Returns (version, {"rows": n, "buckets": [...], "cid": cid}).
+        ``cid`` is the data-commit id actually written into the manifest
+        entries — callers that need per-commit lineage must match on it,
+        NOT on the snapshot version (the two counters diverge as soon as
+        any commit aborts).
         """
-        cid = self._alloc_commit_id()
+        with self._lock:
+            cid = self._alloc_commit_id()
+            self._inflight_deltas.add(cid)
+        try:
+            return self._delta_commit_inner(
+                df, cid, schema=schema, properties=properties,
+                allow_noop_abort=allow_noop_abort,
+            )
+        finally:
+            with self._lock:
+                self._inflight_deltas.discard(cid)
+
+    def _delta_commit_inner(
+        self,
+        df: DataFrame,
+        cid: int,
+        *,
+        schema: T.StructType,
+        properties,
+        allow_noop_abort: bool,
+    ) -> tuple[int | None, dict]:
         commit_dir = os.path.join(self.data_dir, f"{COMMIT_COL}={cid}")
         sel = [
             *[F.col(f.name).cast(f.dataType) for f in schema.fields],
@@ -394,9 +426,9 @@ class LakeTable:
                 and props == snap.get("properties", {})
                 and schema.jsonValue() == snap["schema"]
             ):
-                return None, {"rows": 0, "buckets": []}
+                return None, {"rows": 0, "buckets": [], "cid": cid}
             v = self.commit(snap["files"] + entries, schema, props)
-        return v, {"rows": total, "buckets": sorted(buckets)}
+        return v, {"rows": total, "buckets": sorted(buckets), "cid": cid}
 
     def delta_pressure(self) -> dict:
         """How much merge-on-read debt has accumulated (compaction policy
@@ -422,7 +454,17 @@ class LakeTable:
         mode): the heavy resolve+write works against a pinned snapshot
         outside the lock; the final manifest swap REBASES — files committed
         since the pinned snapshot (newer deltas) are carried over untouched,
-        and their higher commit ids still win LWW over the folded base."""
+        and their higher commit ids still win LWW over the folded base.
+
+        The rebase is only sound for deltas whose cid is HIGHER than the
+        fold's: a delta that allocated its cid before the fold did but
+        published its files during the fold window would lose LWW to the
+        folded base and be silently dropped (lost update / tombstone
+        resurrection). At the swap we therefore ABORT the fold — delete
+        the new base files, keep the old deltas — if any rebased entry, or
+        any still-in-flight delta, carries a cid below the fold's. The
+        debt stays and the next compaction retries; correctness is never
+        traded for the fold."""
         with self._lock:
             snap = self.snapshot()
             cid = self._alloc_commit_id()
@@ -444,6 +486,17 @@ class LakeTable:
             head = self.snapshot()
             pinned = {e["path"] for e in snap["files"]}
             added_since = [e for e in head["files"] if e["path"] not in pinned]
+            stale = any(e["commit"] < cid for e in added_since) or any(
+                c < cid for c in self._inflight_deltas
+            )
+            if stale:
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(self.data_dir, f"{COMMIT_COL}={cid}"),
+                    ignore_errors=True,
+                )
+                return None
             return self.commit(
                 cold_base + new_files + added_since,
                 T.StructType.fromJson(head["schema"]),  # may have evolved

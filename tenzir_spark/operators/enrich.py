@@ -60,18 +60,27 @@ class BloomFilter:
 
     @staticmethod
     def _h12(values) -> tuple:
-        """Vectorized dual hash: pandas hash_array (siphash, C impl) with
-        two fixed keys — deterministic across processes, no per-row
-        Python."""
+        """Vectorized dual hash, deterministic across processes, no per-row
+        Python. ``hash_array``'s ``hash_key`` is ignored for numeric
+        arrays, so h2 cannot come from a second keyed call (it would
+        degenerate to h1|1 and correlate every probe); instead h2 is an
+        independent xorshift-multiply remix of h1 — the standard finalizer
+        trick for deriving a second hash from one 64-bit state."""
         import numpy as np
         from pandas.util import hash_array
 
         arr = np.asarray(values)
         if arr.dtype == object:
             arr = arr.astype(str).astype(object)
-        h1 = hash_array(arr, hash_key="tenzirsparkbl00A")  # exactly 16 bytes
-        h2 = hash_array(arr, hash_key="tenzirsparkbl00B") | np.uint64(1)
-        return h1.astype(np.uint64), h2.astype(np.uint64)
+        h1 = hash_array(arr, hash_key="tenzirsparkbl00A").astype(np.uint64)
+        x = h1 ^ np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        h2 = x | np.uint64(1)
+        return h1, h2
 
     def add_many(self, values) -> None:
         import numpy as np
@@ -96,14 +105,16 @@ class BloomFilter:
         return out
 
 
-def bloom_filter_context(df: DataFrame, col: str, expected: int = 1_000_000,
+def bloom_filter_context(df: DataFrame, col: str, expected: int | None = None,
                          fpp: float = 0.01) -> BloomFilter:
     """Build a Bloom filter context over a column. The context table is
     broadcast-small by definition (the reference ships whole contexts to
     every node, plugin.hpp:660-727), so a driver-side collect of the key
-    column is the same data movement."""
-    bf = BloomFilter(expected, fpp)
+    column is the same data movement. ``expected`` defaults to the actual
+    key count, so the advertised fpp holds regardless of caller guesses;
+    pass it explicitly only to pre-size for future updates."""
     keys = [r[0] for r in df.select(col).filter(F.col(col).isNotNull()).collect()]
+    bf = BloomFilter(expected if expected is not None else max(len(keys), 64), fpp)
     bf.add_many(keys)
     return bf
 

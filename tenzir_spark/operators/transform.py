@@ -72,12 +72,23 @@ def pseudonymize_ip(df: DataFrame, field: str, seed: str = "tenzir",
 
     Vectorization: 32 hash_array calls over the whole batch (one per bit),
     zero per-row Python.
+
+    Keying: ``hash_array``'s ``hash_key`` is IGNORED for numeric arrays
+    (pandas hashes ints with an unkeyed splitmix-style mix), so the seed
+    must enter through the VALUE domain — a 64-bit digest of the seed is
+    XOR-mixed into every (prefix, bit) input before hashing. Different
+    seeds therefore produce different mappings, and inverting the map
+    requires the seed, which is the Crypto-PAn-style guarantee claimed.
     """
+    import hashlib
+
     import numpy as np
     from pandas.util import hash_array
     from pyspark.sql import types as T
 
-    key = (seed + "0123456789abcdef")[:16]
+    seed64 = np.uint64(
+        int.from_bytes(hashlib.sha256(seed.encode()).digest()[:8], "big")
+    )
 
     @F.pandas_udf(T.StringType())
     def _anon(s: pd.Series) -> pd.Series:
@@ -90,8 +101,8 @@ def pseudonymize_ip(df: DataFrame, field: str, seed: str = "tenzir",
         for bit in range(32):
             # PRF of the (bit)-bit prefix decides the flip of bit `bit`
             prefix = (ip >> np.uint32(32 - bit)).astype(np.uint64) if bit else np.zeros(len(s), dtype=np.uint64)
-            # mix the bit index into the hashed value domain
-            h = hash_array((prefix << np.uint64(6)) | np.uint64(bit), hash_key=key)
+            # mix the bit index AND the seed digest into the hashed domain
+            h = hash_array(((prefix << np.uint64(6)) | np.uint64(bit)) ^ seed64)
             flip = (h & np.uint64(1)).astype(np.uint32)
             orig = (ip >> np.uint32(31 - bit)) & np.uint32(1)
             outv = (outv << np.uint32(1)) | (orig ^ flip)

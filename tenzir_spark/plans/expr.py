@@ -385,8 +385,11 @@ def _compile_pred(pred: Pred, schema: T.StructType) -> Column:
     )
     if not fields:
         # unresolved extractor: the reference skips schemas with no match →
-        # predicate is false for every row of this schema
-        return F.lit(False) if pred.op != "!=" else F.lit(False)
+        # the predicate is false for every row of this schema, for EVERY
+        # operator including '!=' (an unmatched extractor never binds, so
+        # `x != 5` does not fire either; `!(x == 5)` — a Not around the
+        # predicate — still negates to true, matching reference semantics)
+        return F.lit(False)
     cols = [_one_pred(p, dt, op, rhs) for p, dt in fields]
     out = cols[0]
     for c in cols[1:]:

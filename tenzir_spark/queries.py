@@ -624,10 +624,91 @@ WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id
 """
 
 
-# ---- rows-only (non-SQL-expressible: vectorized UDFs / seeded LSH planes)
-
 def q_simhash(spark, sf):
+    """SimHash is md5 bit-votes — fully DuckDB-expressible, so it gets a
+    value-exact oracle (the 32 per-bit vote sums are generated on both
+    sides from the same formula)."""
     return dd.simhash32(load(spark, sf, "documents"), "doc_id", "text", k=5)
+
+# the oracle replays the exact construction: distinct 5-char shingles,
+# h = first 8 hex chars of md5 as uint32, ±1 vote per bit, fp = Σ 2^i
+# over positive votes (dedup.py:simhash32)
+_SIMHASH_VOTES = ",\n".join(
+    f"         sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(32)
+)
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(32)
+)
+SQL_SIMHASH = f"""
+WITH sh AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct([substring(text, CAST(i AS INT), 5)
+                               for i in range(1, greatest(length(text) - 4, 1) + 1)])) AS s
+  FROM documents
+),
+h AS (
+  SELECT id, ('0x' || substring(md5(s), 1, 8))::BIGINT AS h FROM sh
+),
+v AS (
+  SELECT id,
+{_SIMHASH_VOTES}
+  FROM h GROUP BY id
+)
+SELECT id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM v
+"""
+
+
+def q_median_exact(spark, sf):
+    """Exact `median` twin of approximate_median (approximate_median.cpp:
+    42-67) — value-exact against DuckDB's median; the percentile_approx
+    sketch stays registered rows-only alongside."""
+    ev = load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.median("value"), 4).alias("median_v"),
+        F.round(F.percentile("value", F.lit(0.25)), 4).alias("p25_v"),
+        F.round(F.percentile("value", F.lit(0.75)), 4).alias("p75_v"),
+    )
+
+SQL_MEDIAN_EXACT = """
+SELECT event_type,
+       round(median(value), 4) AS median_v,
+       round(quantile_cont(value, 0.25), 4) AS p25_v,
+       round(quantile_cont(value, 0.75), 4) AS p75_v
+FROM events GROUP BY event_type
+"""
+
+
+def q_parse_kv(spark, sf):
+    """`read kv` (kv.cpp) — key=value pairs split into a map, probed by
+    key; map cells don't canonicalize, so the oracle compares extracted
+    columns."""
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 2000)
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("type="), F.col("event_type"),
+            F.lit(" user="), F.col("user_id"),
+            F.lit(" cents="), F.round(F.col("value") * 100).cast("long"),
+        ).alias("line"),
+    )
+    kv = tf.parse_kv_field(lines, "line")
+    return kv.select(
+        "event_id",
+        F.col("line_kv")["type"].alias("kv_type"),
+        F.col("line_kv")["user"].alias("kv_user"),
+        F.col("line_kv")["cents"].alias("kv_cents"),
+    )
+
+SQL_PARSE_KV = """
+SELECT event_id, event_type AS kv_type,
+       CAST(user_id AS VARCHAR) AS kv_user,
+       CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS kv_cents
+FROM events WHERE event_id < 2000
+"""
+
+
+# ---- rows-only (non-SQL-expressible: vectorized UDFs / seeded LSH planes)
 
 
 def q_ann_lsh(spark, sf):
@@ -638,7 +719,9 @@ def q_ann_lsh(spark, sf):
 
 def q_token_fingerprint(spark, sf):
     """Vectorized pandas-UDF token fingerprints over synthetic token arrays
-    derived from document words (the corpus-table invariant checker)."""
+    derived from document words (the corpus-table invariant checker). The
+    minhash signature is serialized to CSV — the driver's canonicalizer
+    cannot sort cells holding arrays."""
     from tenzir_spark.functions.tokens import tokens_fingerprint, token_minhash_8
 
     docs = load(spark, sf, "documents")
@@ -652,7 +735,11 @@ def q_token_fingerprint(spark, sf):
     return toks.select(
         "doc_id",
         tokens_fingerprint(F.col("tokens")).alias("fp"),
-        token_minhash_8(F.col("tokens")).alias("minhash"),
+        F.array_join(
+            F.transform(token_minhash_8(F.col("tokens")),
+                        lambda x: x.cast("string")),
+            ",",
+        ).alias("minhash_csv"),
     )
 
 
@@ -834,21 +921,29 @@ def q_collect_sample(spark, sf):
     """`collect` (list of non-null values) and `sample` (first non-null —
     made deterministic as the value at the lowest event_id, matching
     aggregation-functions/{collect,sample}.cpp semantics under defined
-    order)."""
+    order). The collected list is serialized to CSV because the driver's
+    canonicalizer sorts DataFrame cells — array cells are unhashable
+    there; the serialization is mirrored in the oracle, so the check stays
+    value-exact."""
     ev = load(spark, sf, "events")
     cents = F.round(F.col("value") * 100).cast("long")
     return (
         ev.withColumn("cents", cents)
         .groupBy((F.col("user_id") % 10).alias("user_bucket"))
         .agg(
-            F.sort_array(F.collect_list("cents")).alias("collected"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("cents")),
+                            lambda x: x.cast("string")),
+                ",",
+            ).alias("collected_csv"),
             F.min_by("cents", "event_id").alias("sampled"),
         )
     )
 
 SQL_COLLECT_SAMPLE = """
 SELECT user_id % 10 AS user_bucket,
-       list_sort(list(CAST(round(value * 100) AS BIGINT))) AS collected,
+       array_to_string(list_sort(list(CAST(round(value * 100) AS BIGINT))), ',')
+         AS collected_csv,
        arg_min(CAST(round(value * 100) AS BIGINT), event_id) AS sampled
 FROM events GROUP BY user_id % 10
 """
@@ -1020,7 +1115,16 @@ def q_multimodal_features(spark, sf):
         F.lit(None).cast("int").alias("height"),
         (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
     )
-    return extract_features(media)
+    out = extract_features(media)
+    # serialize the feature vector — array cells break the driver's
+    # rows-only canonicalizer (pandas sort of list cells)
+    return out.select(
+        "media_id", "kind", "n_bytes",
+        F.array_join(
+            F.transform(F.col("feat"), lambda x: F.round(x, 4).cast("string")),
+            ",",
+        ).alias("feat_csv"),
+    )
 
 
 def q_frame_sampling(spark, sf):
@@ -1087,7 +1191,9 @@ REGISTRY: dict[str, tuple] = {
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
     "cosine_near_dup": (q_cosine_pairs, SQL_COSINE_PAIRS),
-    "simhash_fingerprint": (q_simhash, None),
+    "simhash_fingerprint": (q_simhash, SQL_SIMHASH),
+    "median_exact": (q_median_exact, SQL_MEDIAN_EXACT),
+    "parse_kv": (q_parse_kv, SQL_PARSE_KV),
     "ann_lsh_topk": (q_ann_lsh, None),
     "token_fingerprint_udf": (q_token_fingerprint, None),
     "parse_syslog3164": (q_parse_syslog, SQL_PARSE_SYSLOG),

@@ -46,6 +46,13 @@ def get_spark(
         # the full batch including token arrays. A micro-batch map task sees
         # ≤ ~100k distinct keys ≈ tens of MB of entries — keep it hashing.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+        # semijoin-mode LWW collapse leaves its winner-set join UNhinted and
+        # relies on AQE's runtime conversion: typical winner sets (a few
+        # hundred MB of (file_path, row_index) pairs per 10^6-key batch)
+        # must still convert to broadcast for the payload to stay
+        # exchange-free, while a pathological batch degrades to a hash join
+        # instead of OOMing the driver (the fallback ADVICE asked for)
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")

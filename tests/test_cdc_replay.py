@@ -217,3 +217,21 @@ def test_semijoin_collapse_mode_matches_oracle(spark, changes_dir, oracle, tmp_p
                      collapse_mode="semijoin")
     r.run(changes_dir)
     assert_state_equal(_engine_state(r), oracle)
+
+
+def test_lineage_survives_cid_version_divergence(spark, changes_dir, tmp_path):
+    """A noop-aborted redelivery burns a commit id without bumping the
+    snapshot version; per-partition lineage for LATER batches must still
+    be reported (regression: lineage matched on version, not cid)."""
+    import glob
+
+    wh = str(tmp_path / "wh")
+    r = IngestRunner(spark, wh, n_buckets=8)
+    r.ensure_table()
+    batches = sorted(glob.glob(os.path.join(changes_dir, "batch-*")))
+    r.apply_batch(batches[0], 0)
+    r.apply_batch(batches[0], 1)  # pure redelivery -> noop abort, burns a cid
+    r.apply_batch(batches[1], 2)  # fresh batch AFTER the divergence
+    m = r.read_metrics().toPandas()
+    applied = m[m.batch_id == 2]["events_applied"].sum()
+    assert applied > 0, "lineage must survive cid/version divergence"

@@ -89,3 +89,70 @@ def test_atomic_snapshot_isolation(spark, tmp_path):
     # old snapshot still readable (time travel)
     assert t.snapshot(0)["properties"]["watermarks"] == {"0": 5}
     assert t.read_files(spark, t.snapshot(0)["files"]).count() == 0
+
+
+def _delta_df(spark, t, rows):
+    """Payload rows + _bucket/_deleted, shaped like the runner's delta."""
+    df = _mk(spark, rows)
+    return df.withColumn(BUCKET_COL, t.bucket_expr("doc_id")).withColumn(
+        "_deleted", F.lit(False)
+    )
+
+
+def test_compaction_aborts_on_inflight_lower_cid_delta(spark, tmp_path):
+    """Lost-update race guard: a delta whose cid was allocated BEFORE the
+    fold's but which publishes during/after the fold window must not lose
+    LWW to the folded base — the fold aborts, the late delta lands, and
+    the read reflects it."""
+    t = LakeTable(str(tmp_path), "t6")
+    t.create(SCHEMA, n_buckets=4)
+    t.delta_commit(_delta_df(spark, t, [("a", [1], 1, "web")]),
+                   schema=SCHEMA, properties={})
+    # simulate an in-flight delta: cid allocated, files not yet published
+    with t._lock:
+        cid = t._alloc_commit_id()
+        t._inflight_deltas.add(cid)
+    assert t.compact(spark) is None, "fold must abort while a lower-cid delta is in flight"
+    assert t.delta_pressure()["delta_commits"] == 1, "deltas must survive the abort"
+    # the delayed delta now publishes (an update of key a) and must win
+    try:
+        t._delta_commit_inner(
+            _delta_df(spark, t, [("a", [7, 7], 2, "code")]), cid,
+            schema=SCHEMA, properties={}, allow_noop_abort=False)
+    finally:
+        t._inflight_deltas.discard(cid)
+    rows = {r["doc_id"]: r for r in t.read(spark).collect()}
+    assert rows["a"]["tokens"] == [7, 7]
+    # with nothing in flight the fold now succeeds
+    assert t.compact(spark) is not None
+    assert t.delta_pressure()["delta_commits"] == 0
+    rows = {r["doc_id"]: r for r in t.read(spark).collect()}
+    assert rows["a"]["tokens"] == [7, 7]
+
+
+def test_compaction_aborts_on_published_lower_cid_delta(spark, tmp_path):
+    """Same race, other interleaving: the lower-cid delta publishes while
+    the fold is writing — the swap sees it in added_since and aborts."""
+    t = LakeTable(str(tmp_path), "t7")
+    t.create(SCHEMA, n_buckets=4)
+    t.delta_commit(_delta_df(spark, t, [("a", [1], 1, "web")]),
+                   schema=SCHEMA, properties={})
+    with t._lock:
+        cid = t._alloc_commit_id()  # delta allocates first (lower cid)
+    orig_write = t.write_commit_files
+
+    def write_then_publish(df, commit_version):
+        out = orig_write(df, commit_version)
+        # the in-flight delta lands mid-fold with its LOWER cid
+        t._delta_commit_inner(
+            _delta_df(spark, t, [("a", [5], 1, "wiki")]), cid,
+            schema=SCHEMA, properties={}, allow_noop_abort=False)
+        return out
+
+    t.write_commit_files = write_then_publish
+    try:
+        assert t.compact(spark) is None
+    finally:
+        t.write_commit_files = orig_write
+    rows = {r["doc_id"]: r for r in t.read(spark).collect()}
+    assert rows["a"]["tokens"] == [5], "mid-fold delta must not be lost"

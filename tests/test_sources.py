@@ -148,3 +148,16 @@ def test_pseudonymize_prefix_preserving(spark):
     assert out == out2
     # and actually anonymized
     assert out["10.1.2.3"] != "10.1.2.3"
+
+
+def test_pseudonymize_seed_changes_mapping(spark):
+    """The seed must actually key the PRF (regression: hash_array ignores
+    hash_key for numeric arrays, making every seed produce the same map)."""
+    from pyspark.sql import Row
+    from tenzir_spark.operators.transform import pseudonymize_ip
+
+    ips = [f"10.1.{i}.{i * 3 % 256}" for i in range(32)]
+    df = spark.createDataFrame([Row(ip=x) for x in ips])
+    a = {r["ip"]: r["ip_pseudonymized"] for r in pseudonymize_ip(df, "ip", seed="alpha").collect()}
+    b = {r["ip"]: r["ip_pseudonymized"] for r in pseudonymize_ip(df, "ip", seed="beta").collect()}
+    assert any(a[ip] != b[ip] for ip in ips), "different seeds must give different mappings"
