@@ -36,6 +36,13 @@ AUDIT = {
     "minhash_lsh_pairs": ([r"HashAggregate|SortAggregate"], [r"CartesianProduct"]),
     "ann_cosine_topk": ([], [r"CartesianProduct"]),  # broadcast NL join on 1-row query side is fine
     "token_count": ([r"codegen id"], [r"BatchEvalPython"]),
+    # global-order ops must use the two-phase distributed numbering: a
+    # keyed Window behind a hash exchange, NEVER a single-partition
+    # global sort/window exchange (the 100 TB serialization point)
+    "slice_stride": ([r"Window"], [r"SinglePartition"]),
+    "slice_negative": ([r"Window"], [r"SinglePartition"]),
+    "enumerate_rows": ([r"Window"], [r"SinglePartition"]),
+    "unique_adjacent": ([r"Window", r"BroadcastHashJoin"], [r"SinglePartition"]),
 }
 
 

@@ -153,6 +153,26 @@ WHERE pos >= 10 AND pos < 500 AND (pos - 10) % 7 = 0
 """
 
 
+def q_slice_negative(spark, sf):
+    """Negative begin + negative stride (slice.cpp:62-94 buffering
+    semantics): the last 400 events, every 7th walking backwards —
+    python `a[-400::-7]`-style normalization via slice.indices."""
+    ev = load(spark, sf, "events").select("event_id", "event_type")
+    return ops.slice_rows(ev, -400, None, -7, order_by="event_id")
+
+# python slice(-400, None, -7) over n rows selects positions
+# n-400, n-407, ... (descending); the oracle states that directly
+SQL_SLICE_NEGATIVE = """
+WITH numbered AS (
+  SELECT event_id, event_type,
+         row_number() OVER (ORDER BY event_id) - 1 AS pos,
+         count(*) OVER () AS n
+  FROM events)
+SELECT event_id, event_type FROM numbered
+WHERE pos <= n - 400 AND (n - 400 - pos) % 7 = 0
+"""
+
+
 def q_taste(spark, sf):
     ev = load(spark, sf, "events").select("event_id", "event_type", "user_id")
     return ops.taste(ev, 5, schema_col="event_type", order_by="event_id")
@@ -679,6 +699,45 @@ FROM events GROUP BY event_type
 """
 
 
+def q_parse_grok(spark, sf):
+    """grok with the standard pattern library (grok.cpp + bundled
+    pattern set): apache common-log lines synthesized from events, parsed
+    via recursive %{NAME:field} expansion; the oracle reconstructs the
+    fields directly."""
+    from tenzir_spark.sources.grok import parse_grok
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 2000)
+    cents = F.round(F.col("value") * 100).cast("long")
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("10.0."), F.col("user_id") % 256, F.lit("."),
+            F.col("event_id") % 256,
+            F.lit(' - frank [12/Jan/2024:03:04:05 +0000] "GET /item/'),
+            F.col("event_id"), F.lit('?q='), F.col("event_type"),
+            F.lit(' HTTP/1.1" 200 '), cents,
+        ).alias("line"),
+    )
+    parsed = parse_grok(lines, "line", "%{COMMONAPACHELOG}")
+    return parsed.select(
+        "event_id", "clientip", "auth", "timestamp", "verb", "request",
+        "httpversion", "response", "bytes",
+    )
+
+SQL_PARSE_GROK = """
+SELECT event_id,
+       '10.0.' || (user_id % 256) || '.' || (event_id % 256) AS clientip,
+       'frank' AS auth,
+       '12/Jan/2024:03:04:05 +0000' AS timestamp,
+       'GET' AS verb,
+       '/item/' || event_id || '?q=' || event_type AS request,
+       '1.1' AS httpversion,
+       '200' AS response,
+       CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS bytes
+FROM events WHERE event_id < 2000
+"""
+
+
 def q_parse_kv(spark, sf):
     """`read kv` (kv.cpp) — key=value pairs split into a map, probed by
     key; map cells don't canonicalize, so the oracle compares extracted
@@ -1163,6 +1222,7 @@ REGISTRY: dict[str, tuple] = {
     "head_n": (q_head, SQL_HEAD),
     "tail_n": (q_tail, SQL_TAIL),
     "slice_stride": (q_slice, SQL_SLICE),
+    "slice_negative": (q_slice_negative, SQL_SLICE_NEGATIVE),
     "taste_per_schema": (q_taste, SQL_TASTE),
     "unique_adjacent": (q_unique, SQL_UNIQUE),
     "deduplicate_limit": (q_deduplicate, SQL_DEDUPLICATE),
@@ -1194,6 +1254,7 @@ REGISTRY: dict[str, tuple] = {
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH),
     "median_exact": (q_median_exact, SQL_MEDIAN_EXACT),
     "parse_kv": (q_parse_kv, SQL_PARSE_KV),
+    "parse_grok": (q_parse_grok, SQL_PARSE_GROK),
     "ann_lsh_topk": (q_ann_lsh, None),
     "token_fingerprint_udf": (q_token_fingerprint, None),
     "parse_syslog3164": (q_parse_syslog, SQL_PARSE_SYSLOG),

@@ -37,7 +37,46 @@ def test_query_matches_oracle(spark, sf_dir, ddb, name):
 
 
 def test_rows_only_queries_run(spark, sf_dir):
-    for name in ["simhash_fingerprint", "ann_lsh_topk", "token_fingerprint_udf"]:
+    for name in ["ann_lsh_topk", "token_fingerprint_udf", "approx_median"]:
         fn, sql = REGISTRY[name]
         assert sql is None
         assert fn(spark, sf_dir).count() > 0
+
+
+@pytest.mark.parametrize("spec", [
+    (None, None, None), (10, 500, 7), (-400, None, -7), (None, None, -1),
+    (-100, -5, 3), (50, -50, None), (-10**6, 10**6, 2), (300, 20, -4),
+])
+def test_slice_matches_python_semantics(spark, sf_dir, spec):
+    """slice_rows == python list slicing for every sign combination
+    (slice.cpp:62-94 parity), on top of the DISTRIBUTED two-phase
+    numbering (no single-task global window)."""
+    from tenzir_spark.operators.core import slice_rows
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("event_id < 3000").select("event_id")
+    )
+    ids = sorted(r[0] for r in ev.collect())
+    b, e, s = spec
+    expect = ids[b:e:s]
+    got = sorted(r[0] for r in slice_rows(ev, b, e, s, order_by="event_id").collect())
+    assert got == sorted(expect)
+
+
+def test_global_numbering_is_distributed_and_exact(spark, sf_dir):
+    """enumerate over a many-partition input must match the sequential
+    numbering exactly — and the plan must not contain a global
+    single-partition window sort."""
+    from tenzir_spark.operators.core import enumerate_rows
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id").repartition(16)
+    )
+    out = enumerate_rows(ev, "idx", order_by="event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, "global-order op must not serialize"
+    rows = {r["event_id"]: r["idx"] for r in out.collect()}
+    for i, eid in enumerate(sorted(rows)):
+        assert rows[eid] == i

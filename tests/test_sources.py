@@ -161,3 +161,33 @@ def test_pseudonymize_seed_changes_mapping(spark):
     a = {r["ip"]: r["ip_pseudonymized"] for r in pseudonymize_ip(df, "ip", seed="alpha").collect()}
     b = {r["ip"]: r["ip_pseudonymized"] for r in pseudonymize_ip(df, "ip", seed="beta").collect()}
     assert any(a[ip] != b[ip] for ip in ips), "different seeds must give different mappings"
+
+
+def test_grok_expansion_and_parse(spark):
+    """Recursive %{NAME:field} expansion over the standard library
+    (grok.cpp pattern-set parity)."""
+    from pyspark.sql import Row
+    from tenzir_spark.sources.grok import PATTERNS, expand, parse_grok
+    import pytest as _pytest
+
+    regex, fields = expand("%{IPORHOST:host}:%{POSINT:port}")
+    assert fields == ["host", "port"]
+    df = spark.createDataFrame([Row(line="web-01.example.com:8443 x")])
+    out = parse_grok(df, "line", "%{IPORHOST:host}:%{POSINT:port}").head()
+    assert out["host"] == "web-01.example.com" and out["port"] == "8443"
+
+    # combined apache log exercises two levels of composite nesting
+    line = ('203.0.113.9 - alice [12/Jan/2024:03:04:05 +0000] '
+            '"POST /login HTTP/1.1" 302 511 "http://ref.example/" "curl/8.1"')
+    df2 = spark.createDataFrame([Row(line=line)])
+    got = parse_grok(df2, "line", "%{COMBINEDAPACHELOG}").head()
+    assert got["clientip"] == "203.0.113.9"
+    assert got["auth"] == "alice"
+    assert got["verb"] == "POST" and got["request"] == "/login"
+    assert got["response"] == "302" and got["bytes"] == "511"
+    assert got["referrer"] == '"http://ref.example/"'
+    assert got["agent"] == '"curl/8.1"'
+
+    with _pytest.raises(KeyError):
+        expand("%{NO_SUCH_PATTERN:x}")
+    assert "TIMESTAMP_ISO8601" in PATTERNS and "LOGLEVEL" in PATTERNS
