@@ -80,7 +80,8 @@ def main() -> None:
                              token_len=(64, 256))
         if os.path.exists(wh):
             shutil.rmtree(wh)
-        runner = IngestRunner(spark, wh, n_buckets=64, async_compact=True)
+        runner = IngestRunner(spark, wh, n_buckets=64, async_compact=True,
+                              stats_mode="winners")
         stats = runner.run(changes)
         timings["cdc_ingest"] = round(stats["wall_sec"], 3)
         extra["cdc_events_per_sec"] = round(stats["events_per_sec"], 1)

@@ -44,6 +44,14 @@ def main() -> None:
                    help="local-mode heap. Measured: oversizing (48g) is 3x "
                         "SLOWER than 8-12g here (G1 region sizing + cold "
                         "pages); don't throw memory at local mode")
+    p.add_argument("--stats-mode", default="winners", choices=["winners", "full"],
+                   help="'winners' (default): ONE Spark job per batch — "
+                        "watermarks/lineage come from the delta files' "
+                        "side-channel columns; exact under keyed routing, "
+                        "which the changegen guarantees. 'full': a second "
+                        "column-pruned stats job per batch; exact for any "
+                        "event→partition assignment and counts stale "
+                        "redeliveries in per-partition metrics.")
     p.add_argument("--async-compact", action="store_true",
                    help="fold merge-on-read debt in a background thread "
                         "(commit rebase keeps newer deltas); hides the "
@@ -87,7 +95,7 @@ def main() -> None:
                       driver_memory=args.driver_mem, extra_conf=extra)
     runner = IngestRunner(
         spark, args.warehouse, n_buckets=args.buckets, salt_buckets=args.salt,
-        async_compact=args.async_compact,
+        async_compact=args.async_compact, stats_mode=args.stats_mode,
     )
     stats = runner.run(args.changes, start_batch=args.start_batch)
     for st in stats["batch_stats"]:

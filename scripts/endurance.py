@@ -51,7 +51,8 @@ def main() -> None:
     spark = get_spark("endurance", cores=args.cores, driver_memory="12g",
                       extra_conf={"spark.local.dir": "/dev/shm/endurance_local"})
 
-    runner = IngestRunner(spark, args.warehouse, n_buckets=128, async_compact=True)
+    runner = IngestRunner(spark, args.warehouse, n_buckets=128, async_compact=True,
+                          stats_mode="winners")
     t0 = time.monotonic()
     stats = runner.run(args.changes)
     wall = time.monotonic() - t0

@@ -84,20 +84,29 @@ def collapse_lww(
     key: str = "doc_id",
     order: str = "lsn",
     salt_buckets: int = 0,
+    count_col: str | None = None,
 ) -> DataFrame:
-    """One row per ``key``: the full row holding the max ``order`` value."""
+    """One row per ``key``: the full row holding the max ``order`` value.
+
+    ``count_col`` additionally emits how many input events collapsed into
+    each winner — an algebraic count that rides the SAME partial
+    aggregation (zero extra pass); the runner's one-job stats mode derives
+    dedup metrics from it instead of a second scan of the batch."""
     cols = batch.columns
     winner = F.max_by(F.struct(*cols), F.col(order))
     if salt_buckets and salt_buckets > 1:
         salt = F.pmod(F.xxhash64(F.col(order)), F.lit(salt_buckets))
-        phase1 = (
-            batch.groupBy(F.col(key).alias("_k"), salt.alias("_salt"))
-            .agg(winner.alias("_w"))
-            .select("_k", "_w")
-        )
-        return (
-            phase1.groupBy("_k")
-            .agg(F.max_by(F.col("_w"), F.col(f"_w.{order}")).alias("_w"))
-            .select("_w.*")
-        )
-    return batch.groupBy(F.col(key).alias("_k")).agg(winner.alias("_w")).select("_w.*")
+        aggs = [winner.alias("_w")]
+        if count_col:
+            aggs.append(F.count("*").alias(count_col))
+        phase1 = batch.groupBy(F.col(key).alias("_k"), salt.alias("_salt")).agg(*aggs)
+        aggs2 = [F.max_by(F.col("_w"), F.col(f"_w.{order}")).alias("_w")]
+        if count_col:
+            aggs2.append(F.sum(count_col).alias(count_col))
+        out = phase1.groupBy("_k").agg(*aggs2)
+        return out.select("_w.*", count_col) if count_col else out.select("_w.*")
+    aggs = [winner.alias("_w")]
+    if count_col:
+        aggs.append(F.count("*").alias(count_col))
+    out = batch.groupBy(F.col(key).alias("_k")).agg(*aggs)
+    return out.select("_w.*", count_col) if count_col else out.select("_w.*")

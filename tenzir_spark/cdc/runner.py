@@ -38,6 +38,8 @@ from tenzir_spark.lake.table import (
     BUCKET_COL,
     COMMIT_COL,
     DELETED_COL,
+    LSN_COL,
+    NEV_COL,
     PART_COL,
     LakeTable,
 )
@@ -80,6 +82,7 @@ class IngestRunner:
         compact_max_commits: int = 64,
         async_compact: bool = False,
         collapse_mode: str = "maxby",
+        stats_mode: str = "full",
     ):
         self.spark = spark
         self.warehouse = warehouse
@@ -104,6 +107,23 @@ class IngestRunner:
         # never shuffles; needs file-backed input for _metadata row ids and
         # a broadcastable winner set — see collapse.py for the trade-off)
         self.collapse_mode = collapse_mode
+        # "full": a column-pruned stats job over the raw batch runs in a
+        # side thread (events_in counts stale deliveries too; watermarks
+        # are exact for ANY event→partition assignment).
+        # "winners": ONE Spark job per batch — the collapse carries each
+        # winner's lsn and collapsed-event count into the delta files, and
+        # watermarks/lineage/dedup metrics come from a driver-side pyarrow
+        # read of those three int columns. Exactness argument: under keyed
+        # routing (all events of a key live in one source partition — the
+        # kafka/keyed-topic contract the changegen implements), the
+        # max-lsn event of partition P wins its own key, so
+        # max(winner lsn | part=P) == max(lsn | part=P). If keys straddle
+        # partitions that equality can fail low, and a replay could
+        # re-apply a stale straddling event — use "full" for such sources
+        # (where cross-partition order is undefined anyway).
+        # "winners" falls back to "full" under collapse_mode="semijoin"
+        # (the semi join keeps no count column).
+        self.stats_mode = stats_mode
 
     # ------------------------------------------------------------- helpers
     def ensure_table(self, payload_schema: T.StructType = BASE_PAYLOAD_SCHEMA) -> None:
@@ -174,7 +194,22 @@ class IngestRunner:
 
     # ------------------------------------------------------------ the loop
     def apply_batch(self, path: str, batch_id: int) -> dict:
-        return self.apply_batch_df(self.spark.read.parquet(path), batch_id)
+        st = self.apply_batch_df(self.spark.read.parquet(path), batch_id)
+        if self.stats_mode == "winners":
+            # winners mode only counts fresh events; recover the exact
+            # delivered count (incl. stale redeliveries) from the input
+            # parquet footers — driver-side metadata, no job
+            import glob as _glob
+
+            import pyarrow.parquet as pq
+
+            files = (
+                [path] if path.endswith(".parquet")
+                else _glob.glob(os.path.join(path, "*.parquet"))
+            )
+            if files:
+                st["events_in"] = sum(pq.read_metadata(f).num_rows for f in files)
+        return st
 
     def apply_batch_df(self, raw: DataFrame, batch_id: int) -> dict:
         """Micro-batch body — also the ``foreachBatch`` target of the
@@ -182,8 +217,8 @@ class IngestRunner:
         state lives in the table snapshot, so the SAME idempotence guard
         covers batch replay, streaming-checkpoint replay, and redelivery."""
         t0 = time.monotonic()
-        spark = self.spark
         wm = self.watermarks()
+        use_winners = self.stats_mode == "winners" and self.collapse_mode != "semijoin"
 
         # -- idempotence: only events strictly above the committed watermark
         if wm:
@@ -195,44 +230,44 @@ class IngestRunner:
             wm_col = F.lit(None).cast("long")
         is_fresh = F.col("lsn") > F.coalesce(wm_col, F.lit(-1))
 
-        # -- lineage counts + watermarks: a slim column-pruned pass, run in
-        # a SIDE THREAD so it overlaps the heavy collapse+write job (its
-        # result is only needed at the manifest swap, via the deferred
-        # properties callable below)
-        import threading
-
         stats_box: dict = {}
+        if not use_winners:
+            # -- "full" mode: lineage counts + watermarks from a slim
+            # column-pruned pass over the raw batch, run in a SIDE THREAD
+            # so it overlaps the heavy collapse+write job (its result is
+            # only needed at the manifest swap)
+            import threading
 
-        def _stats_job():
-            try:
-                stats_box["pre"] = (
-                    raw.groupBy("part_id")
-                    .agg(
-                        F.count("*").alias("events_in"),
-                        F.count(F.when(is_fresh, 1)).alias("fresh"),
-                        F.count_distinct(F.when(is_fresh, F.col("lsn"))).alias("fresh_unique"),
-                        F.max(F.when(is_fresh, F.col("lsn"))).alias("wmax"),
+            def _stats_job():
+                try:
+                    stats_box["pre"] = (
+                        raw.groupBy("part_id")
+                        .agg(
+                            F.count("*").alias("events_in"),
+                            F.count(F.when(is_fresh, 1)).alias("fresh"),
+                            F.count_distinct(F.when(is_fresh, F.col("lsn"))).alias("fresh_unique"),
+                            F.max(F.when(is_fresh, F.col("lsn"))).alias("wmax"),
+                        )
+                        .collect()
                     )
-                    .collect()
-                )
-            except Exception as e:  # noqa: BLE001 - re-raised at join
-                stats_box["error"] = e
+                except Exception as e:  # noqa: BLE001 - re-raised at join
+                    stats_box["error"] = e
 
-        stats_thread = threading.Thread(target=_stats_job, daemon=True)
-        stats_thread.start()
+            stats_thread = threading.Thread(target=_stats_job, daemon=True)
+            stats_thread.start()
 
-        def _stats():
-            stats_thread.join()
-            if "error" in stats_box:
-                raise stats_box["error"]
-            if "new_wm" not in stats_box:
-                new_wm = dict(wm)
-                for r in stats_box["pre"]:
-                    if r["wmax"] is not None:
-                        k = str(int(r["part_id"]))
-                        new_wm[k] = max(int(new_wm.get(k, -1)), int(r["wmax"]))
-                stats_box["new_wm"] = new_wm
-            return stats_box
+            def _stats():
+                stats_thread.join()
+                if "error" in stats_box:
+                    raise stats_box["error"]
+                if "new_wm" not in stats_box:
+                    new_wm = dict(wm)
+                    for r in stats_box["pre"]:
+                        if r["wmax"] is not None:
+                            k = str(int(r["part_id"]))
+                            new_wm[k] = max(int(new_wm.get(k, -1)), int(r["wmax"]))
+                    stats_box["new_wm"] = new_wm
+                return stats_box
 
         # -- schema reconciliation (added columns)
         table_schema = self.table.schema()
@@ -251,12 +286,19 @@ class IngestRunner:
             collapsed = collapse_lww_semijoin(data, key=self.key, order="lsn")
         else:
             collapsed = collapse_lww(data, key=self.key, order="lsn",
-                                     salt_buckets=self.salt_buckets)
+                                     salt_buckets=self.salt_buckets,
+                                     count_col=NEV_COL if use_winners else None)
         # merge-on-read delta: payload aligned to the (possibly evolved)
         # schema + bucket + tombstone flag + source-partition lineage.
         # ONE Spark job (collapse→write); rows/buckets/lineage come from
         # the written parquet footers — no cache of wide token arrays
         # (caching them thrashes GC under high task concurrency).
+        extra = [
+            (F.col("op") == "delete").alias(DELETED_COL),
+            F.col("part_id").alias(PART_COL),
+        ]
+        if use_winners:
+            extra += [F.col("lsn").alias(LSN_COL), F.col(NEV_COL)]
         delta = collapsed.select(
             *[
                 F.col(f.name).cast(f.dataType).alias(f.name)
@@ -264,15 +306,27 @@ class IngestRunner:
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in evolved.fields
             ],
-            (F.col("op") == "delete").alias(DELETED_COL),
-            F.col("part_id").alias(PART_COL),
+            *extra,
         ).withColumn(BUCKET_COL, self.table.bucket_expr(self.key))
 
-        def _props():
-            s = _stats()
-            if s["new_wm"] == wm:
-                return {}  # pure redelivery: no progress to record
-            return {"watermarks": s["new_wm"], "last_batch_id": batch_id}
+        if use_winners:
+            def _props(entries):
+                st = self._winner_stats(entries)
+                stats_box.update(st)
+                new_wm = dict(wm)
+                for p, mx in st["wmax"].items():
+                    k = str(p)
+                    new_wm[k] = max(int(new_wm.get(k, -1)), int(mx))
+                stats_box["new_wm"] = new_wm
+                if new_wm == wm:
+                    return {}  # pure redelivery: no progress to record
+                return {"watermarks": new_wm, "last_batch_id": batch_id}
+        else:
+            def _props(entries):
+                s = _stats()
+                if s["new_wm"] == wm:
+                    return {}  # pure redelivery: no progress to record
+                return {"watermarks": s["new_wm"], "last_batch_id": batch_id}
 
         # pure redelivery nets out to a no-op: empty delta + unchanged
         # watermarks/schema → delta_commit aborts without a snapshot
@@ -280,37 +334,81 @@ class IngestRunner:
             delta, schema=evolved, properties=_props, allow_noop_abort=True,
         )
         n_keys = dstats["rows"]
-        applied_by_part = (
-            self._lineage_from_commit(dstats["cid"]) if version is not None else {}
-        )
         if version is not None:
             self._maybe_compact()
-
-        s = _stats()
-        pre, new_wm = s["pre"], s["new_wm"]
-        fresh_total = sum(r["fresh"] for r in pre)
         wall_ms = int((time.monotonic() - t0) * 1000)
-        metrics = [
-            (
-                batch_id,
-                int(r["part_id"]),
-                int(r["events_in"]),
-                applied_by_part.get(int(r["part_id"]), 0),
-                int(r["events_in"]) - int(r["fresh_unique"]),
-                int(new_wm.get(str(int(r["part_id"])), -1)),
-                wall_ms,
+
+        if use_winners:
+            new_wm = stats_box.get("new_wm", dict(wm))
+            applied = stats_box.get("applied", {})
+            fresh = stats_box.get("fresh", {})
+            metrics = [
+                (
+                    batch_id, int(p), int(fresh.get(p, 0)), int(applied.get(p, 0)),
+                    int(fresh.get(p, 0)) - int(applied.get(p, 0)),
+                    int(new_wm.get(str(int(p)), -1)), wall_ms,
+                )
+                for p in sorted(fresh)
+            ]
+            events_in = sum(fresh.values())
+            fresh_total = events_in
+        else:
+            applied_by_part = (
+                self._lineage_from_commit(dstats["cid"]) if version is not None else {}
             )
-            for r in pre
-        ]
+            s = _stats()
+            pre, new_wm = s["pre"], s["new_wm"]
+            fresh_total = sum(r["fresh"] for r in pre)
+            events_in = sum(r["events_in"] for r in pre)
+            metrics = [
+                (
+                    batch_id,
+                    int(r["part_id"]),
+                    int(r["events_in"]),
+                    applied_by_part.get(int(r["part_id"]), 0),
+                    int(r["events_in"]) - int(r["fresh_unique"]),
+                    int(new_wm.get(str(int(r["part_id"])), -1)),
+                    wall_ms,
+                )
+                for r in pre
+            ]
         self._write_metrics(metrics, batch_id)
         return {
             "batch_id": batch_id,
-            "events_in": sum(r["events_in"] for r in pre),
+            "events_in": events_in,
             "fresh": fresh_total,
             "applied_keys": n_keys,
             "wall_ms": wall_ms,
             "version": self.table.current_version(),
         }
+
+    def _winner_stats(self, entries: list[dict]) -> dict:
+        """One-job stats: per-source-partition applied counts, collapsed
+        fresh-event counts, and max winner LSN, read driver-side from the
+        freshly written delta files' three int side-channel columns
+        (``_part``/``_lsn``/``_n_ev``) — microseconds of pyarrow against a
+        second Spark job over the batch."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        applied: dict[int, int] = {}
+        fresh: dict[int, int] = {}
+        wmax: dict[int, int] = {}
+        for e in entries:
+            tbl = pq.read_table(
+                os.path.join(self.table.root, e["path"]),
+                columns=[PART_COL, LSN_COL, NEV_COL],
+            )
+            parts = tbl[PART_COL].to_numpy(zero_copy_only=False)
+            lsns = tbl[LSN_COL].to_numpy(zero_copy_only=False)
+            nevs = tbl[NEV_COL].to_numpy(zero_copy_only=False)
+            for p in np.unique(parts):
+                m = parts == p
+                pi = int(p)
+                applied[pi] = applied.get(pi, 0) + int(m.sum())
+                fresh[pi] = fresh.get(pi, 0) + int(nevs[m].sum())
+                wmax[pi] = max(wmax.get(pi, -1), int(lsns[m].max()))
+        return {"applied": applied, "fresh": fresh, "wmax": wmax}
 
     def _write_metrics(self, rows: list[tuple], batch_id: int) -> None:
         """Metrics are tiny driver-local lineage rows — writing them through

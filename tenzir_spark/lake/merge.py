@@ -66,9 +66,14 @@ def merge_batch(
         else F.lit(None).cast(payload_schema[c].dataType).alias(c)
         for c in payload_cols
     ]
-    batch = batch.select(*aligned_cols, F.col(op_col), F.col(BUCKET_COL)).cache()
+    batch = batch.select(*aligned_cols, F.col(op_col), F.col(BUCKET_COL))
+    # cache ONLY the slim (key, op, bucket) projection for the three stats
+    # actions below — never the wide token-array payload (caching wide
+    # array columns thrashes GC under task concurrency; the payload flows
+    # scan→write exactly once, in the write_commit_files action)
+    slim = batch.select(key, op_col, BUCKET_COL).cache()
 
-    touched = sorted(r[0] for r in batch.select(BUCKET_COL).distinct().collect())
+    touched = sorted(r[0] for r in slim.select(BUCKET_COL).distinct().collect())
     touched_set = set(touched)
     hot_files = [e for e in snap["files"] if e["bucket"] in touched_set]
     cold_files = [e for e in snap["files"] if e["bucket"] not in touched_set]
@@ -77,8 +82,8 @@ def merge_batch(
         *payload_cols, BUCKET_COL
     )
 
-    keys = batch.select(key)
-    n_keys = batch_rows if batch_rows is not None else batch.count()
+    keys = slim.select(key)
+    n_keys = batch_rows if batch_rows is not None else slim.count()
     if n_keys <= BROADCAST_KEY_LIMIT:
         keys = F.broadcast(keys)
     survivors = target_hot.join(keys, on=key, how="left_anti")
@@ -93,8 +98,8 @@ def merge_batch(
     props.update(new_properties or {})
     version = table.commit(cold_files + new_files, payload_schema, props)
 
-    n_deletes = batch.filter(F.col(op_col) == delete_value).count()
-    batch.unpersist()
+    n_deletes = slim.filter(F.col(op_col) == delete_value).count()
+    slim.unpersist()
     return {
         "version": version,
         "touched_buckets": len(touched),

@@ -45,6 +45,8 @@ BUCKET_COL = "_bucket"
 COMMIT_COL = "_commit"
 DELETED_COL = "_deleted"
 PART_COL = "_part"  # source-partition lineage carried in delta files
+LSN_COL = "_lsn"    # winner LSN carried in delta files (one-job stats mode:
+NEV_COL = "_n_ev"   # watermarks + dedup counts come from delta footers)
 
 
 def _atomic_write(path: str, payload: str) -> None:
@@ -369,6 +371,11 @@ class LakeTable:
         ]
         if PART_COL in df.columns:
             sel.append(F.col(PART_COL).cast("int"))
+        # stats side-channel columns: physical in the delta parquet, never
+        # part of the table read schema (read_files projects them away)
+        for extra in (LSN_COL, NEV_COL):
+            if extra in df.columns:
+                sel.append(F.col(extra).cast("long"))
         out = df.select(*sel)
         # no repartition/coalesce: AQE partition coalescing already sizes the
         # reduce stage of the upstream collapse; a coalesce(1) here would
@@ -409,7 +416,10 @@ class LakeTable:
                     "rows": rows,
                 }
             )
-        new_props = properties() if callable(properties) else properties
+        # a callable gets the freshly-written manifest entries, so it can
+        # derive watermarks/lineage from the delta file footers instead of
+        # running a second Spark job over the batch
+        new_props = properties(entries) if callable(properties) else properties
         if total == 0:
             # empty delta: drop the files; commit only if schema/props moved
             import shutil

@@ -33,24 +33,55 @@ def char_shingles(col: Column, k: int = 5) -> Column:
     )
 
 
+def _md5_60bit(col: Column) -> Column:
+    """First 15 hex chars of md5 as a positive int64 (60 bits) — engine-
+    portable (DuckDB: ``('0x' || substring(md5(x),1,15))::BIGINT``) and an
+    8-byte value instead of a 32-char string, which is what keeps LSH
+    shuffle rows small at scale."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as an array of hex strings: element i is the
-    lexicographic min of md5(i || shingle). String-min over md5 is a valid
-    random-permutation min-hash and is bit-identical across engines."""
+    """MinHash signature as an array of int64: element i is the 60-bit
+    prefix of the lexicographic-min md5 of (i || shingle). String-min
+    over full md5 equals numeric-min over the 60-bit prefixes (hex order
+    IS numeric order; ties on the prefix convert identically), so the
+    conversion runs once per SIGNATURE ELEMENT, not once per shingle —
+    the per-shingle hot loop stays a bare codegen'd md5, while shuffle
+    rows downstream carry 8-byte ints instead of 32-char strings."""
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+            F.conv(
+                F.substring(
+                    F.array_min(
+                        F.transform(
+                            shingles,
+                            lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
             for i in range(num_hashes)
         ]
     )
 
 
 def lsh_bands(signature: Column, num_hashes: int, bands: int) -> Column:
-    """Hash contiguous signature rows into band keys (banding LSH)."""
+    """Hash contiguous signature rows into int64 band keys (banding LSH).
+    The band self-join shuffles (id, band) pairs — 16 bytes per row."""
     rows = num_hashes // bands
     return F.array(
         *[
-            F.md5(F.concat_ws(",", *[signature[j] for j in range(b * rows, (b + 1) * rows)]))
+            _md5_60bit(
+                F.concat_ws(
+                    ",",
+                    *[signature[j].cast("string") for j in range(b * rows, (b + 1) * rows)],
+                )
+            )
             for b in range(bands)
         ]
     )

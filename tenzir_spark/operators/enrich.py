@@ -141,6 +141,59 @@ def enrich_bloom(df: DataFrame, bloom: BloomFilter, col: str, out: str = "matche
     return df.withColumn(out, _contains(F.col(col)))
 
 
+def enrich_range(
+    df: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Interval-containment enrich over a numeric domain — the geoip
+    pattern (the reference's geoip plugin resolves an IP against MaxMind
+    range tables; this is the same join shape without the MaxMind dep,
+    generalizing ``enrich_subnet``'s prefix trick to arbitrary ranges).
+
+    Spark plans ``x BETWEEN lo AND hi`` joins as BroadcastNestedLoopJoin —
+    O(rows × intervals) comparisons. Instead: expand each interval to the
+    fixed-width buckets it overlaps (intervals are broadcast-small, so the
+    expansion is cheap), bucket each probe value, and broadcast
+    EQUI-join on the bucket before the exact containment filter — each row
+    is checked only against intervals sharing its bucket. ``bucket_width``
+    defaults to the median interval length (driver-computed from the
+    small side)."""
+    if bucket_width is None:
+        med = intervals.select(
+            F.median(F.col(hi_col) - F.col(lo_col)).alias("m")
+        ).first()["m"]
+        bucket_width = max(int(med or 1), 1)
+    w = F.lit(int(bucket_width))
+    ctx_cols = [c for c in intervals.columns if c not in (lo_col, hi_col)]
+    # bucket → ARRAY of overlapping intervals: the probe join is then 1:1
+    # (no row multiplication, no post-join re-collapse of the payload);
+    # the exact containment check walks the per-bucket list JVM-side
+    per_bucket = (
+        intervals.withColumn(
+            "_rb",
+            F.explode(
+                F.sequence(F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w))
+            ),
+        )
+        .groupBy("_rb")
+        .agg(F.collect_list(F.struct(lo_col, hi_col, *ctx_cols)).alias("_ivs"))
+    )
+    probe = df.withColumn("_rb", F.floor(F.col(value_col) / w))
+    x = F.col(value_col)
+    match = F.get(
+        F.filter(F.col("_ivs"), lambda i: (x >= i[lo_col]) & (x <= i[hi_col])),
+        0,
+    )
+    return (
+        probe.join(F.broadcast(per_bucket), on="_rb", how="left")
+        .select(*df.columns, *[match[c].alias(c) for c in ctx_cols])
+    )
+
+
 def enrich_subnet(df: DataFrame, subnets: DataFrame, ip_col: str,
                   cidr_prefix_col: str = "prefix", cidr_net_col: str = "net24") -> DataFrame:
     """CIDR-containment enrich (lookup-table subnet tree analog,

@@ -58,6 +58,37 @@ def chart(df: DataFrame, chart_type: str, x: str, y: str) -> DataFrame:
     return set_attributes(out, y, chart="y", chart_type=chart_type)
 
 
+def batch(df: DataFrame, rows_per_batch: int = 65536) -> DataFrame:
+    """`batch <n>` (batch.cpp): re-chunk the stream into ~n-row units. The
+    Spark analog of a batch is a partition, so this repartitions to
+    ceil(count/n) partitions (one count job; at scale prefer tuning
+    spark.sql.files.maxPartitionBytes so the SCAN produces the right
+    granularity and no shuffle is needed at all)."""
+    import math
+
+    n = max(1, math.ceil(df.count() / max(rows_per_batch, 1)))
+    return df.repartition(n)
+
+
+def delay(batches, time_col: str = "ts", speed: float = 1.0, sleep=None):
+    """`delay` (delay.cpp:17-40): replay pacing — re-emit micro-batches
+    spaced by the time column's inter-batch gaps, scaled by ``speed``
+    (2.0 = twice as fast). A driver-side generator over (start_ts,
+    DataFrame) pairs: rows never pass through Python, only the batch
+    boundary timestamps do. Yields each DataFrame at its paced moment."""
+    import time as _time
+
+    _sleep = sleep or _time.sleep
+    prev_ts = None
+    for ts, df in batches:
+        if prev_ts is not None and speed > 0:
+            gap = (ts - prev_ts) / speed
+            if gap > 0:
+                _sleep(gap)
+        prev_ts = ts
+        yield df
+
+
 def version(spark: SparkSession) -> DataFrame:
     """One event describing the engine (version.cpp analog)."""
     import tenzir_spark
@@ -78,3 +109,70 @@ def show_schemas(spark: SparkSession, sf_dir: str, tables: list[str]) -> DataFra
             rows.append(Row(table=t, field=f.name, type=f.dataType.simpleString(),
                             nullable=f.nullable))
     return spark.createDataFrame(rows)
+
+
+def show(spark: SparkSession, aspect: str, table=None) -> DataFrame:
+    """Lake introspection aspects from the table manifests — the
+    reference's `show <aspect>` family (builtins/aspects/*.cpp exposes
+    partitions/fields/version/...; here the lake snapshot JSON already
+    holds everything, so every aspect is a driver-side manifest read, no
+    Spark job).
+
+    Aspects over a LakeTable:
+    - ``partitions``: one row per data file (path, kind, commit, bucket(s),
+      rows) — the reference's partition synopsis listing.
+    - ``fields``: one row per schema field of the current snapshot.
+    - ``properties``: flattened snapshot properties (watermarks etc.).
+    - ``snapshots``: one row per snapshot version (the time-travel log).
+    Global: ``version`` (no table needed).
+    """
+    import json
+
+    if aspect == "version":
+        return version(spark)
+    if table is None:
+        raise ValueError(f"aspect {aspect!r} needs a LakeTable")
+    if aspect == "partitions":
+        rows = [
+            Row(
+                path=e["path"],
+                kind=e.get("kind", "base"),
+                commit=int(e["commit"]),
+                buckets=[int(b) for b in e.get("buckets", [e.get("bucket")])],
+                rows=int(e.get("rows", -1)),
+            )
+            for e in table.snapshot()["files"]
+        ]
+        schema = "path string, kind string, commit long, buckets array<int>, rows long"
+        return spark.createDataFrame(rows, schema)
+    if aspect == "fields":
+        snap = table.snapshot()
+        rows = [
+            Row(field=f["name"], type=str(f["type"]), nullable=bool(f["nullable"]))
+            for f in snap["schema"]["fields"]
+        ]
+        return spark.createDataFrame(rows, "field string, type string, nullable boolean")
+    if aspect == "properties":
+        props = table.properties()
+        rows = [Row(key=k, value=json.dumps(v, sort_keys=True)) for k, v in sorted(props.items())]
+        return spark.createDataFrame(rows, "key string, value string")
+    if aspect == "snapshots":
+        rows = []
+        v = table.current_version()
+        for ver in range(v + 1):
+            s = table.snapshot(ver)
+            base = [e for e in s["files"] if e.get("kind", "base") == "base"]
+            deltas = [e for e in s["files"] if e.get("kind") == "delta"]
+            rows.append(Row(
+                version=ver,
+                parent=s.get("parent"),
+                n_base_files=len(base),
+                n_delta_files=len(deltas),
+                total_rows=sum(int(e.get("rows", 0)) for e in s["files"]),
+            ))
+        return spark.createDataFrame(
+            rows,
+            "version long, parent long, n_base_files long, n_delta_files long, total_rows long",
+        )
+    raise ValueError(f"unknown aspect {aspect!r} "
+                     "(partitions|fields|properties|snapshots|version)")

@@ -586,16 +586,16 @@ WITH sh AS (
 ),
 sig AS (
   SELECT id, sh,
-         [list_min([md5(CAST(h AS VARCHAR) || ':' || s) for s in sh])
+         [('0x' || substring(list_min([md5(CAST(h AS VARCHAR) || ':' || s) for s in sh]), 1, 15))::BIGINT
           for h in range(0, 16)] AS sig
   FROM sh
 ),
 banded AS (
   SELECT id, sh,
-         unnest([md5(sig[1] || ',' || sig[2] || ',' || sig[3] || ',' || sig[4]),
-                 md5(sig[5] || ',' || sig[6] || ',' || sig[7] || ',' || sig[8]),
-                 md5(sig[9] || ',' || sig[10] || ',' || sig[11] || ',' || sig[12]),
-                 md5(sig[13] || ',' || sig[14] || ',' || sig[15] || ',' || sig[16])]) AS band
+         unnest([('0x' || substring(md5(sig[1] || ',' || sig[2] || ',' || sig[3] || ',' || sig[4]), 1, 15))::BIGINT,
+                 ('0x' || substring(md5(sig[5] || ',' || sig[6] || ',' || sig[7] || ',' || sig[8]), 1, 15))::BIGINT,
+                 ('0x' || substring(md5(sig[9] || ',' || sig[10] || ',' || sig[11] || ',' || sig[12]), 1, 15))::BIGINT,
+                 ('0x' || substring(md5(sig[13] || ',' || sig[14] || ',' || sig[15] || ',' || sig[16]), 1, 15))::BIGINT]) AS band
   FROM sig
 ),
 small AS (
@@ -1075,6 +1075,34 @@ WHERE e.event_id < 5000
 """
 
 
+def q_enrich_range(spark, sf):
+    """Interval-containment enrich (geoip range-table pattern, without the
+    MaxMind dep): bucket-expanded broadcast equi-join vs the oracle's
+    plain BETWEEN join. Intervals cover ~70% of the value domain with
+    gaps, so null enrichment is exercised too."""
+    from tenzir_spark.operators.enrich import enrich_range
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 5000)
+    probe = ev.select("event_id", F.round(F.col("value") * 100).cast("long").alias("v"))
+    nation = load(spark, sf, "nation")
+    intervals = nation.select(
+        (F.col("n_nationkey") * 400).alias("lo"),
+        (F.col("n_nationkey") * 400 + 279).alias("hi"),
+        F.col("n_name").alias("range_label"),
+    )
+    return enrich_range(probe, intervals, "v")
+
+SQL_ENRICH_RANGE = """
+SELECT e.event_id, CAST(round(e.value * 100) AS BIGINT) AS v,
+       n.n_name AS range_label
+FROM events e
+LEFT JOIN nation n
+  ON CAST(round(e.value * 100) AS BIGINT) BETWEEN n.n_nationkey * 400
+     AND n.n_nationkey * 400 + 279
+WHERE e.event_id < 5000
+"""
+
+
 def q_bloom_membership(spark, sf):
     """Bloom-filter context (bloom_filter.cpp): JVM BloomFilter built over
     customer names, probed from orders. Sketch bit-patterns are
@@ -1267,6 +1295,7 @@ REGISTRY: dict[str, tuple] = {
     "reverse_enumerate": (q_reverse_enumerate, SQL_REVERSE),
     "repeat_n": (q_repeat, SQL_REPEAT),
     "enrich_subnet": (q_enrich_subnet, SQL_ENRICH_SUBNET),
+    "enrich_range": (q_enrich_range, SQL_ENRICH_RANGE),
     "bloom_membership": (q_bloom_membership, None),
     "yield_nested": (q_yield_nested, SQL_YIELD),
     "multimodal_features": (q_multimodal_features, None),

@@ -1,0 +1,201 @@
+"""Change-source connector interface: the Kafka-shaped front door.
+
+The reference's production CDC entry point is its kafka connector, whose
+load-bearing property is WHEN offsets advance: the consumer seeks to the
+last committed offset and commits new offsets only after the events are
+durable downstream (reference: plugins/kafka/src/configuration.cpp:73-125
+— manual commit, offsets stored out of the rebalance path; RFC-002's
+"restart from the last acknowledged position").
+
+This engine already stores that acknowledged position — the per-source-
+partition LSN watermark — ATOMICALLY in the lake snapshot, so a connector
+here is deliberately thin:
+
+- ``seek(offsets)`` positions the source strictly AFTER the committed
+  per-partition offsets (offset == LSN; for a real Kafka deployment the
+  producer stamps lsn = partition offset, making the mapping identity).
+- ``poll()`` yields the next micro-batch as a DataFrame in envelope shape
+  (lsn, epoch, part_id, op, payload...).
+- ``ack(offsets)`` reports positions the SINK has committed; a broker
+  impl forwards them (kafka commitAsync), a file impl prunes its replay
+  frontier. ack is advisory: crash-before-ack only widens redelivery,
+  which the watermark filter already absorbs.
+
+The file-log implementation is the sandbox stand-in for the broker; the
+simulated broker implementation exists to unit-test the offset protocol
+(redelivery, crash-before-ack, resume) without a broker. A real
+``readStream.format("kafka")`` impl would parse ``value`` into the same
+envelope and keep everything downstream unchanged.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class SourceBatch:
+    df: DataFrame
+    # highest offset per source partition CONTAINED in this batch; the
+    # sink's watermark after applying must be >= these for ack
+    end_offsets: dict[int, int]
+    batch_id: int
+
+
+class ChangeConnector:
+    """Interface. Implementations must be REPLAYABLE: after seek(o),
+    poll() must eventually redeliver every event with offset > o[part]."""
+
+    def seek(self, offsets: dict[int, int]) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    def poll(self) -> SourceBatch | None:  # pragma: no cover
+        raise NotImplementedError
+
+    def ack(self, offsets: dict[int, int]) -> None:
+        """Sink-committed positions (advisory)."""
+
+
+class FileLogConnector(ChangeConnector):
+    """The batch-directory change log as a connector. seek() prunes whole
+    batch directories whose every partition file's max lsn is at or below
+    the committed offset (parquet footer min/max — no data read), the
+    same skip a broker does by seeking."""
+
+    def __init__(self, spark: SparkSession, changes_dir: str):
+        self.spark = spark
+        self.batches = sorted(
+            p for p in glob.glob(os.path.join(changes_dir, "batch-*"))
+            if os.path.isdir(p) or p.endswith(".parquet")
+        )
+        self._pos = 0
+        self.acked: dict[int, int] = {}
+
+    def _batch_max_lsn(self, path: str) -> int:
+        import pyarrow.parquet as pq
+
+        files = [path] if path.endswith(".parquet") else glob.glob(
+            os.path.join(path, "*.parquet"))
+        mx = -1
+        for f in files:
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index("lsn")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    mx = max(mx, int(st.max))
+        return mx
+
+    def seek(self, offsets: dict[int, int]) -> None:
+        floor = min(offsets.values()) if offsets else -1
+        self._pos = 0
+        while (
+            self._pos < len(self.batches)
+            and self._batch_max_lsn(self.batches[self._pos]) <= floor
+        ):
+            self._pos += 1
+
+    def poll(self) -> SourceBatch | None:
+        if self._pos >= len(self.batches):
+            return None
+        path = self.batches[self._pos]
+        bid = self._pos
+        self._pos += 1
+        df = self.spark.read.parquet(path)
+        return SourceBatch(df=df, end_offsets={}, batch_id=bid)
+
+    def ack(self, offsets: dict[int, int]) -> None:
+        self.acked = dict(offsets)
+
+
+@dataclass
+class SimulatedBrokerConnector(ChangeConnector):
+    """In-memory partitioned log for protocol tests: records are
+    (part_id, lsn, op, payload-dict); poll() serves fixed-size batches
+    from the seek position, optionally re-delivering a suffix of the
+    previous batch (at-least-once broker behavior)."""
+
+    spark: SparkSession
+    records: list[dict]  # each: part_id, lsn, op, doc_id, tokens, n_tok, source
+    batch_size: int = 100
+    redeliver_last: int = 0  # events of the previous poll to deliver again
+    positions: dict[int, int] = field(default_factory=dict)
+    acked: dict[int, int] = field(default_factory=dict)
+    _cursor: int = 0
+    _batch_no: int = 0
+
+    def __post_init__(self):
+        self.records = sorted(self.records, key=lambda r: (r["lsn"]))
+
+    def seek(self, offsets: dict[int, int]) -> None:
+        self.positions = {int(k): int(v) for k, v in offsets.items()}
+        self._cursor = 0
+        while self._cursor < len(self.records):
+            r = self.records[self._cursor]
+            if r["lsn"] > self.positions.get(int(r["part_id"]), -1):
+                break
+            self._cursor += 1
+
+    def poll(self) -> SourceBatch | None:
+        if self._cursor >= len(self.records):
+            return None
+        start = max(self._cursor - self.redeliver_last, 0) if self._batch_no else self._cursor
+        chunk = self.records[start:self._cursor + self.batch_size]
+        self._cursor += self.batch_size
+        self._batch_no += 1
+        ends: dict[int, int] = {}
+        for r in chunk:
+            p = int(r["part_id"])
+            ends[p] = max(ends.get(p, -1), int(r["lsn"]))
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("lsn", T.LongType(), False),
+            T.StructField("epoch", T.IntegerType(), True),
+            T.StructField("part_id", T.IntegerType(), False),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("doc_id", T.StringType(), True),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ])
+        rows = [
+            (int(r["lsn"]), 0, int(r["part_id"]), r["op"], r.get("doc_id"),
+             r.get("tokens"), r.get("n_tok"), r.get("source"))
+            for r in chunk
+        ]
+        return SourceBatch(
+            df=self.spark.createDataFrame(rows, schema),
+            end_offsets=ends,
+            batch_id=self._batch_no - 1,
+        )
+
+    def ack(self, offsets: dict[int, int]) -> None:
+        self.acked = {int(k): int(v) for k, v in offsets.items()}
+
+
+def run_connector(runner, connector: ChangeConnector,
+                  max_batches: int | None = None) -> dict:
+    """Drive a connector through the idempotent micro-batch body. The
+    offset-commit protocol: seek from the TABLE's committed watermarks
+    (the durable source of truth), apply, then ack the table's NEW
+    watermarks — offsets thus advance only after the snapshot commit,
+    exactly the reference's manual-commit kafka discipline."""
+    runner.ensure_table()
+    connector.seek(runner.watermarks())
+    applied = 0
+    stats = []
+    while max_batches is None or applied < max_batches:
+        b = connector.poll()
+        if b is None:
+            break
+        st = runner.apply_batch_df(b.df, b.batch_id)
+        wm = {int(k): int(v) for k, v in runner.watermarks().items()}
+        connector.ack(wm)
+        stats.append(st)
+        applied += 1
+    return {"batches": applied, "batch_stats": stats}

@@ -235,3 +235,66 @@ def test_lineage_survives_cid_version_divergence(spark, changes_dir, tmp_path):
     m = r.read_metrics().toPandas()
     applied = m[m.batch_id == 2]["events_applied"].sum()
     assert applied > 0, "lineage must survive cid/version divergence"
+
+
+def test_winners_stats_mode_matches_oracle(spark, changes_dir, oracle, tmp_path):
+    """One-job stats mode: watermarks/lineage from the delta files' side
+    channel columns, no second scan — final state must equal the oracle
+    through replay, redelivery, and resume."""
+    import glob
+
+    wh = str(tmp_path / "wh")
+    r = IngestRunner(spark, wh, n_buckets=8, stats_mode="winners")
+    r.run(changes_dir)
+    assert_state_equal(_engine_state(r), oracle)
+    v = r.table.current_version()
+    # full redelivery: noop (exactly-once)
+    for i, p in enumerate(sorted(glob.glob(os.path.join(changes_dir, "batch-*")))):
+        r.apply_batch(p, 200 + i)
+    assert r.table.current_version() == v
+    assert_state_equal(_engine_state(r), oracle)
+    # resume over-replay from an earlier position
+    r2 = IngestRunner(spark, wh, n_buckets=8, stats_mode="winners")
+    r2.run(changes_dir, start_batch=2)
+    assert_state_equal(_engine_state(r2), oracle)
+    # watermarks identical to full mode's
+    rf = IngestRunner(spark, str(tmp_path / "wh_full"), n_buckets=8, stats_mode="full")
+    rf.run(changes_dir)
+    assert r.watermarks() == rf.watermarks()
+
+
+def test_winners_mode_single_action_per_batch(spark, changes_dir, tmp_path):
+    """The point of winners mode: ONE pass over the batch (the
+    collapse→write action; AQE materializes it as one job per query
+    stage) — full mode additionally runs the side-thread stats scan.
+    Measured via global job-id consumption, which covers all threads."""
+    import glob
+
+    batches = sorted(glob.glob(os.path.join(changes_dir, "batch-*")))
+    sc = spark.sparkContext
+
+    def probe_job_id(tag):
+        sc.setJobGroup(tag, tag)
+        spark.range(1).count()
+        ids = sc.statusTracker().getJobIdsForGroup(tag)
+        return max(ids)
+
+    def jobs_consumed(runner, path, bid, tag):
+        runner.finish_compaction()
+        before = probe_job_id(f"{tag}-before")
+        runner.apply_batch(path, bid)
+        runner.finish_compaction()
+        after = probe_job_id(f"{tag}-after")
+        return after - before - 1
+
+    rw = IngestRunner(spark, str(tmp_path / "whw"), n_buckets=8, stats_mode="winners")
+    rw.ensure_table()
+    rf = IngestRunner(spark, str(tmp_path / "whf"), n_buckets=8, stats_mode="full")
+    rf.ensure_table()
+    # batch 1 (batch 0 pays one-time schema/listing jobs)
+    jobs_for = {}
+    for tag, r in (("w", rw), ("f", rf)):
+        r.apply_batch(batches[0], 0)
+        jobs_for[tag] = jobs_consumed(r, batches[1], 1, tag)
+    assert jobs_for["w"] < jobs_for["f"], (
+        f"winners mode must consume fewer jobs ({jobs_for})")

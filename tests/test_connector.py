@@ -1,0 +1,142 @@
+"""Connector protocol: offsets (LSNs) advance only after the snapshot
+commit; redelivery and crash-before-ack are absorbed by the watermark
+filter (reference kafka semantics, plugins/kafka/src/configuration.cpp:
+73-125 manual-commit discipline)."""
+
+import os
+
+import pytest
+
+from tenzir_spark.cdc.runner import IngestRunner
+from tenzir_spark.sources.connector import (
+    FileLogConnector,
+    SimulatedBrokerConnector,
+    run_connector,
+)
+
+
+def _mk_records(n=600, parts=3, docs=80):
+    """Deterministic keyed log: doc -> partition by hash (keyed-topic
+    contract), every 7th op a delete, every 5th lsn redelivered later."""
+    import zlib
+
+    recs = []
+    for lsn in range(n):
+        doc = f"d{(lsn * 37) % docs}"
+        part = zlib.crc32(doc.encode()) % parts  # stable keyed routing
+        op = "delete" if lsn % 7 == 3 else ("insert" if lsn % 3 == 0 else "update")
+        recs.append({
+            "lsn": lsn, "part_id": part, "op": op, "doc_id": doc,
+            "tokens": [lsn % 50, (lsn * 3) % 50, part], "n_tok": 3,
+            "source": f"s{part}",
+        })
+    return recs
+
+
+def _oracle_state(records):
+    latest = {}
+    for r in sorted(records, key=lambda r: r["lsn"]):
+        if r["op"] == "delete":
+            latest.pop(r["doc_id"], None)
+        else:
+            latest[r["doc_id"]] = r
+    return {
+        k: (tuple(v["tokens"]), v["n_tok"], v["source"]) for k, v in latest.items()
+    }
+
+
+def _engine_map(runner):
+    return {
+        r["doc_id"]: (tuple(r["tokens"]), r["n_tok"], r["source"])
+        for r in runner.final_state().collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def records():
+    return _mk_records()
+
+
+def test_broker_replay_with_redelivery(spark, records, tmp_path):
+    """At-least-once broker (every poll redelivers a suffix of the prior
+    batch) must still converge to the in-order oracle exactly once."""
+    r = IngestRunner(spark, str(tmp_path / "wh"), n_buckets=8)
+    conn = SimulatedBrokerConnector(spark, records, batch_size=97,
+                                    redeliver_last=25)
+    out = run_connector(r, conn)
+    assert out["batches"] >= 6
+    assert _engine_map(r) == _oracle_state(records)
+    # offsets were acked only from committed watermarks
+    wm = {int(k): int(v) for k, v in r.watermarks().items()}
+    assert conn.acked == wm
+    for p, off in conn.acked.items():
+        ends = max(x["lsn"] for x in records if x["part_id"] == p)
+        assert off == ends
+
+
+def test_crash_before_ack_resumes_idempotently(spark, records, tmp_path):
+    """Stop after 2 batches WITHOUT acking further (simulated crash): a
+    fresh connector seeking from the table's committed watermarks must
+    redeliver the tail (and any overlap) and converge identically."""
+    wh = str(tmp_path / "wh")
+    r = IngestRunner(spark, wh, n_buckets=8)
+    conn = SimulatedBrokerConnector(spark, records, batch_size=100)
+    run_connector(r, conn, max_batches=2)
+    applied_mid = {int(k): int(v) for k, v in r.watermarks().items()}
+    assert applied_mid, "some progress must be committed"
+
+    # crash: new runner + new connector; seek comes from the TABLE state
+    r2 = IngestRunner(spark, wh, n_buckets=8)
+    conn2 = SimulatedBrokerConnector(spark, records, batch_size=100)
+    run_connector(r2, conn2)
+    assert _engine_map(r2) == _oracle_state(records)
+
+    # full re-run from scratch over the SAME table: every batch a noop
+    v = r2.table.current_version()
+    conn3 = SimulatedBrokerConnector(spark, records, batch_size=100)
+    conn3.seek({})  # ignore committed offsets: worst-case total replay
+    r3 = IngestRunner(spark, wh, n_buckets=8)
+    r3.ensure_table()
+    while (b := conn3.poll()) is not None:
+        r3.apply_batch_df(b.df, 900 + b.batch_id)
+    assert r3.table.current_version() == v, "total replay must be pure noop"
+    assert _engine_map(r3) == _oracle_state(records)
+
+
+def test_seek_skips_consumed_positions(spark, records):
+    """seek() must position strictly after the committed offsets."""
+    conn = SimulatedBrokerConnector(spark, records, batch_size=10**6)
+    offsets = {p: 199 for p in {r["part_id"] for r in records}}
+    conn.seek(offsets)
+    b = conn.poll()
+    lsns = [r["lsn"] for r in b.df.select("lsn").collect()]
+    assert min(lsns) == 200 and max(lsns) == max(r["lsn"] for r in records)
+
+
+def test_file_connector_prunes_consumed_batches(spark, tmp_path):
+    """FileLogConnector.seek skips whole batch files below the committed
+    frontier using parquet footer stats (no data read), and the driver
+    loop converges to the same state as IngestRunner.run."""
+    from tenzir_spark.cdc.changegen import generate_changes
+    from tenzir_spark.cdc.oracle import naive_replay
+
+    d = str(tmp_path / "chg")
+    generate_changes(d, n_events=4000, n_docs=500, n_parts=4, n_batches=5)
+    oracle = naive_replay(d)
+
+    wh = str(tmp_path / "wh")
+    r = IngestRunner(spark, wh, n_buckets=8)
+    conn = FileLogConnector(spark, d)
+    run_connector(r, conn, max_batches=3)
+
+    # resume: a fresh file connector must skip at least the fully-consumed
+    # leading batches
+    conn2 = FileLogConnector(spark, d)
+    conn2.seek(r.watermarks())
+    assert conn2._pos >= 1
+    r2 = IngestRunner(spark, wh, n_buckets=8)
+    run_connector(r2, conn2)
+
+    from tests.util import assert_state_equal
+
+    assert_state_equal(r2.final_state().toPandas(), oracle)

@@ -52,3 +52,56 @@ def test_gzip_lines_native(spark, tmp_path):
 
     got = sorted(r["line"] for r in read_lines(spark, str(p)).collect())
     assert got == ["alpha", "beta", "gamma"]
+
+
+def test_show_aspects_from_manifests(spark, tmp_path):
+    """`show partitions|fields|properties|snapshots` read straight from the
+    lake manifests (builtins/aspects parity) — contents must match the
+    snapshot JSON."""
+    import pyspark.sql.types as T
+    from tenzir_spark.lake.table import LakeTable
+    from tenzir_spark.operators.meta import show
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("n_tok", T.IntegerType(), True),
+    ])
+    t = LakeTable(str(tmp_path), "t_show")
+    t.create(schema, n_buckets=4, properties={"watermarks": {"0": 7}})
+    t.append(spark.createDataFrame([("a", 1), ("b", 2)], schema), "doc_id")
+
+    parts = show(spark, "partitions", t).toPandas()
+    assert len(parts) == len(t.snapshot()["files"])
+    assert set(parts["kind"]) == {"base"}
+    assert parts["rows"].sum() == 2
+
+    fields = {r["field"]: r["type"] for r in show(spark, "fields", t).collect()}
+    assert set(fields) == {"doc_id", "n_tok"}
+
+    props = {r["key"]: r["value"] for r in show(spark, "properties", t).collect()}
+    assert '"0": 7' in props["watermarks"]
+
+    snaps = show(spark, "snapshots", t).toPandas()
+    assert list(snaps["version"]) == [0, 1]
+    assert snaps.iloc[1]["total_rows"] == 2
+
+    assert show(spark, "version").count() == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        show(spark, "nope", t)
+
+
+def test_batch_and_delay(spark):
+    """batch resizes partitions; delay paces batch emission by the time
+    column scaled by speed (delay.cpp parity) without touching rows."""
+    from tenzir_spark.operators.meta import batch, delay
+
+    df = spark.range(1000)
+    assert batch(df, 100).rdd.getNumPartitions() == 10
+    assert batch(df, 10**6).rdd.getNumPartitions() == 1
+
+    slept = []
+    batches = [(0.0, "b0"), (10.0, "b1"), (11.0, "b2")]
+    out = list(delay(batches, speed=5.0, sleep=slept.append))
+    assert out == ["b0", "b1", "b2"]
+    assert slept == [2.0, 0.2]
