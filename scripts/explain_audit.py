@@ -30,6 +30,9 @@ AUDIT = {
     "select_project": ([r"ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double>"], []),
     "enrich_lookup": ([r"BroadcastHashJoin"], [r"SortMergeJoin"]),
     "enrich_subnet": ([r"BroadcastHashJoin"], [r"SortMergeJoin"]),
+    # range enrich must be the bucket-expanded EQUI-join, never the
+    # O(rows × intervals) BroadcastNestedLoopJoin a BETWEEN join plans to
+    "enrich_range": ([r"BroadcastHashJoin"], [r"BroadcastNestedLoopJoin|CartesianProduct"]),
     "dedup_exact": ([r"HashAggregate"], []),
     "summarize_resolution": ([r"HashAggregate"], []),
     "top_values": ([r"HashAggregate", r"TakeOrderedAndProject|Sort"], []),

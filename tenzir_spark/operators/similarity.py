@@ -67,27 +67,84 @@ def make_planes(dim: int, n_bits: int = 8, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_bits, dim))
 
 
+def rademacher_planes(dim: int, n_bits: int = 8) -> np.ndarray:
+    """±1 random-projection planes derived from md5(j:d) — engine-portable
+    (any engine with md5 reproduces the exact matrix, so the LSH bucket
+    assignment itself becomes oracle-checkable). Sign-random-projection
+    with Rademacher entries has the same cosine-LSH guarantee as gaussian
+    planes (standard result for sign random projections)."""
+    import hashlib
+
+    out = np.empty((n_bits, dim))
+    for j in range(n_bits):
+        for d in range(dim):
+            h = hashlib.md5(f"{j}:{d}".encode()).hexdigest()
+            out[j, d] = 1.0 if int(h[0], 16) >= 8 else -1.0
+    return out
+
+
 def cosine_topk_lsh(df: DataFrame, emb_col: str, id_col: str, query_vec,
-                    k: int = 20, n_bits: int = 6, seed: int = 42) -> DataFrame:
-    """ANN top-k: probe only the query's LSH bucket, exact re-rank inside.
-    (Recall < 1 by construction; multi-probe = also scan buckets at hamming
-    distance 1 — left as the documented scale knob.)"""
+                    k: int = 20, n_bits: int = 6, seed: int = 42,
+                    n_probe: int = 1, planes: np.ndarray | None = None) -> DataFrame:
+    """ANN top-k: probe the query's LSH bucket (plus, with ``n_probe`` > 1,
+    the nearest buckets at hamming distance 1 — multi-probe, the recall
+    knob), exact re-rank inside the probed set. Pass
+    ``planes=rademacher_planes(dim, n_bits)`` for an engine-portable
+    bucket assignment (oracle-checkable); default keeps the seeded
+    gaussian planes."""
     dim = len(query_vec)
-    planes = make_planes(dim, n_bits, seed)
+    if planes is None:
+        planes = make_planes(dim, n_bits, seed)
     qbits = sum((1 << j) for j, p in enumerate(planes) if float(np.dot(query_vec, p)) >= 0)
+    probes = [qbits]
+    if n_probe > 1:
+        # flip the bits whose projection magnitude is smallest (the
+        # boundaries the query is closest to) — classic multi-probe order
+        margins = sorted(
+            range(n_bits), key=lambda j: abs(float(np.dot(query_vec, planes[j])))
+        )
+        probes += [qbits ^ (1 << j) for j in margins[: n_probe - 1]]
     bucketed = df.withColumn("_bucket", lsh_bucket(emb_col, planes))
     return (
-        bucketed.filter(F.col("_bucket") == qbits)
+        bucketed.filter(F.col("_bucket").isin(probes))
         .select(F.col(id_col), F.round(cosine(F.col(emb_col), _vec_lit(query_vec)), 4).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
 
 
+def cosine_near_dup_pairs_lsh(df: DataFrame, emb_col: str, id_col: str,
+                              threshold: float = 0.9,
+                              planes: np.ndarray | None = None,
+                              n_bits: int = 8) -> DataFrame:
+    """Embedding near-duplicate pairs — the PRODUCTION path: bucket the
+    corpus once by sign-random-projection, self-join only within buckets
+    (expected bucket size n/2^bits, so candidate pairs are ~n²/2^bits
+    instead of n²), exact cosine re-check inside. High-cosine pairs agree
+    on most hyperplane signs, so recall at 0.9+ thresholds is high and
+    rises with fewer bits (the recall/cost knob; run R independent plane
+    sets and union for boosted recall). With ``rademacher_planes`` the
+    bucketing is engine-portable and oracle-checkable."""
+    if planes is None:
+        planes = rademacher_planes(
+            len(df.select(emb_col).head()[0]), n_bits)
+    base = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"),
+                     lsh_bucket(emb_col, planes).alias("_b"))
+    a, b = base.alias("a"), base.alias("b")
+    sim = cosine(F.col("a.e"), F.col("b.e"))
+    return (
+        a.join(b, on=(F.col("a._b") == F.col("b._b")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.round(sim, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def cosine_near_dup_pairs(df: DataFrame, emb_col: str, id_col: str,
                           threshold: float = 0.99, max_rows: int | None = None) -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold (brute-force
-    self-join; bound the input or LSH-bucket it first at scale)."""
+    self-join — the verification baseline for cosine_near_dup_pairs_lsh,
+    which is the scale path; bound the input here)."""
     base = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"))
     if max_rows:
         base = base.filter(F.col("id") < max_rows)

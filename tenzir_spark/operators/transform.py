@@ -117,6 +117,76 @@ def pseudonymize_ip(df: DataFrame, field: str, seed: str = "tenzir",
     return df.withColumn(out or f"{field}_pseudonymized", _anon(F.col(field)))
 
 
+_CODECS = {
+    "gzip": ("gzip", "compress", "decompress"),
+    "zlib": ("zlib", "compress", "decompress"),
+    "bz2": ("bz2", "compress", "decompress"),
+    "lzma": ("lzma", "compress", "decompress"),
+    "xz": ("lzma", "compress", "decompress"),
+}
+
+
+def _codec_fn(codec: str, direction: str):
+    """Resolve a (de)compression callable. zstd/lz4 are used when their
+    modules exist; the stdlib codecs always work (import-try gating, no
+    hard deps)."""
+    if codec in ("zstd", "zstandard"):
+        try:
+            import zstandard  # noqa: F401
+
+            if direction == "compress":
+                return lambda b: zstandard.ZstdCompressor().compress(b)
+            return lambda b: zstandard.ZstdDecompressor().decompress(b)
+        except ImportError as e:
+            raise ValueError("zstd codec needs the zstandard module") from e
+    if codec == "lz4":
+        try:
+            import lz4.frame
+
+            return lz4.frame.compress if direction == "compress" else lz4.frame.decompress
+        except ImportError as e:
+            raise ValueError("lz4 codec needs the lz4 module") from e
+    if codec not in _CODECS:
+        raise ValueError(f"unknown codec {codec!r} ({sorted(_CODECS)} + zstd/lz4)")
+    mod, comp, decomp = _CODECS[codec]
+    import importlib
+
+    m = importlib.import_module(mod)
+    return getattr(m, comp if direction == "compress" else decomp)
+
+
+def compress_field(df: DataFrame, field: str, codec: str = "gzip",
+                   out: str | None = None) -> DataFrame:
+    """``compress <codec>`` (compress.cpp wraps a byte stream in a codec;
+    here per-VALUE compression of a binary/string column). Arrow-batched
+    pandas UDF — the codec is C-backed, Python touches only the buffer
+    objects."""
+    from pyspark.sql import types as T
+
+    fn = _codec_fn(codec, "compress")
+
+    @F.pandas_udf(T.BinaryType())
+    def _comp(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else fn(
+            v if isinstance(v, (bytes, bytearray)) else str(v).encode()))
+
+    return df.withColumn(out or f"{field}_{codec}", _comp(F.col(field)))
+
+
+def decompress_field(df: DataFrame, field: str, codec: str = "gzip",
+                     out: str | None = None) -> DataFrame:
+    """``decompress <codec>`` — inverse of compress_field."""
+    from pyspark.sql import types as T
+
+    fn = _codec_fn(codec, "decompress")
+
+    @F.pandas_udf(T.BinaryType())
+    def _decomp(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else fn(bytes(v)))
+
+    return df.withColumn(out or f"{field}_raw", _decomp(F.col(field)))
+
+
 def parse_grok_field(df: DataFrame, field: str, pattern: str,
                      names: list[str]) -> DataFrame:
     """grok-lite (libtenzir/builtins/formats/grok.cpp): a regex with capture

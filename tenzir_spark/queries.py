@@ -7,8 +7,11 @@ sides; floats are rounded on both sides; timestamps are emitted as
 formatted strings — the driver compares row count + schema + an
 order-insensitive value hash.
 
-Queries marked ``sql=None`` are non-SQL-expressible (custom vectorized
-UDFs, seeded-random LSH planes) and get the driver's rows-only check.
+Queries marked ``sql=None`` are non-SQL-expressible (vectorized UDFs on
+uint64-wraparound arithmetic, siphash-based sketches, stub decoders) and
+get the driver's rows-only check; LSH entries use engine-portable
+md5-derived Rademacher planes so even the approximate paths are
+value-exact.
 """
 
 from __future__ import annotations
@@ -767,13 +770,71 @@ FROM events WHERE event_id < 2000
 """
 
 
-# ---- rows-only (non-SQL-expressible: vectorized UDFs / seeded LSH planes)
+def _rademacher_sql_lists(n_bits=4, dim=64):
+    import hashlib
+
+    lists = []
+    for j in range(n_bits):
+        vals = [
+            "1.0" if int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[0], 16) >= 8
+            else "-1.0"
+            for d in range(dim)
+        ]
+        lists.append("[" + ", ".join(vals) + "]::DOUBLE[]")
+    return lists
+
+_ANN_PLANES = _rademacher_sql_lists()
+_ANN_BUCKET = " + ".join(
+    f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {p}) >= 0 THEN {1 << j} ELSE 0 END)"
+    for j, p in enumerate(_ANN_PLANES)
+)
+
+def q_cosine_pairs_lsh(spark, sf):
+    """LSH-bucketed near-dup pairs — the scale path twin of the
+    brute-force cosine_near_dup baseline, value-checked end-to-end via
+    the same portable Rademacher bucketing the ANN oracle uses."""
+    em = load(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    planes = sim.rademacher_planes(64, n_bits=4)
+    return sim.cosine_near_dup_pairs_lsh(em, "embedding", "vec_id",
+                                         threshold=0.3, planes=planes)
+
+SQL_COSINE_PAIRS_LSH = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_ANN_BUCKET} AS bucket
+  FROM embeddings WHERE vec_id < 200
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.3
+"""
+
+
+# ---- rows-only (non-SQL-expressible: vectorized UDFs / stub decoders)
 
 
 def q_ann_lsh(spark, sf):
+    """ANN LSH top-k with ENGINE-PORTABLE ±1 (Rademacher) hyperplanes
+    derived from md5(j:d): the bucket assignment — the part that makes
+    LSH "approximate" — is itself replayed exactly by the oracle, so the
+    whole probe+re-rank pipeline is value-checked, not rows-only."""
     em = load(spark, sf, "embeddings")
     qvec = em.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return sim.cosine_topk_lsh(em, "embedding", "vec_id", qvec, k=20, n_bits=4)
+    planes = sim.rademacher_planes(len(qvec), n_bits=4)
+    return sim.cosine_topk_lsh(em, "embedding", "vec_id", qvec, k=20,
+                               n_bits=4, planes=planes)
+
+
+SQL_ANN_LSH = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_ANN_BUCKET} AS bucket FROM embeddings
+),
+q AS (SELECT bucket, embedding FROM b WHERE vec_id = 0)
+SELECT b.vec_id,
+       round(list_cosine_similarity(b.embedding, (SELECT embedding FROM q)), 4) AS cos_sim
+FROM b WHERE b.bucket = (SELECT bucket FROM q)
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
+"""
 
 
 def q_token_fingerprint(spark, sf):
@@ -1279,11 +1340,12 @@ REGISTRY: dict[str, tuple] = {
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
     "cosine_near_dup": (q_cosine_pairs, SQL_COSINE_PAIRS),
+    "cosine_near_dup_lsh": (q_cosine_pairs_lsh, SQL_COSINE_PAIRS_LSH),
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH),
     "median_exact": (q_median_exact, SQL_MEDIAN_EXACT),
     "parse_kv": (q_parse_kv, SQL_PARSE_KV),
     "parse_grok": (q_parse_grok, SQL_PARSE_GROK),
-    "ann_lsh_topk": (q_ann_lsh, None),
+    "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
     "token_fingerprint_udf": (q_token_fingerprint, None),
     "parse_syslog3164": (q_parse_syslog, SQL_PARSE_SYSLOG),
     "parse_syslog5424": (q_parse_syslog5424, SQL_PARSE_SYSLOG5424),

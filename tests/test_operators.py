@@ -37,7 +37,7 @@ def test_query_matches_oracle(spark, sf_dir, ddb, name):
 
 
 def test_rows_only_queries_run(spark, sf_dir):
-    for name in ["ann_lsh_topk", "token_fingerprint_udf", "approx_median"]:
+    for name in ["pseudonymize_ip", "token_fingerprint_udf", "approx_median"]:
         fn, sql = REGISTRY[name]
         assert sql is None
         assert fn(spark, sf_dir).count() > 0
@@ -80,3 +80,27 @@ def test_global_numbering_is_distributed_and_exact(spark, sf_dir):
     rows = {r["event_id"]: r["idx"] for r in out.collect()}
     for i, eid in enumerate(sorted(rows)):
         assert rows[eid] == i
+
+
+def test_ann_lsh_multiprobe_improves_recall(spark, sf_dir):
+    """Multi-probe (hamming-1 neighbor buckets, smallest-margin first)
+    must be a superset-or-equal candidate pool: recall vs the exact top-k
+    is monotone in n_probe and reaches 1.0 when probing all buckets."""
+    from tenzir_spark.operators.similarity import (
+        cosine_topk, cosine_topk_lsh, rademacher_planes)
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = em.filter("vec_id = 0").select("embedding").head()[0]
+    exact = {r["vec_id"] for r in cosine_topk(em, "embedding", "vec_id", qvec, k=10).collect()}
+    planes = rademacher_planes(len(qvec), n_bits=3)
+
+    recalls = []
+    for n_probe in (1, 2, 4):  # 4 = self + all hamming-1 neighbors of 3 bits
+        got = {r["vec_id"] for r in cosine_topk_lsh(
+            em, "embedding", "vec_id", qvec, k=10, n_bits=3,
+            planes=planes, n_probe=n_probe).collect()}
+        recalls.append(len(got & exact) / len(exact))
+        assert 0 in got, "query's own bucket always contains the query"
+    assert recalls == sorted(recalls), f"recall must be monotone: {recalls}"
+    assert recalls[-1] > recalls[0] or recalls[0] == 1.0, (
+        "widening the probe set must help unless recall is already 1")
