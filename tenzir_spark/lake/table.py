@@ -72,12 +72,6 @@ class LakeTable:
         # compaction thread overlaps the ingest thread (single process)
         self._lock = threading.RLock()
         self._next_cid: int | None = None
-        # delta cids allocated but not yet published (manifest not swapped).
-        # compact() consults this set: a delta whose cid is LOWER than the
-        # fold's cid but which publishes after the fold pinned its snapshot
-        # would lose LWW to the folded base (lost update / tombstone
-        # resurrection) — the fold aborts instead.
-        self._inflight_deltas: set[int] = set()
 
     def _alloc_commit_id(self) -> int:
         """Commit ids name data directories (``_commit=<id>``) and define
@@ -200,11 +194,15 @@ class LakeTable:
         if not file_entries:
             return spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, e["path"]) for e in file_entries]
-        return (
+        out = (
             spark.read.schema(schema)
             .option("basePath", self.data_dir)
             .parquet(*paths)
         )
+        # base files live under ``base=<cid>/_bucket=K/`` with ``_commit``
+        # PHYSICAL (per-row original commit, preserved by folds); the
+        # ``base`` partition column discovery appends is dropped here
+        return out.drop("base") if "base" in out.columns else out
 
     @staticmethod
     def _split_entries(entries: list[dict]) -> tuple[list[dict], list[dict]]:
@@ -275,11 +273,25 @@ class LakeTable:
         """Write ``df`` (must carry ``_bucket``) as the data files of commit
         ``commit_version``; returns manifest entries. The repartition on
         ``_bucket`` clusters each bucket into one task so the writer emits
-        ~one file per bucket (bounded file counts at scale)."""
-        commit_dir = os.path.join(self.data_dir, f"{COMMIT_COL}={commit_version}")
+        ~one file per bucket (bounded file counts at scale).
+
+        ``_commit`` is a PHYSICAL column in base files (directory is the
+        non-partition name ``commit-<id>``): a compaction fold preserves
+        each winner's ORIGINAL commit id, which is what makes the
+        concurrent-fold rebase unconditionally sound — any delta that
+        lands during the fold (whatever its cid) still resolves against
+        the folded rows by the true per-row LWW order, so the fold never
+        needs to abort and background compaction cannot livelock under
+        continuous ingest. Rows without a ``_commit`` column (fresh
+        appends/merges) get the constant ``commit_version``."""
+        commit_dir = os.path.join(self.data_dir, f"base={commit_version}")
+        if COMMIT_COL not in df.columns:
+            df = df.withColumn(COMMIT_COL, F.lit(commit_version).cast("long"))
         n_parts = max(1, min(self.n_buckets(), int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))))
         (
-            df.repartition(n_parts, BUCKET_COL)
+            df.select(*[c for c in df.columns if c != BUCKET_COL], BUCKET_COL)
+            .withColumn(COMMIT_COL, F.col(COMMIT_COL).cast("long"))
+            .repartition(n_parts, BUCKET_COL)
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(commit_dir)
@@ -340,29 +352,12 @@ class LakeTable:
         ``cid`` is the data-commit id actually written into the manifest
         entries — callers that need per-commit lineage must match on it,
         NOT on the snapshot version (the two counters diverge as soon as
-        any commit aborts).
+        any commit aborts). Concurrent with compact(): safe for any
+        interleaving, because the fold preserves original per-row commit
+        ids (see write_commit_files) — this delta's rows resolve by true
+        LWW order regardless of when the fold publishes.
         """
-        with self._lock:
-            cid = self._alloc_commit_id()
-            self._inflight_deltas.add(cid)
-        try:
-            return self._delta_commit_inner(
-                df, cid, schema=schema, properties=properties,
-                allow_noop_abort=allow_noop_abort,
-            )
-        finally:
-            with self._lock:
-                self._inflight_deltas.discard(cid)
-
-    def _delta_commit_inner(
-        self,
-        df: DataFrame,
-        cid: int,
-        *,
-        schema: T.StructType,
-        properties,
-        allow_noop_abort: bool,
-    ) -> tuple[int | None, dict]:
+        cid = self._alloc_commit_id()
         commit_dir = os.path.join(self.data_dir, f"{COMMIT_COL}={cid}")
         sel = [
             *[F.col(f.name).cast(f.dataType) for f in schema.fields],
@@ -466,15 +461,14 @@ class LakeTable:
         since the pinned snapshot (newer deltas) are carried over untouched,
         and their higher commit ids still win LWW over the folded base.
 
-        The rebase is only sound for deltas whose cid is HIGHER than the
-        fold's: a delta that allocated its cid before the fold did but
-        published its files during the fold window would lose LWW to the
-        folded base and be silently dropped (lost update / tombstone
-        resurrection). At the swap we therefore ABORT the fold — delete
-        the new base files, keep the old deltas — if any rebased entry, or
-        any still-in-flight delta, carries a cid below the fold's. The
-        debt stays and the next compaction retries; correctness is never
-        traded for the fold."""
+        The rebase is sound for ANY interleaving because the folded base
+        preserves each winner's ORIGINAL ``_commit`` (see
+        write_commit_files): a delta that allocated its cid before the
+        fold but published mid-fold still wins/loses against the folded
+        rows by the true per-row commit order — nothing is lost, nothing
+        resurrects, and the fold never aborts (an abort-on-conflict
+        scheme livelocks under continuous ingest, where some delta is
+        almost always in flight)."""
         with self._lock:
             snap = self.snapshot()
             cid = self._alloc_commit_id()
@@ -490,23 +484,13 @@ class LakeTable:
         hot_base = [e for e in base if e["bucket"] in hot]
         resolved = self._resolve(spark, hot_base, deltas, schema, key)
         new_files = self.write_commit_files(
-            resolved.select(*[f.name for f in schema.fields], BUCKET_COL), cid
+            resolved.select(*[f.name for f in schema.fields], BUCKET_COL, COMMIT_COL),
+            cid,
         )
         with self._lock:
             head = self.snapshot()
             pinned = {e["path"] for e in snap["files"]}
             added_since = [e for e in head["files"] if e["path"] not in pinned]
-            stale = any(e["commit"] < cid for e in added_since) or any(
-                c < cid for c in self._inflight_deltas
-            )
-            if stale:
-                import shutil
-
-                shutil.rmtree(
-                    os.path.join(self.data_dir, f"{COMMIT_COL}={cid}"),
-                    ignore_errors=True,
-                )
-                return None
             return self.commit(
                 cold_base + new_files + added_since,
                 T.StructType.fromJson(head["schema"]),  # may have evolved

@@ -99,60 +99,65 @@ def _delta_df(spark, t, rows):
     )
 
 
-def test_compaction_aborts_on_inflight_lower_cid_delta(spark, tmp_path):
-    """Lost-update race guard: a delta whose cid was allocated BEFORE the
-    fold's but which publishes during/after the fold window must not lose
-    LWW to the folded base — the fold aborts, the late delta lands, and
-    the read reflects it."""
+def test_concurrent_fold_preserves_lower_cid_delta(spark, tmp_path):
+    """Lost-update race: a delta whose cid was allocated BEFORE the fold's
+    but which publishes only after the fold pinned its snapshot must still
+    win LWW — the folded base preserves per-row ORIGINAL commit ids, so
+    the rebase is sound for any interleaving (no abort, no livelock)."""
     t = LakeTable(str(tmp_path), "t6")
     t.create(SCHEMA, n_buckets=4)
     t.delta_commit(_delta_df(spark, t, [("a", [1], 1, "web")]),
                    schema=SCHEMA, properties={})
-    # simulate an in-flight delta: cid allocated, files not yet published
-    with t._lock:
-        cid = t._alloc_commit_id()
-        t._inflight_deltas.add(cid)
-    assert t.compact(spark) is None, "fold must abort while a lower-cid delta is in flight"
-    assert t.delta_pressure()["delta_commits"] == 1, "deltas must survive the abort"
-    # the delayed delta now publishes (an update of key a) and must win
+    orig_write = t.write_commit_files
+    raced = {}
+
+    def write_then_publish(df, commit_version):
+        out = orig_write(df, commit_version)
+        # a delta that allocated earlier (lower cid than the fold's)
+        # publishes while the fold is between write and swap
+        raced["v"], _ = LakeTable.delta_commit(
+            t, _delta_df(spark, t, [("a", [7, 7], 2, "code")]),
+            schema=SCHEMA, properties={})
+        return out
+
+    # simulate the delta having allocated its cid BEFORE the fold
+    low_cid = t._alloc_commit_id()
+    t._next_cid = low_cid  # the mid-fold delta will reuse this lower cid
+    t.write_commit_files = write_then_publish
     try:
-        t._delta_commit_inner(
-            _delta_df(spark, t, [("a", [7, 7], 2, "code")]), cid,
-            schema=SCHEMA, properties={}, allow_noop_abort=False)
+        v = t.compact(spark)
     finally:
-        t._inflight_deltas.discard(cid)
+        t.write_commit_files = orig_write
+    assert v is not None, "fold must complete (no abort)"
     rows = {r["doc_id"]: r for r in t.read(spark).collect()}
-    assert rows["a"]["tokens"] == [7, 7]
-    # with nothing in flight the fold now succeeds
+    assert rows["a"]["tokens"] == [7, 7], "mid-fold delta must not be lost"
+    # second fold absorbs the raced delta too
     assert t.compact(spark) is not None
     assert t.delta_pressure()["delta_commits"] == 0
     rows = {r["doc_id"]: r for r in t.read(spark).collect()}
     assert rows["a"]["tokens"] == [7, 7]
 
 
-def test_compaction_aborts_on_published_lower_cid_delta(spark, tmp_path):
-    """Same race, other interleaving: the lower-cid delta publishes while
-    the fold is writing — the swap sees it in added_since and aborts."""
+def test_fold_preserves_original_commit_order(spark, tmp_path):
+    """Folded base rows keep their original _commit: an UPDATE delta
+    written after the fold pinned (higher cid) wins; a fold never
+    promotes old rows above later deltas (tombstone-resurrection guard)."""
+    from pyspark.sql import functions as F
+
     t = LakeTable(str(tmp_path), "t7")
     t.create(SCHEMA, n_buckets=4)
-    t.delta_commit(_delta_df(spark, t, [("a", [1], 1, "web")]),
+    t.delta_commit(_delta_df(spark, t, [("a", [1], 1, "web"), ("b", [2], 1, "web")]),
                    schema=SCHEMA, properties={})
-    with t._lock:
-        cid = t._alloc_commit_id()  # delta allocates first (lower cid)
-    orig_write = t.write_commit_files
-
-    def write_then_publish(df, commit_version):
-        out = orig_write(df, commit_version)
-        # the in-flight delta lands mid-fold with its LOWER cid
-        t._delta_commit_inner(
-            _delta_df(spark, t, [("a", [5], 1, "wiki")]), cid,
-            schema=SCHEMA, properties={}, allow_noop_abort=False)
-        return out
-
-    t.write_commit_files = write_then_publish
-    try:
-        assert t.compact(spark) is None
-    finally:
-        t.write_commit_files = orig_write
-    rows = {r["doc_id"]: r for r in t.read(spark).collect()}
-    assert rows["a"]["tokens"] == [5], "mid-fold delta must not be lost"
+    t.delta_commit(_delta_df(spark, t, [("a", [3], 1, "wiki")]),
+                   schema=SCHEMA, properties={})
+    assert t.compact(spark) is not None
+    base = t.read(spark)
+    commits = {r["doc_id"]: r["_commit"] for r in base.collect()}
+    assert commits["a"] > commits["b"], "winner keeps its ORIGINAL commit"
+    # a delete after the fold must not resurrect
+    tomb = _delta_df(spark, t, [("a", None, None, None)]).withColumn(
+        "_deleted", F.lit(True))
+    t.delta_commit(tomb, schema=SCHEMA, properties={})
+    assert {r["doc_id"] for r in t.read(spark).collect()} == {"b"}
+    assert t.compact(spark) is not None
+    assert {r["doc_id"] for r in t.read(spark).collect()} == {"b"}
