@@ -81,7 +81,7 @@ def main() -> None:
         if os.path.exists(wh):
             shutil.rmtree(wh)
         runner = IngestRunner(spark, wh, n_buckets=64, async_compact=True,
-                              stats_mode="winners")
+                              stats_mode=os.environ.get("BENCH_STATS_MODE", "full"))
         stats = runner.run(changes)
         timings["cdc_ingest"] = round(stats["wall_sec"], 3)
         extra["cdc_events_per_sec"] = round(stats["events_per_sec"], 1)

@@ -44,14 +44,18 @@ def main() -> None:
                    help="local-mode heap. Measured: oversizing (48g) is 3x "
                         "SLOWER than 8-12g here (G1 region sizing + cold "
                         "pages); don't throw memory at local mode")
-    p.add_argument("--stats-mode", default="winners", choices=["winners", "full"],
-                   help="'winners' (default): ONE Spark job per batch — "
-                        "watermarks/lineage come from the delta files' "
-                        "side-channel columns; exact under keyed routing, "
-                        "which the changegen guarantees. 'full': a second "
-                        "column-pruned stats job per batch; exact for any "
-                        "event→partition assignment and counts stale "
-                        "redeliveries in per-partition metrics.")
+    p.add_argument("--stats-mode", default="full", choices=["winners", "full"],
+                   help="'full' (default): a column-pruned stats job per "
+                        "batch overlapped with the write in a side thread; "
+                        "exact for any event->partition assignment. "
+                        "'winners': ONE Spark job per batch — watermarks/"
+                        "lineage ride the delta files' side-channel "
+                        "columns; exact under keyed routing, and measured "
+                        "faster when the payload dominates the row (heavy "
+                        "token arrays) — the side-channel bytes and the "
+                        "driver's footer read are then noise. On small-"
+                        "payload/many-key batches full wins (A/B numbers "
+                        "in BASELINE.md).")
     p.add_argument("--async-compact", action="store_true",
                    help="fold merge-on-read debt in a background thread "
                         "(commit rebase keeps newer deltas); hides the "

@@ -52,7 +52,7 @@ def main() -> None:
                       extra_conf={"spark.local.dir": "/dev/shm/endurance_local"})
 
     runner = IngestRunner(spark, args.warehouse, n_buckets=128, async_compact=True,
-                          stats_mode="winners")
+                          stats_mode=os.environ.get("ENDURANCE_STATS", "full"))
     t0 = time.monotonic()
     stats = runner.run(args.changes)
     wall = time.monotonic() - t0

@@ -399,15 +399,24 @@ class IngestRunner:
                 os.path.join(self.table.root, e["path"]),
                 columns=[PART_COL, LSN_COL, NEV_COL],
             )
-            parts = tbl[PART_COL].to_numpy(zero_copy_only=False)
-            lsns = tbl[LSN_COL].to_numpy(zero_copy_only=False)
-            nevs = tbl[NEV_COL].to_numpy(zero_copy_only=False)
-            for p in np.unique(parts):
-                m = parts == p
+            parts = tbl[PART_COL].to_numpy(zero_copy_only=False).astype(np.int64)
+            lsns = tbl[LSN_COL].to_numpy(zero_copy_only=False).astype(np.int64)
+            nevs = tbl[NEV_COL].to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(parts):
+                continue
+            # single-pass grouped reductions (bincount / scatter-max):
+            # with millions of winner rows a per-partition mask loop costs
+            # ~1 s of driver time per batch — this is ~10 ms
+            n = int(parts.max()) + 1
+            cnt = np.bincount(parts, minlength=n)
+            nev_sum = np.bincount(parts, weights=nevs, minlength=n).astype(np.int64)
+            mx = np.full(n, -1, dtype=np.int64)
+            np.maximum.at(mx, parts, lsns)
+            for p in np.nonzero(cnt)[0]:
                 pi = int(p)
-                applied[pi] = applied.get(pi, 0) + int(m.sum())
-                fresh[pi] = fresh.get(pi, 0) + int(nevs[m].sum())
-                wmax[pi] = max(wmax.get(pi, -1), int(lsns[m].max()))
+                applied[pi] = applied.get(pi, 0) + int(cnt[p])
+                fresh[pi] = fresh.get(pi, 0) + int(nev_sum[p])
+                wmax[pi] = max(wmax.get(pi, -1), int(mx[p]))
         return {"applied": applied, "fresh": fresh, "wmax": wmax}
 
     def _write_metrics(self, rows: list[tuple], batch_id: int) -> None:

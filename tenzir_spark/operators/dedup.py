@@ -41,33 +41,43 @@ def _md5_60bit(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+# universal-hash parameters for the minhash permutation family:
+# h_i(x) = (a_i * x + b_i) mod P over the 32-bit base hash. a_i is 31-bit
+# odd and x 32-bit, so a_i*x + b_i < 2^63 — no signed-int64 overflow, and
+# the identical arithmetic runs in any engine (DuckDB oracle replays it).
+_MINHASH_P = (1 << 61) - 1  # Mersenne prime
+def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"perm:{i}".encode()).digest()
+        a = (int.from_bytes(d[:4], "big") | 1) & 0x7FFFFFFF
+        b = int.from_bytes(d[4:8], "big")
+        out.append((a, b))
+    return out
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as an array of int64: element i is the 60-bit
-    prefix of the lexicographic-min md5 of (i || shingle). String-min
-    over full md5 equals numeric-min over the 60-bit prefixes (hex order
-    IS numeric order; ties on the prefix convert identically), so the
-    conversion runs once per SIGNATURE ELEMENT, not once per shingle —
-    the per-shingle hot loop stays a bare codegen'd md5, while shuffle
-    rows downstream carry 8-byte ints instead of 32-char strings."""
-    return F.array(
-        *[
-            F.conv(
-                F.substring(
-                    F.array_min(
-                        F.transform(
-                            shingles,
-                            lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            for i in range(num_hashes)
-        ]
+    """MinHash signature as an array of int64: ONE md5 per shingle (its
+    first 8 hex chars as a uint32 base hash), then ``num_hashes``
+    universal-hash permutations h_i(x) = (a_i·x + b_i) mod 2^61-1 with
+    md5-derived constants — 16× less hashing than an md5 per (i, shingle)
+    while keeping every operation bit-replayable in the DuckDB oracle.
+    Min over a universal hash family is the standard minhash
+    construction (Broder; a_i odd, pairwise-independent family)."""
+    # NOTE: permutation constants must be captured via a closure FACTORY —
+    # a `lambda x, a=a:` default param would be interpreted by pyspark as
+    # the higher-order function's (element, index) signature and silently
+    # shadow `a` with the array index
+    def _perm(a: int, b: int):
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)
+
+    params = _minhash_params(num_hashes)
+    base = F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
     )
+    return F.array(*[F.array_min(F.transform(base, _perm(a, b))) for a, b in params])
 
 
 def lsh_bands(signature: Column, num_hashes: int, bands: int) -> Column:
@@ -122,11 +132,44 @@ def minhash_near_dup_pairs(
         F.col(id_col).alias("id"),
         char_shingles(F.col(text_col), k).alias("sh"),
     ).filter(F.size("sh") >= k)  # drop degenerate docs
-    banded = sh_tbl.select(
+    # ONE md5 per (doc, shingle), guaranteed: the base-hash array is
+    # computed in the projection FEEDING an exchange, so every downstream
+    # branch (bucket counts, both self-join sides) reuses the shuffle
+    # files (ReusedExchange) instead of re-hashing — and the 16
+    # permutations are cheap affine maps over the materialized ints.
+    # (A plain multi-column projection would be CollapseProject-inlined
+    # 16×; a per-shingle explode+groupBy costs a 2-orders-larger shuffle.)
+    def _perm(a: int, b: int):
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)
+
+    params = _minhash_params(num_hashes)
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    hashed = sh_tbl.select(
         "id",
-        F.explode(
-            lsh_bands(minhash_signature(F.col("sh"), num_hashes), num_hashes, bands)
-        ).alias("band"),
+        F.transform(
+            "sh", lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        ).alias("hb"),
+    ).repartition(n_parts, "id")
+    sig = F.array(*[F.array_min(F.transform("hb", _perm(a, b))) for a, b in params])
+    rows = num_hashes // bands
+    band_keys = F.array(
+        *[
+            _md5_60bit(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(F.col("_sig"), j + 1).cast("string")
+                        for j in range(b * rows, (b + 1) * rows)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    # the band self-join carries ONLY (id, band) — shingles re-attach
+    # post-candidate, so the quadratic step never shuffles payloads
+    banded = hashed.withColumn("_sig", sig).select(
+        "id", F.explode(band_keys).alias("band")
     )
     small = banded.join(
         banded.groupBy("band").count().filter(F.col("count") <= max_bucket).select("band"),
@@ -139,9 +182,19 @@ def minhash_near_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_a = sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    # re-attach shingles for verification ONLY for candidate ids: the
+    # broadcast semi-join reaches the scan BEFORE the shingle expression,
+    # so the (dominant) array construction runs over the handful of
+    # candidates instead of the whole corpus a second and third time
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
+    sh_cand = sh_tbl.join(F.broadcast(cand_ids), on="id", how="left_semi")
+    sh_a = sh_cand.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh_cand.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # candidate set is small by construction (bucket-pruned) — broadcast
+    # it so the verification is two broadcast joins, not a shuffle chain
+    pairs = F.broadcast(cand).join(sh_a, "id_a").join(sh_b, "id_b")
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
         pairs.withColumn("jaccard", F.round(jac, 4))

@@ -578,7 +578,18 @@ def q_minhash_pairs(spark, sf):
     return dd.minhash_near_dup_pairs(docs, "doc_id", "text", k=5, num_hashes=16,
                                      bands=4, jaccard_threshold=0.5)
 
-SQL_MINHASH_PAIRS = """
+from tenzir_spark.operators.dedup import _MINHASH_P, _minhash_params
+
+_MH_PARAMS = _minhash_params(16)
+_MH_MINS = ",\n         ".join(
+    f"min((h * {a} + {b}) % {_MINHASH_P}) AS m{i}"
+    for i, (a, b) in enumerate(_MH_PARAMS)
+)
+def _mh_band(b):
+    cols = " || ',' || ".join(f"m{j}" for j in range(b * 4, b * 4 + 4))
+    return f"('0x' || substring(md5({cols}), 1, 15))::BIGINT"
+_MH_BANDS = ",\n                 ".join(_mh_band(b) for b in range(4))
+SQL_MINHASH_PAIRS = f"""
 WITH sh AS (
   SELECT doc_id AS id,
          list_distinct([substring(text, CAST(i AS INT), 5)
@@ -587,18 +598,17 @@ WITH sh AS (
   WHERE len(list_distinct([substring(text, CAST(i AS INT), 5)
                            for i in range(1, greatest(length(text) - 4, 1) + 1)])) >= 5
 ),
+hx AS (
+  SELECT id, ('0x' || substring(md5(unnest(sh)), 1, 8))::BIGINT AS h FROM sh
+),
 sig AS (
-  SELECT id, sh,
-         [('0x' || substring(list_min([md5(CAST(h AS VARCHAR) || ':' || s) for s in sh]), 1, 15))::BIGINT
-          for h in range(0, 16)] AS sig
-  FROM sh
+  SELECT id,
+         {_MH_MINS}
+  FROM hx GROUP BY id
 ),
 banded AS (
-  SELECT id, sh,
-         unnest([('0x' || substring(md5(sig[1] || ',' || sig[2] || ',' || sig[3] || ',' || sig[4]), 1, 15))::BIGINT,
-                 ('0x' || substring(md5(sig[5] || ',' || sig[6] || ',' || sig[7] || ',' || sig[8]), 1, 15))::BIGINT,
-                 ('0x' || substring(md5(sig[9] || ',' || sig[10] || ',' || sig[11] || ',' || sig[12]), 1, 15))::BIGINT,
-                 ('0x' || substring(md5(sig[13] || ',' || sig[14] || ',' || sig[15] || ',' || sig[16]), 1, 15))::BIGINT]) AS band
+  SELECT id,
+         unnest([{_MH_BANDS}]) AS band
   FROM sig
 ),
 small AS (
@@ -607,15 +617,17 @@ small AS (
   USING (band)
 ),
 cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM small a JOIN small b ON a.band = b.band AND a.id < b.id
 )
 SELECT id_a, id_b,
-       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-             / len(list_distinct(list_concat(sh_a, sh_b))), 4) AS jaccard
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
 FROM cand
-WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-            / len(list_distinct(list_concat(sh_a, sh_b))), 4) >= 0.5
+JOIN sh sa ON sa.id = cand.id_a
+JOIN sh sb ON sb.id = cand.id_b
+WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.5
 """
 
 
