@@ -113,6 +113,82 @@ def cosine_topk_lsh(df: DataFrame, emb_col: str, id_col: str, query_vec,
     )
 
 
+def _dist2(emb_col: str, c: np.ndarray) -> Column:
+    d = F.zip_with(F.col(emb_col), _vec_lit(c), lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivf_build(df: DataFrame, emb_col: str, id_col: str,
+              n_centroids: int = 16, iters: int = 5, seed: int = 42) -> np.ndarray:
+    """IVF coarse quantizer: Lloyd's k-means over the corpus, implemented
+    as pure DataFrame ops — assignment is an argmin over centroid-literal
+    distance expressions (JVM-side), the centroid update is a
+    posexplode → groupBy(cluster, dim) → avg (one distributed pass per
+    iteration), and only the 16×dim centroid matrix ever reaches the
+    driver. Deterministic: init picks the xxhash64-least rows.
+
+    At 10^9 vectors you'd run the same loop on a sample; the probe path
+    below is unchanged."""
+    init = (
+        df.orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(n_centroids)
+        .select(emb_col)
+        .collect()
+    )
+    cents = np.array([list(r[0]) for r in init], dtype=float)
+    for _ in range(iters):
+        assigned = df.select(
+            F.col(emb_col),
+            _argmin_centroid(emb_col, cents).alias("_c"),
+        )
+        upd = (
+            assigned.select("_c", F.posexplode(emb_col).alias("_d", "_x"))
+            .groupBy("_c", "_d")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in upd:
+            new[r["_c"], r["_d"]] = r["_m"]
+        cents = new
+    return cents
+
+
+def _argmin_centroid(emb_col: str, cents: np.ndarray) -> Column:
+    dists = F.array(*[_dist2(emb_col, c) for c in cents])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_assign(df: DataFrame, emb_col: str, cents: np.ndarray,
+               out: str = "_ivf") -> DataFrame:
+    """Attach the coarse-cell id — stored once as a column (the inverted
+    file); queries then prune to their nearest cells."""
+    return df.withColumn(out, _argmin_centroid(emb_col, cents))
+
+
+def ivf_topk(df: DataFrame, emb_col: str, id_col: str, query_vec,
+             cents: np.ndarray, k: int = 20, n_probe: int = 2,
+             cell_col: str | None = None) -> DataFrame:
+    """ANN top-k via IVF: scan only the ``n_probe`` cells whose centroids
+    are nearest the query (the recall knob; n_probe == n_centroids is
+    exhaustive == exact), exact cosine re-rank inside. If the corpus
+    already carries a cell column (ivf_assign), the scan prunes on it;
+    otherwise cells are computed on the fly."""
+    q = np.asarray(query_vec, dtype=float)
+    order = np.argsort(((cents - q) ** 2).sum(axis=1))
+    probes = [int(c) for c in order[:n_probe]]
+    if cell_col is None:
+        df = ivf_assign(df, emb_col, cents)
+        cell_col = "_ivf"
+    return (
+        df.filter(F.col(cell_col).isin(probes))
+        .select(F.col(id_col),
+                F.round(cosine(F.col(emb_col), _vec_lit(query_vec)), 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def cosine_near_dup_pairs_lsh(df: DataFrame, emb_col: str, id_col: str,
                               threshold: float = 0.9,
                               planes: np.ndarray | None = None,

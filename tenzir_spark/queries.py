@@ -825,6 +825,17 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.3
 # ---- rows-only (non-SQL-expressible: vectorized UDFs / stub decoders)
 
 
+def q_ann_ivf(spark, sf):
+    """IVF ANN top-k: deterministic k-means coarse quantizer + nearest-
+    cell probe + exact re-rank (similarity.py:ivf_build/ivf_topk). The
+    iterative clustering is not SQL-expressible — rows-only check; the
+    recall/exhaustive-equivalence invariants are pytest-validated."""
+    em = load(spark, sf, "embeddings")
+    qvec = em.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    cents = sim.ivf_build(em, "embedding", "vec_id", n_centroids=8, iters=3)
+    return sim.ivf_topk(em, "embedding", "vec_id", qvec, cents, k=20, n_probe=2)
+
+
 def q_ann_lsh(spark, sf):
     """ANN LSH top-k with ENGINE-PORTABLE ±1 (Rademacher) hyperplanes
     derived from md5(j:d): the bucket assignment — the part that makes
@@ -1358,6 +1369,7 @@ REGISTRY: dict[str, tuple] = {
     "parse_kv": (q_parse_kv, SQL_PARSE_KV),
     "parse_grok": (q_parse_grok, SQL_PARSE_GROK),
     "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
+    "ann_ivf_topk": (q_ann_ivf, None),
     "token_fingerprint_udf": (q_token_fingerprint, None),
     "parse_syslog3164": (q_parse_syslog, SQL_PARSE_SYSLOG),
     "parse_syslog5424": (q_parse_syslog5424, SQL_PARSE_SYSLOG5424),

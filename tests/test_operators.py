@@ -104,3 +104,30 @@ def test_ann_lsh_multiprobe_improves_recall(spark, sf_dir):
     assert recalls == sorted(recalls), f"recall must be monotone: {recalls}"
     assert recalls[-1] > recalls[0] or recalls[0] == 1.0, (
         "widening the probe set must help unless recall is already 1")
+
+
+def test_ivf_topk_recall_and_exhaustive_equivalence(spark, sf_dir):
+    """IVF ANN: recall is monotone in n_probe and probing every cell
+    equals the exact top-k; the k-means build is deterministic."""
+    from tenzir_spark.operators.similarity import (
+        cosine_topk, ivf_assign, ivf_build, ivf_topk)
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = em.filter("vec_id = 0").select("embedding").head()[0]
+    cents = ivf_build(em, "embedding", "vec_id", n_centroids=8, iters=3)
+    cents2 = ivf_build(em, "embedding", "vec_id", n_centroids=8, iters=3)
+    assert (cents == cents2).all(), "k-means build must be deterministic"
+
+    indexed = ivf_assign(em, "embedding", cents)
+    sizes = indexed.groupBy("_ivf").count().collect()
+    assert len(sizes) >= 2, "corpus must spread over cells"
+
+    exact = [r["vec_id"] for r in cosine_topk(em, "embedding", "vec_id", qvec, k=10).collect()]
+    recalls = []
+    for n_probe in (1, 4, 8):
+        got = {r["vec_id"] for r in ivf_topk(
+            indexed, "embedding", "vec_id", qvec, cents, k=10,
+            n_probe=n_probe, cell_col="_ivf").collect()}
+        recalls.append(len(got & set(exact)) / len(exact))
+    assert recalls == sorted(recalls), f"recall must be monotone: {recalls}"
+    assert recalls[-1] == 1.0, "probing all cells must equal exact top-k"
