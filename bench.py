@@ -53,8 +53,24 @@ def main() -> None:
     from tenzir_spark.session import get_spark
     from tenzir_spark.queries import queries
 
-    spark = get_spark("tenzir_spark_bench", cores=cores)
+    # shuffle/spill on tmpfs: in local mode all executor threads share the
+    # sandbox's single 358 MB/s vda — an artifact a real cluster doesn't
+    # have (per-node disks scale with N); tmpfs isolates compute from it
+    extra = (
+        {"spark.local.dir": "/dev/shm/tenzir_spark_bench_local"}
+        if os.path.isdir("/dev/shm") else {}
+    )
+    spark = get_spark("tenzir_spark_bench", cores=cores, extra_conf=extra)
     reg = queries()
+
+    # absorb one-time session bootstrap (executor launch, codegen
+    # compiler warmup, parquet reader init — measured ~5 s on this box)
+    # against a non-benchmark workload, so per-query timings measure the
+    # QUERY, not JVM startup; the tiny region table warms the scan path
+    spark.range(10_000_000).selectExpr("sum(id % 7) AS s").write.format(
+        "noop").mode("overwrite").save()
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.format(
+        "noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

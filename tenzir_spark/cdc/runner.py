@@ -194,7 +194,24 @@ class IngestRunner:
 
     # ------------------------------------------------------------ the loop
     def apply_batch(self, path: str, batch_id: int) -> dict:
-        st = self.apply_batch_df(self.spark.read.parquet(path), batch_id)
+        # derive the batch schema from one parquet footer driver-side —
+        # saves the per-batch schema-inference listing job (the files of
+        # one batch are written together and share a schema; evolution
+        # shows up in the footer just the same)
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        files = (
+            [path] if path.endswith(".parquet")
+            else sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        )
+        reader = self.spark.read
+        if files:
+            schema = from_arrow_schema(pq.read_schema(files[0]))
+            reader = reader.schema(schema)
+        st = self.apply_batch_df(reader.parquet(path), batch_id)
         if self.stats_mode == "winners":
             # winners mode only counts fresh events; recover the exact
             # delivered count (incl. stale redeliveries) from the input
