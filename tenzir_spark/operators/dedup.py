@@ -228,18 +228,37 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
 def simhash32(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
     """32-bit SimHash fingerprint: per-shingle md5-derived bits, bit-voted
     per document. Pure JVM expressions: explode shingles, conv() the md5
-    prefix to an int, aggregate 32 signed bit-votes, reassemble."""
+    prefix to an int, aggregate the votes, reassemble.
+
+    The 32 per-bit vote counters are PACKED into 8 int64 lanes of four
+    16-bit fields each (an addend of ≤1 per field and <2^16 shingles per
+    doc ⇒ no carry between fields), so the hash aggregate runs 8 plain
+    sums instead of 32 conditional ones — ~4× less aggregation work for
+    the identical result. bit set-count c over n shingles gives the
+    signed vote 2c−n; bit i of the fingerprint is (2c_i > n)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(char_shingles(F.col(text_col), k)).alias("s"),
     ).withColumn("h", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long"))
-    votes = [
-        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
-        for i in range(32)
+    h = F.col("h")
+    lanes = [
+        F.sum(
+            sum(
+                (
+                    F.shiftright(h, 4 * lane + f).bitwiseAND(F.lit(1))
+                    * F.lit(1 << (16 * f))
+                    for f in range(4)
+                ),
+                F.lit(0),
+            )
+        ).alias(f"l{lane}")
+        for lane in range(8)
     ]
-    voted = sh.groupBy("id").agg(*votes)
+    voted = sh.groupBy("id").agg(F.count("*").alias("n"), *lanes)
     fp = None
     for i in range(32):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        lane, f = i // 4, i % 4  # bit 4*lane+f lives in lane's field f
+        c = F.shiftright(F.col(f"l{lane}"), 16 * f).bitwiseAND(F.lit(0xFFFF))
+        bit = F.when(2 * c > F.col("n"), F.lit(2 ** i)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return voted.select("id", fp.cast("long").alias("simhash"))

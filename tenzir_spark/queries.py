@@ -662,8 +662,12 @@ WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id
 def q_simhash(spark, sf):
     """SimHash is md5 bit-votes — fully DuckDB-expressible, so it gets a
     value-exact oracle (the 32 per-bit vote sums are generated on both
-    sides from the same formula)."""
-    return dd.simhash32(load(spark, sf, "documents"), "doc_id", "text", k=5)
+    sides from the same formula). The repartition spreads the per-shingle
+    hashing across cores (single small test file = single scan task; a
+    100 TB input already has thousands of splits)."""
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    return dd.simhash32(docs, "doc_id", "text", k=5)
 
 # the oracle replays the exact construction: distinct 5-char shingles,
 # h = first 8 hex chars of md5 as uint32, ±1 vote per bit, fp = Σ 2^i
