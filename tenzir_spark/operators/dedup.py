@@ -6,17 +6,23 @@ dedup stages a 100 TB training-data pipeline needs: exact, MinHash+LSH,
 SimHash, n-gram Jaccard.
 
 Design notes for scale:
-- All hashing is engine-portable (md5 of strings) so the DuckDB oracle can
-  replay the exact pipeline — and md5/sha are JVM codegen'd builtins.
-- MinHash signatures are computed per row with array expressions (no
-  explode -> no shuffle); only the LSH band self-join shuffles, on the
-  band key, whose cardinality is ~n_docs × n_bands with tiny values.
+- All hashing is engine-portable (md5-derived, every derived value in
+  int64 arithmetic both engines share) so the DuckDB oracle replays the
+  exact pipeline — and md5 is a JVM codegen'd builtin.
+- ONE md5 per (doc, shingle): the base-hash array feeds an exchange so
+  every consumer branch reuses the shuffle files; the 16 minhash
+  permutations are affine maps h_i(x) = (a_i·x + b_i) mod 2^61−1 over
+  the materialized ints (Broder's universal-hash construction).
+- Only the LSH band self-join shuffles payload-free (id, band) int64
+  pairs; shingle arrays re-attach via broadcast semi-join for CANDIDATE
+  ids only — the quadratic step never moves payloads, and verification
+  recomputes shingles for the handful of candidates instead of the corpus.
 - The candidate self-join is the classic LSH trick: at 10^9 docs a naive
   all-pairs join is impossible; banding makes expected pair count linear
   in the number of true near-dups. Band-key skew (a degenerate band that
   half the corpus shares — e.g. empty documents) is the real-world failure
-  mode: filter degenerate shingle sets first, and AQE skew-join splits the
-  rest.
+  mode: filter degenerate shingle sets first, prune oversized buckets
+  (max_bucket), and AQE skew-join splits the rest.
 """
 
 from __future__ import annotations
