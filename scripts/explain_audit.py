@@ -46,6 +46,13 @@ AUDIT = {
     "slice_negative": ([r"Window"], [r"SinglePartition"]),
     "enumerate_rows": ([r"Window"], [r"SinglePartition"]),
     "unique_adjacent": ([r"Window", r"BroadcastHashJoin"], [r"SinglePartition"]),
+    # LSH near-dup: the quadratic band join must be an equi-join (never a
+    # cartesian) and the candidate re-attach a broadcast
+    "cosine_near_dup_lsh": ([r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin"], [r"CartesianProduct"]),
+    # format parsing stays entirely in codegen'd JVM expressions
+    "parse_grok": ([r"codegen id"], [r"BatchEvalPython"]),
+    "parse_kv": ([r"codegen id"], [r"BatchEvalPython"]),
+    "median_exact": ([r"HashAggregate|SortAggregate|ObjectHashAggregate"], [r"BatchEvalPython"]),
 }
 
 
