@@ -53,6 +53,15 @@ AUDIT = {
     "parse_grok": ([r"codegen id"], [r"BatchEvalPython"]),
     "parse_kv": ([r"codegen id"], [r"BatchEvalPython"]),
     "median_exact": ([r"HashAggregate|SortAggregate|ObjectHashAggregate"], [r"BatchEvalPython"]),
+    # timeshift anchors on a 1-row scalar aggregate broadcast back in — a
+    # BroadcastNestedLoopJoin over one row, NEVER an unbounded window that
+    # would drag every row through one task. (The scalar agg's own exchange
+    # moves O(partitions) partial rows — scale-safe — so the gate here is
+    # "no Window", not "no SinglePartition".)
+    "timeshift": ([r"BroadcastNestedLoopJoin"], [r"Window"]),
+    # reverse_enumerate = total - ascending two-phase position: keyed
+    # window behind a hash exchange, no single-task global sort
+    "reverse_enumerate": ([r"Window"], [r"SinglePartition"]),
 }
 
 

@@ -55,6 +55,18 @@ BASE_PAYLOAD_SCHEMA = T.StructType(
     ]
 )
 
+# Per-mode metric semantics (stats_mode):
+# - "full":    events_in = DELIVERED events incl. stale redeliveries;
+#              events_deduped = delivered - distinct fresh LSNs (redelivery
+#              + duplicate-LSN noise).
+# - "winners": metrics come from the delta-file side channel. When the
+#              caller supplies per-partition delivered counts (apply_batch
+#              recovers them from the input parquet footers), events_in =
+#              delivered and events_deduped = delivered - applied
+#              (redelivery + LWW-collapse dupes). Without them (an
+#              in-memory streaming batch), events_in degrades to FRESH
+#              events only and events_deduped to fresh - applied (collapse
+#              dupes only) — documented fallback, not an error.
 METRICS_SCHEMA = T.StructType(
     [
         T.StructField("batch_id", T.LongType(), False),
@@ -211,28 +223,45 @@ class IngestRunner:
         if files:
             schema = from_arrow_schema(pq.read_schema(files[0]))
             reader = reader.schema(schema)
-        st = self.apply_batch_df(reader.parquet(path), batch_id)
+        delivered = None
         if self.stats_mode == "winners":
-            # winners mode only counts fresh events; recover the exact
-            # delivered count (incl. stale redeliveries) from the input
-            # parquet footers — driver-side metadata, no job
-            import glob as _glob
-
-            import pyarrow.parquet as pq
-
-            files = (
-                [path] if path.endswith(".parquet")
-                else _glob.glob(os.path.join(path, "*.parquet"))
-            )
-            if files:
-                st["events_in"] = sum(pq.read_metadata(f).num_rows for f in files)
+            # winners mode only sees fresh/winner events; recover the exact
+            # per-partition DELIVERED counts (incl. stale redeliveries)
+            # from the input parquet footers — driver-side metadata, no
+            # job. Attribution needs per-row-group part_id min==max (true
+            # for per-partition files, the keyed-routing layout); a mixed
+            # row group voids the recovery and metrics degrade to the
+            # documented fresh-only fallback.
+            delivered = {}
+            for f in files:
+                md = pq.read_metadata(f)
+                pi = md.schema.names.index("part_id") if "part_id" in md.schema.names else None
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    st_ = g.column(pi).statistics if pi is not None else None
+                    if st_ is None or not st_.has_min_max or int(st_.min) != int(st_.max):
+                        delivered = None
+                        break
+                    p = int(st_.min)
+                    delivered[p] = delivered.get(p, 0) + g.num_rows
+                if delivered is None:
+                    break
+        st = self.apply_batch_df(reader.parquet(path), batch_id,
+                                 delivered_by_part=delivered)
+        if self.stats_mode == "winners" and files:
+            st["events_in"] = sum(pq.read_metadata(f).num_rows for f in files)
         return st
 
-    def apply_batch_df(self, raw: DataFrame, batch_id: int) -> dict:
+    def apply_batch_df(self, raw: DataFrame, batch_id: int,
+                       delivered_by_part: dict[int, int] | None = None) -> dict:
         """Micro-batch body — also the ``foreachBatch`` target of the
         Structured Streaming front-end (streaming/ingest.py). All durable
         state lives in the table snapshot, so the SAME idempotence guard
-        covers batch replay, streaming-checkpoint replay, and redelivery."""
+        covers batch replay, streaming-checkpoint replay, and redelivery.
+
+        ``delivered_by_part``: optional per-source-partition delivered
+        counts (incl. stale redeliveries), used only by winners stats mode
+        to report full-mode-comparable events_in (see METRICS_SCHEMA)."""
         t0 = time.monotonic()
         wm = self.watermarks()
         use_winners = self.stats_mode == "winners" and self.collapse_mode != "semijoin"
@@ -376,16 +405,21 @@ class IngestRunner:
             new_wm = stats_box.get("new_wm", dict(wm))
             applied = stats_box.get("applied", {})
             fresh = stats_box.get("fresh", {})
+            # events_in per partition: exact delivered count when the
+            # caller recovered it from footers, else the documented
+            # fresh-only fallback (METRICS_SCHEMA semantics note)
+            ev_in = delivered_by_part if delivered_by_part is not None else fresh
             metrics = [
                 (
-                    batch_id, int(p), int(fresh.get(p, 0)), int(applied.get(p, 0)),
-                    int(fresh.get(p, 0)) - int(applied.get(p, 0)),
+                    batch_id, int(p), int(ev_in.get(p, fresh.get(p, 0))),
+                    int(applied.get(p, 0)),
+                    int(ev_in.get(p, fresh.get(p, 0))) - int(applied.get(p, 0)),
                     int(new_wm.get(str(int(p)), -1)), wall_ms,
                 )
-                for p in sorted(fresh)
+                for p in sorted(set(fresh) | set(ev_in))
             ]
-            events_in = sum(fresh.values())
-            fresh_total = events_in
+            events_in = sum(ev_in.values())
+            fresh_total = sum(fresh.values())
         else:
             applied_by_part = (
                 self._lineage_from_commit(dstats["cid"]) if version is not None else {}

@@ -186,10 +186,15 @@ class LakeTable:
         read; reference analog: cast/schema reconciliation,
         libtenzir/include/tenzir/cast.hpp:28-56).
 
-        NOTE: base files (``_commit=N/_bucket=K/``) and delta files
-        (``_commit=N/`` flat, with ``_bucket``/``_deleted`` physical) have
-        different directory depths — read them in SEPARATE calls to keep
-        partition discovery consistent."""
+        NOTE: base files live under ``base=<cid>/_bucket=K/`` with
+        ``_commit`` PHYSICAL (per-row original commit id, preserved by
+        compaction folds); delta files live under ``_commit=<cid>/`` flat
+        with ``_bucket``/``_deleted`` physical (``_commit`` is their
+        partition column). The two layouts have different partition-
+        discovery shapes — read them in SEPARATE calls to keep discovery
+        consistent. (Warehouses written by the pre-r2
+        ``_commit=N/_bucket=K/`` base layout are an on-disk format break;
+        no persisted warehouse in this repo predates it.)"""
         schema = self._read_schema(payload_schema or self.schema(), with_deleted)
         if not file_entries:
             return spark.createDataFrame([], schema)

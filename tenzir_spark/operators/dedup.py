@@ -236,12 +236,16 @@ def simhash32(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFram
     per document. Pure JVM expressions: explode shingles, conv() the md5
     prefix to an int, aggregate the votes, reassemble.
 
-    The 32 per-bit vote counters are PACKED into 8 int64 lanes of four
-    16-bit fields each (an addend of ≤1 per field and <2^16 shingles per
-    doc ⇒ no carry between fields), so the hash aggregate runs 8 plain
-    sums instead of 32 conditional ones — ~4× less aggregation work for
-    the identical result. bit set-count c over n shingles gives the
-    signed vote 2c−n; bit i of the fingerprint is (2c_i > n)."""
+    The 32 per-bit vote counters are PACKED into 16 int64 lanes of two
+    32-bit fields each, so the hash aggregate runs 16 plain sums instead
+    of 32 conditional ones — half the aggregation work for the identical
+    result. Capacity: the addend per field is ≤1, the top field sits at
+    shift 32, so a per-doc sum stays inside signed int64 (ANSI-safe, no
+    inter-field carry) up to 2^30 shingles per doc — ≥1 GiB of text at
+    k=5, far past any real document. (Four 16-bit fields would overflow
+    signed int64 from ~2^15 shingles: the shift-48 field contributes 2^48
+    per row.) bit set-count c over n shingles gives the signed vote 2c−n;
+    bit i of the fingerprint is (2c_i > n)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(char_shingles(F.col(text_col), k)).alias("s"),
@@ -251,20 +255,20 @@ def simhash32(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFram
         F.sum(
             sum(
                 (
-                    F.shiftright(h, 4 * lane + f).bitwiseAND(F.lit(1))
-                    * F.lit(1 << (16 * f))
-                    for f in range(4)
+                    F.shiftright(h, 2 * lane + f).bitwiseAND(F.lit(1))
+                    * F.lit(1 << (32 * f))
+                    for f in range(2)
                 ),
                 F.lit(0),
             )
         ).alias(f"l{lane}")
-        for lane in range(8)
+        for lane in range(16)
     ]
     voted = sh.groupBy("id").agg(F.count("*").alias("n"), *lanes)
     fp = None
     for i in range(32):
-        lane, f = i // 4, i % 4  # bit 4*lane+f lives in lane's field f
-        c = F.shiftright(F.col(f"l{lane}"), 16 * f).bitwiseAND(F.lit(0xFFFF))
+        lane, f = i // 2, i % 2  # bit 2*lane+f lives in lane's field f
+        c = F.shiftright(F.col(f"l{lane}"), 32 * f).bitwiseAND(F.lit(0xFFFFFFFF))
         bit = F.when(2 * c > F.col("n"), F.lit(2 ** i)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return voted.select("id", fp.cast("long").alias("simhash"))

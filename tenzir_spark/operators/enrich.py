@@ -180,7 +180,13 @@ def enrich_range(
             ),
         )
         .groupBy("_rb")
-        .agg(F.collect_list(F.struct(lo_col, hi_col, *ctx_cols)).alias("_ivs"))
+        # array_sort: collect_list order is partition-dependent, so the
+        # per-bucket list is sorted by (lo, hi, ...) — OVERLAPPING intervals
+        # deterministically resolve to the lowest-lo match (a BETWEEN-join
+        # oracle emits one row per match; disjoint intervals agree exactly)
+        .agg(F.array_sort(
+            F.collect_list(F.struct(lo_col, hi_col, *ctx_cols))
+        ).alias("_ivs"))
     )
     probe = df.withColumn("_rb", F.floor(F.col(value_col) / w))
     x = F.col(value_col)

@@ -33,11 +33,17 @@ def timeshift(df: DataFrame, field: str, start: str | None = None,
     a scalar aggregate broadcast into the projection — one extra pass, no
     per-row Python."""
     ts = F.col(field).cast("timestamp")  # NTZ parquet cols -> TIMESTAMP (UTC session)
-    w_anchor = F.expr(f"min(cast(`{field}` as timestamp)) over ()")  # window-min avoids a collect
-    delta_us = (F.unix_micros(ts) - F.unix_micros(w_anchor)) / F.lit(speed)
-    base = F.to_timestamp(F.lit(start)) if start else w_anchor
+    # The anchor is a 1-row scalar aggregate broadcast-crossJoined back in.
+    # (An unbounded `min(...) over ()` window would force EVERY row through
+    # one task — Exchange SinglePartition; the agg scan here is column-pruned
+    # and fully parallel, and the 1-row side is a broadcast.)
+    anchor = df.agg(F.min(ts).alias("_ts_anchor"))
+    out = df.crossJoin(F.broadcast(anchor))
+    a = F.col("_ts_anchor")
+    delta_us = (F.unix_micros(ts) - F.unix_micros(a)) / F.lit(speed)
+    base = F.to_timestamp(F.lit(start)) if start else a
     shifted = F.timestamp_micros((F.unix_micros(base) + delta_us).cast("long"))
-    return df.withColumn(field, shifted)
+    return out.withColumn(field, shifted).drop("_ts_anchor")
 
 
 def parse_json_field(df: DataFrame, field: str, schema: str,

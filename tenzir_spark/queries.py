@@ -1109,10 +1109,18 @@ def q_approx_median(spark, sf):
 def q_reverse_enumerate(spark, sf):
     """`reverse` ≡ slice ::-1 (reverse.cpp) made observable by enumerating
     the reversed order (value-hash is order-insensitive, so the row index
-    is the witness)."""
+    is the witness). Distributed: the descending rank is total - ascending
+    position from the two-phase numbering (`_global_positions`, keyed
+    windows + driver offsets) — no single-task global Window."""
+    from tenzir_spark.operators.core import _global_positions
+
     ev = load(spark, sf, "events").filter(F.col("event_id") < 5000)
-    w = Window.orderBy(F.desc("event_id"))
-    return ev.select("event_id").withColumn("idx", F.row_number().over(w))
+    numbered, total, bcol, _ids = _global_positions(
+        ev.select("event_id"), "event_id", out="_pos"
+    )
+    return numbered.select(
+        "event_id", (F.lit(total) - F.col("_pos")).cast("int").alias("idx")
+    )
 
 SQL_REVERSE = """
 SELECT event_id, CAST(row_number() OVER (ORDER BY event_id DESC) AS INT) AS idx
@@ -1373,26 +1381,29 @@ REGISTRY: dict[str, tuple] = {
     "parse_kv": (q_parse_kv, SQL_PARSE_KV),
     "parse_grok": (q_parse_grok, SQL_PARSE_GROK),
     "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
-    "ann_ivf_topk": (q_ann_ivf, None),
-    "token_fingerprint_udf": (q_token_fingerprint, None),
     "parse_syslog3164": (q_parse_syslog, SQL_PARSE_SYSLOG),
     "parse_syslog5424": (q_parse_syslog5424, SQL_PARSE_SYSLOG5424),
     "parse_cef": (q_parse_cef, SQL_PARSE_CEF),
     "parse_leef": (q_parse_leef, SQL_PARSE_LEEF),
     "parse_xsv": (q_parse_xsv, SQL_PARSE_XSV),
     "collect_sample": (q_collect_sample, SQL_COLLECT_SAMPLE),
-    "approx_median": (q_approx_median, None),
     "reverse_enumerate": (q_reverse_enumerate, SQL_REVERSE),
     "repeat_n": (q_repeat, SQL_REPEAT),
     "enrich_subnet": (q_enrich_subnet, SQL_ENRICH_SUBNET),
     "enrich_range": (q_enrich_range, SQL_ENRICH_RANGE),
-    "bloom_membership": (q_bloom_membership, None),
     "yield_nested": (q_yield_nested, SQL_YIELD),
-    "multimodal_features": (q_multimodal_features, None),
-    "pseudonymize_ip": (q_pseudonymize, None),
     "where_tql": (q_where_tql, SQL_WHERE_TQL),
     "sigma_rule": (q_sigma_rule, SQL_SIGMA_RULE),
     "frame_sampling": (q_frame_sampling, SQL_FRAME_SAMPLING),
+    # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
+    # not SQL-expressible) sit LAST so the driver's 50-row correctness window
+    # covers only oracle-backed queries.
+    "ann_ivf_topk": (q_ann_ivf, None),
+    "token_fingerprint_udf": (q_token_fingerprint, None),
+    "approx_median": (q_approx_median, None),
+    "bloom_membership": (q_bloom_membership, None),
+    "multimodal_features": (q_multimodal_features, None),
+    "pseudonymize_ip": (q_pseudonymize, None),
 }
 
 

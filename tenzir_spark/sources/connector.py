@@ -62,9 +62,14 @@ class ChangeConnector:
 
 class FileLogConnector(ChangeConnector):
     """The batch-directory change log as a connector. seek() prunes whole
-    batch directories whose every partition file's max lsn is at or below
-    the committed offset (parquet footer min/max — no data read), the
-    same skip a broker does by seeking."""
+    batch directories whose every row group is PER-PARTITION fully at or
+    below that partition's committed offset (parquet footer min/max — no
+    data read), the same skip a broker does by seeking.
+
+    A partition ABSENT from the committed-offset map defaults to -1
+    (nothing committed): its events are never pruned, preserving the class
+    contract that poll() redelivers every event with offset > o[part] even
+    for partitions appearing for the first time."""
 
     def __init__(self, spark: SparkSession, changes_dir: str):
         self.spark = spark
@@ -75,27 +80,52 @@ class FileLogConnector(ChangeConnector):
         self._pos = 0
         self.acked: dict[int, int] = {}
 
-    def _batch_max_lsn(self, path: str) -> int:
+    @staticmethod
+    def _rg_stats(path: str):
+        """Yield (part_lo, part_hi, lsn_max) per row group from footers.
+        part_lo/part_hi are None when part_id stats are missing."""
         import pyarrow.parquet as pq
 
         files = [path] if path.endswith(".parquet") else glob.glob(
             os.path.join(path, "*.parquet"))
-        mx = -1
         for f in files:
             md = pq.read_metadata(f)
-            idx = md.schema.names.index("lsn")
+            lsn_i = md.schema.names.index("lsn")
+            part_i = md.schema.names.index("part_id") if "part_id" in md.schema.names else None
             for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is not None and st.has_min_max:
-                    mx = max(mx, int(st.max))
-        return mx
+                g = md.row_group(rg)
+                ls = g.column(lsn_i).statistics
+                lsn_max = int(ls.max) if ls is not None and ls.has_min_max else None
+                plo = phi = None
+                if part_i is not None:
+                    ps = g.column(part_i).statistics
+                    if ps is not None and ps.has_min_max:
+                        plo, phi = int(ps.min), int(ps.max)
+                yield plo, phi, lsn_max
+
+    def _batch_committed(self, path: str, offsets: dict[int, int]) -> bool:
+        """True iff every row group is provably already committed for every
+        source partition it may contain. Unknown stats, or any partition id
+        in the row group's [min, max] span that is missing from the offset
+        map (→ -1), make the row group unprunable — safe, never lossy."""
+        any_rg = False
+        for plo, phi, lsn_max in self._rg_stats(path):
+            any_rg = True
+            if lsn_max is None or plo is None or phi - plo > 4096:
+                return False
+            floor = min(
+                offsets.get(p, -1) for p in range(plo, phi + 1)
+            )
+            if lsn_max > floor:
+                return False
+        return any_rg
 
     def seek(self, offsets: dict[int, int]) -> None:
-        floor = min(offsets.values()) if offsets else -1
+        offsets = {int(k): int(v) for k, v in offsets.items()}
         self._pos = 0
         while (
             self._pos < len(self.batches)
-            and self._batch_max_lsn(self.batches[self._pos]) <= floor
+            and self._batch_committed(self.batches[self._pos], offsets)
         ):
             self._pos += 1
 

@@ -140,3 +140,35 @@ def test_file_connector_prunes_consumed_batches(spark, tmp_path):
     from tests.util import assert_state_equal
 
     assert_state_equal(r2.final_state().toPandas(), oracle)
+
+
+def test_file_connector_keeps_new_partition_batches(spark, tmp_path):
+    """A batch holding a NEWLY-APPEARING source partition's events at low
+    LSNs must survive seek() even when every KNOWN partition's offset is
+    far ahead (missing partitions default to offset -1 — pruning on the
+    batch-global max LSN vs min(committed) would silently drop them)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "chg"
+    b0 = d / "batch-000"
+    b0.mkdir(parents=True)
+    # part 0 at lsn 0..9 and part 7 (never committed) at lsn 10..19
+    pq.write_table(
+        pa.table({"lsn": list(range(10)), "part_id": [0] * 10}),
+        str(b0 / "p0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"lsn": list(range(10, 20)), "part_id": [7] * 10}),
+        str(b0 / "p7.parquet"),
+    )
+    conn = FileLogConnector(spark, str(d))
+    # part 0 fully committed way past this batch; part 7 unknown
+    conn.seek({0: 1000})
+    assert conn._pos == 0, "batch with an uncommitted new partition was pruned"
+    # once part 7 is committed past its max lsn too, the batch IS pruned
+    conn.seek({0: 1000, 7: 19})
+    assert conn._pos == 1
+    # strictly-below offsets keep the batch
+    conn.seek({0: 8, 7: 19})
+    assert conn._pos == 0
