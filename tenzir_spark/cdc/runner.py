@@ -95,10 +95,11 @@ class IngestRunner:
         async_compact: bool = False,
         collapse_mode: str = "maxby",
         stats_mode: str = "full",
+        delta_codec: str = "zstd",
     ):
         self.spark = spark
         self.warehouse = warehouse
-        self.table = LakeTable(warehouse, table_name)
+        self.table = LakeTable(warehouse, table_name, delta_codec=delta_codec)
         self.metrics_dir = os.path.join(warehouse, "ingest_metrics")
         self.n_buckets = n_buckets
         self.salt_buckets = salt_buckets

@@ -61,13 +61,19 @@ def _atomic_write(path: str, payload: str) -> None:
 class LakeTable:
     """Single-writer ACID table. ``root = <warehouse>/<name>``."""
 
-    def __init__(self, warehouse: str, name: str):
+    def __init__(self, warehouse: str, name: str, delta_codec: str = "zstd"):
         import threading
 
         self.root = os.path.join(warehouse, name)
         self.data_dir = os.path.join(self.root, "data")
         self.meta_dir = os.path.join(self.root, "_snapshots")
         self.head_path = os.path.join(self.meta_dir, "HEAD")
+        # codec for the hot-path DELTA writes only. Deltas are short-lived
+        # (folded into the base by compaction), so a cheap codec trades a
+        # little transient storage for per-batch CPU; the base files
+        # compaction writes keep the session codec (zstd) for long-term
+        # storage/scan efficiency — the standard hot/cold codec split.
+        self.delta_codec = delta_codec
         # guards manifest swaps + commit-id allocation when a background
         # compaction thread overlaps the ingest thread (single process)
         self._lock = threading.RLock()
@@ -380,7 +386,9 @@ class LakeTable:
         # no repartition/coalesce: AQE partition coalescing already sizes the
         # reduce stage of the upstream collapse; a coalesce(1) here would
         # serialize that whole stage onto one task
-        out.write.mode("overwrite").parquet(commit_dir)
+        out.write.mode("overwrite").option(
+            "compression", self.delta_codec
+        ).parquet(commit_dir)
 
         import pyarrow.parquet as pq
 
