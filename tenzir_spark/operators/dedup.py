@@ -173,10 +173,16 @@ def minhash_near_dup_pairs(
         ]
     )
     # the band self-join carries ONLY (id, band) — shingles re-attach
-    # post-candidate, so the quadratic step never shuffles payloads
+    # post-candidate, so the quadratic step never shuffles payloads.
+    # The band rows are materialized into a band-keyed exchange: they have
+    # THREE consumers (bucket counts + both self-join sides), and without
+    # the exchange each would recompute the 16-permutation signature from
+    # the base-hash shuffle (CollapseProject inlines projections — no CSE
+    # across consumers; measured 3× the dominant minhash work). All three
+    # need hashpartitioning(band) anyway, so the exchange is free.
     banded = hashed.withColumn("_sig", sig).select(
         "id", F.explode(band_keys).alias("band")
-    )
+    ).repartition(n_parts, "band")
     small = banded.join(
         banded.groupBy("band").count().filter(F.col("count") <= max_bucket).select("band"),
         on="band",
