@@ -80,6 +80,43 @@ METRICS_SCHEMA = T.StructType(
 )
 
 
+# numeric-widening lattice (reference: recursive cast machinery with
+# numeric promotion, libtenzir/include/tenzir/cast.hpp:28-56)
+_INT_RANK = {T.ByteType: 1, T.ShortType: 2, T.IntegerType: 3, T.LongType: 4}
+_FRAC_RANK = {T.FloatType: 1, T.DoubleType: 2}
+
+
+def widen_type(table_t: T.DataType, batch_t: T.DataType) -> T.DataType:
+    """The type the TABLE column must take so existing data AND the batch
+    both fit without loss: equal types pass through, numeric types widen
+    along byte<short<int<long and float<double (arrays recurse on the
+    element type), and an integer/fractional mix widens to double. A batch
+    NARROWER than the table is fine — the batch upcasts on apply; the
+    table never narrows. Anything else (string vs int, struct shape
+    changes, ...) raises — silent coercion is the one latent corruption
+    this guards against."""
+    if table_t == batch_t:
+        return table_t
+    if isinstance(table_t, T.ArrayType) and isinstance(batch_t, T.ArrayType):
+        elem = widen_type(table_t.elementType, batch_t.elementType)
+        return T.ArrayType(elem, table_t.containsNull or batch_t.containsNull)
+    ti, bi = _INT_RANK.get(type(table_t)), _INT_RANK.get(type(batch_t))
+    tf, bf = _FRAC_RANK.get(type(table_t)), _FRAC_RANK.get(type(batch_t))
+    if ti and bi:
+        return table_t if ti >= bi else batch_t
+    if tf and bf:
+        return table_t if tf >= bf else batch_t
+    if (ti and bf) or (tf and bi):
+        # int/float mix: double holds every int32/float exactly; int64
+        # values past 2^53 round — same promotion the reference's cast
+        # lattice makes, accepted as widening
+        return T.DoubleType()
+    raise TypeError(
+        f"incompatible schema change: table {table_t.simpleString()} vs "
+        f"batch {batch_t.simpleString()} (only numeric widening evolves)"
+    )
+
+
 class IngestRunner:
     def __init__(
         self,
@@ -328,16 +365,33 @@ class IngestRunner:
                     stats_box["new_wm"] = new_wm
                 return stats_box
 
-        # -- schema reconciliation (added columns)
+        # -- schema reconciliation: added columns append; a column whose
+        # batch dtype differs WIDENS the table schema along the numeric
+        # lattice (widen_type; raises on a non-widening change). The
+        # parquet reader serves old narrow files under the widened schema
+        # natively, so no rewrite — cast-on-read, the reference's model.
         table_schema = self.table.schema()
         batch_payload = [
             f for f in raw.schema.fields
             if f.name not in CONTROL_COLS and f.name not in ("_wm", "_metadata")
         ]
         new_fields = [f for f in batch_payload if f.name not in table_schema.names]
+        widened = {}
+        for f in batch_payload:
+            if f.name in table_schema.names:
+                cur = table_schema[f.name].dataType
+                w = widen_type(cur, f.dataType)
+                if w != cur:
+                    widened[f.name] = w
         evolved = (
-            T.StructType(list(table_schema.fields) + [T.StructField(f.name, f.dataType, True) for f in new_fields])
-            if new_fields
+            T.StructType(
+                [
+                    T.StructField(f.name, widened.get(f.name, f.dataType), f.nullable)
+                    for f in table_schema.fields
+                ]
+                + [T.StructField(f.name, f.dataType, True) for f in new_fields]
+            )
+            if new_fields or widened
             else table_schema
         )
 
