@@ -62,6 +62,13 @@ AUDIT = {
     # reverse_enumerate = total - ascending two-phase position: keyed
     # window behind a hash exchange, no single-task global sort
     "reverse_enumerate": ([r"Window"], [r"SinglePartition"]),
+    # pipeline TEXT compiles to one Catalyst plan: the `where` inside the
+    # string still reaches the parquet scan as a pushed filter
+    "tql_summarize_pipeline": (
+        [r"PushedFilters: \[.*GreaterThan\(value", r"HashAggregate",
+         r"TakeOrderedAndProject"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+    ),
 }
 
 

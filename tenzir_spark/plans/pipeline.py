@@ -1,0 +1,502 @@
+"""TQL pipeline-text front-end: ``run_tql("where … | summarize … | sort …")``.
+
+The reference executes textual operator pipelines (parser:
+libtenzir/src/tql/parser.cpp — operator names + arguments split on ``|``,
+each operator parsing its own argument grammar; operator docs under
+web/docs/operators/). This module re-states that front door over the
+existing operator library: the pipeline text compiles to a DataFrame plan,
+so Catalyst still sees ONE declarative query — predicate pushdown, pruning
+and join planning work across operator boundaries exactly as if the user
+had written the DataFrame calls directly (the reference implements
+where/head pushdown by hand in its pipeline optimizer;
+libtenzir/include/tenzir/pipeline.hpp:150-155).
+
+Order semantics: Tenzir streams are ordered; DataFrames are not. Operators
+whose semantics depend on stream order (tail/slice/enumerate/unique/
+deduplicate/reverse) take the pipeline's CURRENT order — the ``order_by``
+argument of :func:`run_tql` (the stream position column, e.g. the LSN),
+updated by any ``sort`` stage. Using them with no order in scope is a
+compile error, not silently nondeterministic output.
+
+Grammar per stage (subset relevant to batch analytics; streaming-only
+modifiers like ``timeout`` and source/sink operators are handled by the
+dedicated modules: sources/, streaming/, lake/):
+
+    where <expr>                      select <f>...          drop <f>...
+    rename <new>=<old>...             set|extend|replace <f>=<vexpr>...
+    put <f>=<vexpr>...                summarize [n=]f(x)... by e...
+                                        [resolution <dur>]
+    sort [--stable] <f> [asc|desc] [nulls-first|nulls-last] ...
+    head [n]    tail [n]    taste [n]    slice a:b[:c]    reverse
+    top <f> [--count-field=<c>]       rare <f> [--count-field=<c>]
+    unique      deduplicate [<f>...] [--limit <n>]    enumerate [<f>]
+    measure     unroll <f>    flatten    hash <f> [--salt=<s>]
+    pass        discard       repeat [n]
+
+Value expressions (<vexpr>) support literals, field refs, arithmetic
+(+ - * / %), parentheses and a function whitelist (round abs length lower
+upper trim coalesce concat substring) — the subset of the reference's
+assignment grammar that covers its documented examples.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tenzir_spark.operators import aggregate as agg_ops
+from tenzir_spark.operators import core, meta, structural, transform
+from tenzir_spark.plans.expr import _fields_for_suffix, compile_expr
+
+
+class TqlError(ValueError):
+    """Pipeline-text compile error (operator, argument or expression)."""
+
+
+# ---------------------------------------------------------------------------
+# pipeline splitting: top-level single `|`, never `||`, never inside
+# quotes or brackets
+# ---------------------------------------------------------------------------
+
+
+def split_pipeline(text: str) -> list[str]:
+    stages, buf, depth, i, in_str = [], [], 0, 0, False
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "\\" and i + 1 < len(text):
+                buf.append(text[i + 1])
+                i += 1
+            elif ch == '"':
+                in_str = False
+        elif ch == '"':
+            in_str = True
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "|" and depth == 0:
+            if i + 1 < len(text) and text[i + 1] == "|":
+                buf += ["|", "|"]
+                i += 1
+            else:
+                stages.append("".join(buf).strip())
+                buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    if in_str:
+        raise TqlError("unterminated string literal in pipeline")
+    stages.append("".join(buf).strip())
+    out = [s for s in stages if s]
+    if not out:
+        raise TqlError("empty pipeline")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# value expressions (assignment RHS)
+# ---------------------------------------------------------------------------
+
+_VTOKEN = re.compile(
+    r"""\s*(?:
+        (?P<num>-?\d+\.\d+|-?\d+)|
+        (?P<str>"(?:[^"\\]|\\.)*")|
+        (?P<op>[+\-*/%(),])|
+        (?P<word>[A-Za-z_][\w.]*)
+    )""",
+    re.X,
+)
+
+_VFUNCS = {
+    "round": lambda a: F.round(*a),
+    "abs": lambda a: F.abs(*a),
+    "length": lambda a: F.length(*a),
+    "lower": lambda a: F.lower(*a),
+    "upper": lambda a: F.upper(*a),
+    "trim": lambda a: F.trim(*a),
+    "coalesce": lambda a: F.coalesce(*a),
+    "concat": lambda a: F.concat(*a),
+    "substring": lambda a: F.substring(a[0], a[1], a[2]),
+}
+
+_VKEYWORDS = {"true": True, "false": False, "null": None}
+
+
+def _vtokenize(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _VTOKEN.match(text, pos)
+        if not m:
+            if text[pos:].strip() == "":
+                break
+            raise TqlError(f"bad token in expression at {text[pos:pos + 20]!r}")
+        pos = m.end()
+        out.append((m.lastgroup, m.group(m.lastgroup)))
+    out.append(("eof", ""))
+    return out
+
+
+class _VParser:
+    def __init__(self, text: str, schema: T.StructType):
+        self.toks = _vtokenize(text)
+        self.i = 0
+        self.schema = schema
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def eat(self, val: str | None = None):
+        t = self.toks[self.i]
+        if val is not None and t[1] != val:
+            raise TqlError(f"expected {val!r}, got {t[1]!r}")
+        self.i += 1
+        return t
+
+    def expr(self) -> Column:
+        out = self.term()
+        while self.peek()[1] in ("+", "-"):
+            op = self.eat()[1]
+            rhs = self.term()
+            out = out + rhs if op == "+" else out - rhs
+        return out
+
+    def term(self) -> Column:
+        out = self.factor()
+        while self.peek()[1] in ("*", "/", "%"):
+            op = self.eat()[1]
+            rhs = self.factor()
+            out = {"*": out * rhs, "/": out / rhs, "%": out % rhs}[op]
+        return out
+
+    def factor(self) -> Column:
+        k, v = self.peek()
+        if v == "(":
+            self.eat()
+            e = self.expr()
+            self.eat(")")
+            return e
+        if v == "-":
+            self.eat()
+            return -self.factor()
+        if k == "num":
+            self.eat()
+            return F.lit(float(v) if "." in v else int(v))
+        if k == "str":
+            self.eat()
+            return F.lit(v[1:-1].replace('\\"', '"').replace("\\\\", "\\"))
+        if k == "word":
+            self.eat()
+            if v in _VKEYWORDS:
+                return F.lit(_VKEYWORDS[v])
+            if self.peek()[1] == "(":
+                fn = _VFUNCS.get(v)
+                if fn is None:
+                    raise TqlError(f"unknown function {v!r} "
+                                   f"(available: {sorted(_VFUNCS)})")
+                self.eat("(")
+                args = []
+                while self.peek()[1] != ")":
+                    args.append(self.expr())
+                    if self.peek()[1] == ",":
+                        self.eat()
+                self.eat(")")
+                return fn(args)
+            return _field_col(self.schema, v)
+        raise TqlError(f"bad expression token {v!r}")
+
+
+def _field_col(schema: T.StructType, name: str) -> Column:
+    """Resolve a field reference with suffix semantics; an assignment RHS
+    needs exactly one binding (a predicate may fan out into a disjunction,
+    a value cannot)."""
+    fields = _fields_for_suffix(schema, name)
+    if not fields:
+        raise TqlError(f"unknown field {name!r}")
+    if len(fields) > 1:
+        raise TqlError(
+            f"ambiguous field {name!r} matches {[p for p, _t in fields]}")
+    path = fields[0][0]
+    return F.col("`" + path.replace(".", "`.`") + "`")
+
+
+def compile_value(text: str, schema: T.StructType) -> Column:
+    p = _VParser(text, schema)
+    c = p.expr()
+    if p.peek()[0] != "eof":
+        raise TqlError(f"trailing input in expression: {p.peek()[1]!r}")
+    return c
+
+
+# ---------------------------------------------------------------------------
+# per-stage argument helpers
+# ---------------------------------------------------------------------------
+
+
+def _fields_list(args: str) -> list[str]:
+    out = [a for a in re.split(r"[,\s]+", args.strip()) if a]
+    if not out:
+        raise TqlError("expected at least one field")
+    return out
+
+
+def _assignments(args: str) -> list[tuple[str, str]]:
+    """``name=expr, name=expr ...`` — split on top-level commas, then on
+    the first ``=`` (the RHS may contain nested commas in function calls)."""
+    parts, buf, depth = [], [], 0
+    for ch in args:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    out = []
+    for p in parts:
+        p = p.strip()
+        if not p:
+            continue
+        if "=" not in p:
+            raise TqlError(f"expected name=expression, got {p!r}")
+        name, expr = p.split("=", 1)
+        out.append((name.strip(), expr.strip()))
+    if not out:
+        raise TqlError("expected at least one assignment")
+    return out
+
+
+_DUR_UNITS = {
+    "s": "second", "sec": "second", "second": "second", "seconds": "second",
+    "m": "minute", "min": "minute", "minute": "minute", "minutes": "minute",
+    "h": "hour", "hour": "hour", "hours": "hour",
+    "d": "day", "day": "day", "days": "day",
+}
+
+
+def _resolution_unit(dur: str) -> str:
+    """``1 hour`` / ``1h`` → date_trunc unit (summarize.md resolution is a
+    bucket tolerance; unit-granularity durations map to date_trunc)."""
+    m = re.fullmatch(r"\s*(\d+)\s*([a-z]+)\s*", dur.strip().lower())
+    if not m or m.group(2) not in _DUR_UNITS:
+        raise TqlError(f"bad resolution duration {dur!r}")
+    if m.group(1) != "1":
+        raise TqlError(
+            f"only unit-granularity resolutions supported, got {dur!r}")
+    return _DUR_UNITS[m.group(2)]
+
+
+def _parse_summarize(args: str, schema: T.StructType):
+    """``[name=]f(x)... by e... [resolution <dur>]``"""
+    m = re.search(r"\bby\b", args)
+    agg_part = args[: m.start()] if m else args
+    by_part = args[m.end():] if m else ""
+    resolution = None
+    rm = re.search(r"\bresolution\b(.*)$", by_part)
+    if rm:
+        resolution = _resolution_unit(rm.group(1))
+        by_part = by_part[: rm.start()]
+
+    aggs: dict[str, Column] = {}
+    for am in re.finditer(r"(?:([\w.]+)\s*=\s*)?(\w+)\(\s*([\w.*]*)\s*\)",
+                          agg_part):
+        name, fn, arg = am.group(1), am.group(2), am.group(3)
+        builder = agg_ops.AGG_FUNCTIONS.get(fn)
+        if builder is None:
+            raise TqlError(f"unknown aggregation {fn!r} "
+                           f"(available: {sorted(agg_ops.AGG_FUNCTIONS)})")
+        col = F.lit(1) if arg in ("", "*", ".") else _field_col(schema, arg)
+        aggs[name or f"{fn}({arg})"] = builder(col)
+    if not aggs:
+        raise TqlError(f"summarize: no aggregations in {agg_part!r}")
+    keys = [a for a in re.split(r"[,\s]+", by_part.strip()) if a]
+    return aggs, keys, resolution
+
+
+_SORT_WORDS = {"asc": ("asc", None), "desc": ("desc", None),
+               "nulls-first": (None, "first"), "nulls-last": (None, "last")}
+
+
+def _parse_sort(args: str, schema: T.StructType):
+    """``[--stable] f [asc|desc] [nulls-first|nulls-last] ...`` → list of
+    (column, key-name, ascending)."""
+    toks = [t for t in re.split(r"[,\s]+", args.strip()) if t and t != "--stable"]
+    if not toks:
+        raise TqlError("sort: expected at least one field")
+    specs: list[tuple[str, str, str | None]] = []  # (field, dir, nulls)
+    for t in toks:
+        if t in _SORT_WORDS:
+            if not specs:
+                raise TqlError(f"sort: {t!r} before any field")
+            f, d, nl = specs[-1]
+            nd, nn = _SORT_WORDS[t]
+            specs[-1] = (f, nd or d, nn or nl)
+        else:
+            specs.append((t, "asc", None))
+    out = []
+    for fname, d, nl in specs:
+        c = _field_col(schema, fname)
+        if d == "asc":
+            c = c.asc_nulls_first() if nl == "first" else c.asc_nulls_last() \
+                if nl == "last" else c.asc()
+        else:
+            c = c.desc_nulls_first() if nl == "first" else c.desc_nulls_last() \
+                if nl == "last" else c.desc()
+        out.append((c, fname, d == "asc"))
+    return out
+
+
+def _flag(args: str, name: str) -> tuple[str, str | None]:
+    """Extract ``--name=value`` (or ``--name value``) from an arg string."""
+    m = re.search(rf"--{name}(?:=|\s+)(\S+)", args)
+    if not m:
+        return args, None
+    return (args[: m.start()] + args[m.end():]).strip(), m.group(1)
+
+
+# ---------------------------------------------------------------------------
+# the compiler
+# ---------------------------------------------------------------------------
+
+
+def run_tql(df: DataFrame, text: str, order_by: str | None = None) -> DataFrame:
+    """Compile pipeline text onto ``df`` and return the resulting
+    DataFrame (lazy — one Catalyst plan for the whole pipeline).
+
+    ``order_by`` declares the stream-position column for order-sensitive
+    operators; a ``sort`` stage re-declares it for everything downstream.
+    """
+    order: str | None = order_by
+    for stage in split_pipeline(text):
+        parts = stage.split(None, 1)
+        name, args = parts[0], (parts[1] if len(parts) > 1 else "")
+        schema = df.schema
+
+        def need_order(opname: str) -> str:
+            if order is None:
+                raise TqlError(
+                    f"{opname} needs stream order: pass order_by= or put a "
+                    f"`sort` stage before it")
+            return order
+
+        if name == "where":
+            df = df.filter(compile_expr(args, schema))
+        elif name == "select":
+            df = core.select(df, *[_one_path(schema, f) for f in _fields_list(args)])
+        elif name == "drop":
+            df = core.drop(df, *[_one_path(schema, f) for f in _fields_list(args)])
+        elif name == "rename":
+            mapping = {new: _one_path(schema, old)
+                       for new, old in _assignments(args)}
+            df = core.rename(df, mapping)
+        elif name in ("set", "extend", "replace", "put"):
+            fields = {n: compile_value(e, schema) for n, e in _assignments(args)}
+            df = {"set": core.set_fields, "extend": core.extend,
+                  "replace": core.replace_fields, "put": core.put}[name](df, fields)
+        elif name == "summarize":
+            aggs, keys, resolution = _parse_summarize(args, schema)
+            key_paths = [_one_path(schema, k) for k in keys]
+            time_col = None
+            if resolution:
+                ts = [k for k in key_paths
+                      if isinstance(schema[k].dataType,
+                                    (T.TimestampType, T.TimestampNTZType, T.DateType))]
+                if not ts:
+                    raise TqlError("resolution needs a time-typed by key")
+                time_col = ts[0]
+                key_paths = [k for k in key_paths if k != time_col]
+            df = agg_ops.summarize(df, aggs, by=key_paths,
+                                   resolution=resolution, time_col=time_col)
+            order = None
+        elif name == "sort":
+            specs = _parse_sort(args, schema)
+            df = agg_ops.sort(df, *[c for c, _f, _a in specs])
+            # an ascending first key re-declares the stream order for
+            # downstream order-sensitive ops; a descending key does not
+            # (their position column must ascend) — explicit None beats a
+            # silently wrong order
+            order = specs[0][1] if specs[0][2] else None
+        elif name == "head":
+            df = core.head(df, int(args) if args.strip() else 10)
+        elif name == "tail":
+            df = core.tail(df, int(args) if args.strip() else 10,
+                           order_by=need_order("tail"))
+        elif name == "taste":
+            df = core.taste(df, int(args) if args.strip() else 10,
+                            schema_col=df.columns[0], order_by=need_order("taste"))
+        elif name == "slice":
+            m = re.fullmatch(
+                r"\s*(-?\d+)?\s*:\s*(-?\d+)?\s*(?::\s*(-?\d+)\s*)?", args)
+            if not m:
+                raise TqlError(f"slice: expected a:b[:c], got {args!r}")
+            b, e, s = (int(g) if g is not None else None for g in m.groups())
+            df = core.slice_rows(df, b, e, s, order_by=need_order("slice"))
+        elif name == "reverse":
+            df = core.reverse(df, order_by=need_order("reverse"))
+            order = None
+        elif name in ("top", "rare"):
+            rest, cf = _flag(args, "count-field")
+            rest2, cf2 = _flag(rest, "c")
+            field = rest2.strip()
+            if not field:
+                raise TqlError(f"{name}: expected a field")
+            out_count = cf or cf2 or "count"
+            fn = agg_ops.top if name == "top" else agg_ops.rare
+            df = fn(df, _one_path(schema, field)).withColumnRenamed(
+                "count", out_count)
+            order = None
+        elif name == "unique":
+            df = core.unique_adjacent(df, order_by=need_order("unique"))
+        elif name == "deduplicate":
+            ob = need_order("deduplicate")
+            rest, limit = _flag(args, "limit")
+            keys = _fields_list(rest) if rest.strip() else \
+                [c for c in df.columns if c != ob]
+            df = core.deduplicate(df, [_one_path(schema, k) for k in keys],
+                                  limit=int(limit) if limit else 1,
+                                  order_by=ob)
+        elif name == "enumerate":
+            df = core.enumerate_rows(df, field=args.strip() or "index",
+                                     order_by=need_order("enumerate"))
+        elif name == "measure":
+            df = agg_ops.measure(df)
+            order = None
+        elif name == "unroll":
+            df = structural.unroll(df, _one_path(schema, args.strip()))
+        elif name == "flatten":
+            df = structural.flatten(df)
+        elif name == "hash":
+            rest, salt = _flag(args, "salt")
+            df = transform.hash_field(df, _one_path(schema, rest.strip()),
+                                      salt=salt)
+        elif name == "pass":
+            df = meta.pass_(df)
+        elif name == "discard":
+            df = df.filter(F.lit(False))
+        elif name == "repeat":
+            n = int(args) if args.strip() else 1
+            rep = df.sparkSession.range(n).select(F.lit(1).alias("_rep"))
+            df = df.crossJoin(rep).drop("_rep")
+        else:
+            raise TqlError(f"unknown operator {name!r}")
+    return df
+
+
+def _one_path(schema: T.StructType, name: str) -> str:
+    fields = _fields_for_suffix(schema, name)
+    if not fields:
+        raise TqlError(f"unknown field {name!r}")
+    if len(fields) > 1:
+        raise TqlError(
+            f"ambiguous field {name!r} matches {[p for p, _t in fields]}")
+    return fields[0][0]

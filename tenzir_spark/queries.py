@@ -1331,6 +1331,130 @@ WHERE doc_id < 500 AND doc_id % 3 = 2
 
 
 # --------------------------------------------------------------------------
+# TQL pipeline-text front-end (plans/pipeline.py): textual operator pipes
+# compiled onto the operator library — the reference's user entry point
+# (libtenzir/src/tql/parser.cpp; web/docs/language/syntax.md's
+# `export | where … | summarize … | sort | head` composition). Each entry
+# is ONE pipeline string; the oracle replays the equivalent SQL.
+# --------------------------------------------------------------------------
+
+from tenzir_spark.plans.pipeline import run_tql
+
+
+def q_tql_summarize(spark, sf):
+    """where | summarize by | sort | head as pipeline TEXT (syntax.md's
+    flagship composition). One Catalyst plan; the where still pushes to
+    the scan through the textual front-end."""
+    ev = load(spark, sf, "events")
+    return run_tql(
+        ev,
+        "where value > 0 && event_type != null"
+        " | summarize n=count(.), users=count_distinct(user_id),"
+        "   mx=max(value) by event_type"
+        " | sort n desc, event_type"
+        " | head 5",
+    )
+
+SQL_TQL_SUMMARIZE = """
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
+       max(value) AS mx
+FROM events WHERE value > 0 AND event_type IS NOT NULL
+GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5
+"""
+
+
+def q_tql_set_select(spark, sf):
+    """select | set <arithmetic value expression> | where | sort | head."""
+    ev = load(spark, sf, "events")
+    return run_tql(
+        ev,
+        "select event_id, value, user_id"
+        " | set v2 = round(value * 2 + 1, 4)"
+        " | where v2 > 50"
+        " | sort event_id"
+        " | head 100",
+    )
+
+SQL_TQL_SET_SELECT = """
+SELECT event_id, value, user_id, round(value * 2 + 1, 4) AS v2
+FROM events WHERE round(value * 2 + 1, 4) > 50
+ORDER BY event_id LIMIT 100
+"""
+
+
+def q_tql_top(spark, sf):
+    """where | top --count-field (top.md: summarize count | sort desc)."""
+    ev = load(spark, sf, "events")
+    return run_tql(
+        ev, "where user_id < 500 | top event_type --count-field=amount"
+    )
+
+SQL_TQL_TOP = """
+SELECT event_type, count(*) AS amount FROM events WHERE user_id < 500
+GROUP BY event_type ORDER BY amount DESC, event_type
+"""
+
+
+def q_tql_slice_enumerate(spark, sf):
+    """Order-sensitive pipeline ops (slice + enumerate) under a declared
+    stream order — distributed two-phase numbering underneath."""
+    ev = load(spark, sf, "events").select("event_id", "user_id")
+    return run_tql(ev, "slice 100:4000:7 | enumerate idx", order_by="event_id")
+
+SQL_TQL_SLICE_ENUM = """
+WITH numbered AS (
+  SELECT event_id, user_id,
+         row_number() OVER (ORDER BY event_id) - 1 AS pos
+  FROM events
+)
+SELECT CAST((pos - 100) // 7 AS BIGINT) AS idx, event_id, user_id
+FROM numbered WHERE pos >= 100 AND pos < 4000 AND (pos - 100) % 7 = 0
+"""
+
+
+def q_tql_rename_drop(spark, sf):
+    """rename | drop | where | sort | head over pipeline text."""
+    ev = load(spark, sf, "events")
+    return run_tql(
+        ev,
+        "rename uid=user_id | drop props, ts"
+        " | where uid < 100 && value > 10"
+        " | sort uid, event_id | head 200",
+    )
+
+SQL_TQL_RENAME_DROP = """
+SELECT event_id, user_id AS uid, event_type, value
+FROM events WHERE user_id < 100 AND value > 10
+ORDER BY uid, event_id LIMIT 200
+"""
+
+
+def q_tql_resolution(spark, sf):
+    """summarize … by <time> resolution 1 hour (summarize.md:62-70) from
+    pipeline text; the timestamp is formatted post-pipeline only for the
+    engine-portable hash compare."""
+    ev = load(spark, sf, "events")
+    out = run_tql(
+        ev,
+        "where value > 0"
+        " | summarize n=count(.) by ts, event_type resolution 1 hour"
+        " | sort ts, event_type",
+    )
+    return out.select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type", "n",
+    )
+
+SQL_TQL_RESOLUTION = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type, count(*) AS n
+FROM events WHERE value > 0
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1395,6 +1519,12 @@ REGISTRY: dict[str, tuple] = {
     "where_tql": (q_where_tql, SQL_WHERE_TQL),
     "sigma_rule": (q_sigma_rule, SQL_SIGMA_RULE),
     "frame_sampling": (q_frame_sampling, SQL_FRAME_SAMPLING),
+    "tql_summarize_pipeline": (q_tql_summarize, SQL_TQL_SUMMARIZE),
+    "tql_set_select": (q_tql_set_select, SQL_TQL_SET_SELECT),
+    "tql_top": (q_tql_top, SQL_TQL_TOP),
+    "tql_slice_enumerate": (q_tql_slice_enumerate, SQL_TQL_SLICE_ENUM),
+    "tql_rename_drop": (q_tql_rename_drop, SQL_TQL_RENAME_DROP),
+    "tql_resolution": (q_tql_resolution, SQL_TQL_RESOLUTION),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.

@@ -1,0 +1,130 @@
+"""TQL pipeline-text front-end (plans/pipeline.py): text pipelines must
+compile onto the operator library and match hand-built DataFrame plans;
+bad text must fail with a compile error, not wrong output.
+
+Reference: textual pipelines are the user entry point
+(libtenzir/src/tql/parser.cpp; web/docs/language/syntax.md's
+``export | where … | summarize … | sort | head`` example)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tenzir_spark.plans.pipeline import (
+    TqlError,
+    compile_value,
+    run_tql,
+    split_pipeline,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_split_pipeline_respects_quotes_and_or():
+    assert split_pipeline('where a == "x|y" || b > 1 | head 5') == [
+        'where a == "x|y" || b > 1',
+        "head 5",
+    ]
+    with pytest.raises(TqlError):
+        split_pipeline('where a == "unterminated')
+
+
+def test_where_summarize_sort_head(events):
+    out = run_tql(
+        events,
+        "where value > 0 && event_type != null"
+        " | summarize n=count(.), sv=sum(value) by event_type"
+        " | sort n desc, event_type"
+        " | head 3",
+    )
+    expected = (
+        events.filter((F.col("value") > 0) & F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .orderBy(F.col("n").desc(), F.col("event_type").asc())
+        .limit(3)
+    )
+    assert [r.asDict() for r in out.collect()] == [
+        r.asDict() for r in expected.collect()
+    ]
+
+
+def test_select_set_where(events):
+    out = run_tql(
+        events,
+        "select event_id, value, user_id"
+        " | set v2 = value * 2 + 1"
+        " | where v2 > 50"
+        " | sort event_id | head 20",
+    )
+    rows = out.collect()
+    assert rows and list(out.columns) == ["event_id", "value", "user_id", "v2"]
+    for r in rows:
+        assert r["v2"] == pytest.approx(r["value"] * 2 + 1)
+        assert r["v2"] > 50
+
+
+def test_top_and_rename(events):
+    out = run_tql(events, "top event_type --count-field=amount | head 2")
+    rows = out.collect()
+    assert list(out.columns) == ["event_type", "amount"]
+    assert rows[0]["amount"] >= rows[1]["amount"]
+
+
+def test_order_sensitive_ops_with_declared_order(events):
+    out = run_tql(
+        events.select("event_id", "user_id"),
+        "slice 10:40:3 | enumerate idx",
+        order_by="event_id",
+    )
+    rows = sorted(out.collect(), key=lambda r: r["idx"])
+    ids = sorted(r["event_id"] for r in events.select("event_id").collect())
+    assert [r["event_id"] for r in rows] == ids[10:40:3]
+
+
+def test_tail_uses_sort_order(events):
+    out = run_tql(events.select("event_id"), "sort event_id | tail 5")
+    ids = sorted(r["event_id"] for r in events.select("event_id").collect())
+    assert sorted(r["event_id"] for r in out.collect()) == ids[-5:]
+
+
+def test_order_required_error(events):
+    with pytest.raises(TqlError, match="needs stream order"):
+        run_tql(events, "tail 5")
+
+
+def test_parse_errors(events):
+    with pytest.raises(TqlError, match="unknown operator"):
+        run_tql(events, "where value > 0 | frobnicate 3")
+    with pytest.raises(TqlError, match="unknown aggregation"):
+        run_tql(events, "summarize z=q99(value) by event_type")
+    with pytest.raises(TqlError, match="unknown field"):
+        run_tql(events, "select not_a_field")
+    with pytest.raises(TqlError, match="unknown function"):
+        run_tql(events, "set x = sketchy(value)")
+    with pytest.raises(TqlError, match="slice"):
+        run_tql(events, "slice nonsense", order_by="event_id")
+
+
+def test_compile_value_arithmetic(events):
+    c = compile_value('round(value / 2, 1) + length("ab")', events.schema)
+    row = events.select(F.col("value").alias("value"), c.alias("out")).first()
+    assert row["out"] == pytest.approx(round(row["value"] / 2, 1) + 2)
+
+
+def test_summarize_resolution(events):
+    out = run_tql(
+        events,
+        "summarize n=count(.) by ts, event_type resolution 1 hour",
+    )
+    expected = (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("ts"), F.col("event_type")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert out.count() == expected.count()
+    assert set(out.columns) == {"ts", "event_type", "n"}
