@@ -119,16 +119,24 @@ def _dist2(emb_col: str, c: np.ndarray) -> Column:
 
 
 def ivf_build(df: DataFrame, emb_col: str, id_col: str,
-              n_centroids: int = 16, iters: int = 5, seed: int = 42) -> np.ndarray:
+              n_centroids: int = 16, iters: int = 5, seed: int = 42,
+              sample_mod: int | None = None) -> np.ndarray:
     """IVF coarse quantizer: Lloyd's k-means over the corpus, implemented
-    as pure DataFrame ops — assignment is an argmin over centroid-literal
-    distance expressions (JVM-side), the centroid update is a
-    posexplode → groupBy(cluster, dim) → avg (one distributed pass per
-    iteration), and only the 16×dim centroid matrix ever reaches the
-    driver. Deterministic: init picks the xxhash64-least rows.
+    as pure DataFrame ops — assignment is an argmin over per-centroid
+    distances (JVM-side, see ivf_assign for the large-k shape), the
+    centroid update is a posexplode → groupBy(cluster, dim) → avg (one
+    distributed pass per iteration), and only the k×dim centroid matrix
+    ever reaches the driver. Deterministic: init picks the xxhash64-least
+    rows.
 
-    At 10^9 vectors you'd run the same loop on a sample; the probe path
-    below is unchanged."""
+    ``sample_mod=m`` trains on the deterministic 1/m subsample
+    ``xxhash64(id) % m == 0`` — the standard play at 10^9 vectors (k-means
+    needs a representative sample, not the corpus); the probe path is
+    unchanged."""
+    if sample_mod:
+        df = df.filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(sample_mod)) == 0
+        )
     init = (
         df.orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
         .limit(n_centroids)
@@ -137,10 +145,7 @@ def ivf_build(df: DataFrame, emb_col: str, id_col: str,
     )
     cents = np.array([list(r[0]) for r in init], dtype=float)
     for _ in range(iters):
-        assigned = df.select(
-            F.col(emb_col),
-            _argmin_centroid(emb_col, cents).alias("_c"),
-        )
+        assigned = ivf_assign(df.select(df[emb_col]), emb_col, cents, out="_c")
         upd = (
             assigned.select("_c", F.posexplode(emb_col).alias("_d", "_x"))
             .groupBy("_c", "_d")
@@ -155,15 +160,52 @@ def ivf_build(df: DataFrame, emb_col: str, id_col: str,
 
 
 def _argmin_centroid(emb_col: str, cents: np.ndarray) -> Column:
+    """Small-k argmin: k inlined distance expressions. The generated code
+    grows with k — fine for coarse k ≤ ~64, Janino-hostile past that; the
+    flat-array shape in ivf_assign covers large k."""
     dists = F.array(*[_dist2(emb_col, c) for c in cents])
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+#: above this k the argmin switches from k inlined expressions to the
+#: flat-array broadcast shape (constant-size generated code)
+_ARGMIN_INLINE_MAX = 32
 
 
 def ivf_assign(df: DataFrame, emb_col: str, cents: np.ndarray,
                out: str = "_ivf") -> DataFrame:
     """Attach the coarse-cell id — stored once as a column (the inverted
-    file); queries then prune to their nearest cells."""
-    return df.withColumn(out, _argmin_centroid(emb_col, cents))
+    file); queries then prune to their nearest cells.
+
+    Large k: the centroids travel as ONE flat array<double> on a 1-row
+    broadcast (crossJoin) and the argmin is a constant-size expression —
+    transform(sequence(0,k-1), i → dist²(emb, slice(flat, i·dim+1, dim)))
+    then array_position of the min. Generated code is O(1) in k (a loop
+    over runtime values), where k literal distance expressions blow past
+    Janino/JIT method limits from k ≈ 256."""
+    k, dim = cents.shape
+    if k <= _ARGMIN_INLINE_MAX:
+        return df.withColumn(out, _argmin_centroid(emb_col, cents))
+    spark = df.sparkSession
+    flat = [float(x) for x in cents.ravel()]
+    cdf = spark.createDataFrame([(flat,)], "_cflat: array<double>")
+    dists = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.aggregate(
+            F.zip_with(
+                F.col(emb_col),
+                F.slice(F.col("_cflat"), i * dim + 1, dim),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(cdf))
+        .withColumn(out, (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+        .drop("_cflat")
+    )
 
 
 def ivf_topk(df: DataFrame, emb_col: str, id_col: str, query_vec,

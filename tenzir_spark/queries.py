@@ -950,21 +950,37 @@ FROM events WHERE event_id < 2000
 
 
 def q_parse_syslog5424(spark, sf):
+    """RFC5424 incl. STRUCTURED-DATA map extraction and octet-framing
+    tolerance: every third line carries an RFC6587 length prefix, and the
+    SD section holds two elements whose params come back via the
+    ``sdid.param`` map keys."""
     from tenzir_spark.sources.formats import parse_syslog5424
 
     ev = load(spark, sf, "events").filter(F.col("event_id") < 2000)
+    frame = F.when(F.col("event_id") % 3 == 0, F.lit("120 ")).otherwise(F.lit(""))
     lines = ev.select(
         "event_id",
         F.concat(
+            frame,
             F.lit("<"), (F.col("event_id") % 190).cast("int"), F.lit(">1 "),
             F.lit("2024-01-12T03:04:05Z host-"), F.col("user_id"),
             F.lit(" app-"), F.col("event_type"),
             F.lit(" "), F.col("event_id"), F.lit(" msg-"), F.col("user_id") % 7,
-            F.lit(" - event value recorded"),
+            F.lit(' [ex@32473 user="u'), F.col("user_id"),
+            F.lit('" seq="'), F.col("event_id") % 5,
+            F.lit('"][meta kind="'), F.col("event_type"),
+            F.lit('"] event value recorded'),
         ).alias("line"),
     )
     parsed = lines.select("event_id", *parse_syslog5424("line"))
-    return parsed.drop("structured_data")
+    return parsed.select(
+        "event_id", "facility", "severity", "version", "timestamp",
+        "hostname", "app_name", "process_id", "message_id",
+        F.col("structured_data")["ex@32473.user"].alias("sd_user"),
+        F.col("structured_data")["ex@32473.seq"].alias("sd_seq"),
+        F.col("structured_data")["meta.kind"].alias("sd_kind"),
+        "message",
+    )
 
 SQL_PARSE_SYSLOG5424 = """
 SELECT event_id,
@@ -976,6 +992,9 @@ SELECT event_id,
        'app-' || event_type AS app_name,
        CAST(event_id AS VARCHAR) AS process_id,
        'msg-' || (user_id % 7) AS message_id,
+       'u' || user_id AS sd_user,
+       CAST(event_id % 5 AS VARCHAR) AS sd_seq,
+       event_type AS sd_kind,
        'event value recorded' AS message
 FROM events WHERE event_id < 2000
 """

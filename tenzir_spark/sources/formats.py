@@ -157,14 +157,47 @@ _RFC5424 = (
 )
 
 
+def _sd_map(sd: Column) -> Column:
+    """RFC5424 STRUCTURED-DATA → map<string,string> keyed ``sdid.param``
+    (reference parses SD into a record of records, syslog.cpp's
+    structured-data parser; the flattened dotted-key map is the engine's
+    record-flattening convention). Pure higher-order expressions:
+    regexp_extract_all over elements, nested transform over params,
+    map_from_entries. Limitation (documented): param values containing an
+    escaped ``\\]`` split the element early — fine for conformant
+    producers, which must escape ``]`` as ``\\]`` only inside values."""
+    elems = F.regexp_extract_all(sd, F.lit(r"\[([^\]]*)\]"), F.lit(1))
+
+    def entries(e: Column) -> Column:
+        sid = F.regexp_extract(e, r"^(\S+)", 1)
+        kvs = F.regexp_extract_all(e, F.lit(r'[\w.@-]+="[^"]*"'), F.lit(0))
+        return F.transform(
+            kvs,
+            lambda kv: F.struct(
+                F.concat(
+                    sid, F.lit("."), F.regexp_extract(kv, r'^([\w.@-]+)=', 1)
+                ).alias("key"),
+                F.regexp_extract(kv, r'^[\w.@-]+="([^"]*)"', 1).alias("value"),
+            ),
+        )
+
+    return F.map_from_entries(F.flatten(F.transform(elems, entries)))
+
+
 def parse_syslog5424(col: Column | str) -> list[Column]:
-    c = F.col(col) if isinstance(col, str) else col
+    """RFC5424 fields; octet-framing tolerant (RFC6587 ``123 <34>1 …``
+    length prefixes are stripped), STRUCTURED-DATA parsed into a
+    ``sdid.param`` → value map (raw form kept in structured_data_raw)."""
+    raw = F.col(col) if isinstance(col, str) else col
+    # octet-counting frame (RFC6587 §3.4.1): leading MSG-LEN digits + SP
+    c = F.regexp_replace(raw, r"^\d+\s+(?=<)", "")
     pri = F.regexp_extract(c, _RFC5424, 1).cast("int")
 
     def g(i: int, name: str, typ: str | None = None) -> Column:
         e = F.nullif(F.regexp_extract(c, _RFC5424, i), F.lit("-"))
         return (e.cast(typ) if typ else e).alias(name)
 
+    sd_raw = F.nullif(F.regexp_extract(c, _RFC5424, 8), F.lit(""))
     return [
         (pri / 8).cast("int").alias("facility"),
         F.pmod(pri, F.lit(8)).cast("int").alias("severity"),
@@ -174,7 +207,8 @@ def parse_syslog5424(col: Column | str) -> list[Column]:
         g(5, "app_name"),
         g(6, "process_id"),
         g(7, "message_id"),
-        F.nullif(F.regexp_extract(c, _RFC5424, 8), F.lit("")).alias("structured_data"),
+        _sd_map(sd_raw).alias("structured_data"),
+        sd_raw.alias("structured_data_raw"),
         g(9, "message"),
     ]
 

@@ -131,3 +131,47 @@ def test_ivf_topk_recall_and_exhaustive_equivalence(spark, sf_dir):
         recalls.append(len(got & set(exact)) / len(exact))
     assert recalls == sorted(recalls), f"recall must be monotone: {recalls}"
     assert recalls[-1] == 1.0, "probing all cells must equal exact top-k"
+
+
+def test_ivf_large_k_flat_argmin(spark, sf_dir):
+    """k=256 centroids: the flat-array broadcast argmin (constant-size
+    generated code; 256 inlined distance expressions would blow past
+    Janino/JIT limits) must agree with the inlined small-k shape and keep
+    the exhaustive-probe == exact invariant."""
+    import numpy as np
+
+    from tenzir_spark.operators.similarity import (
+        _ARGMIN_INLINE_MAX, cosine_topk, ivf_assign, ivf_topk)
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = em.filter("vec_id = 0").select("embedding").head()[0]
+    dim = len(qvec)
+    # deterministic synthetic centroids (no need to train 256 cells on a
+    # 500-vector corpus to exercise the assignment path)
+    rng = np.random.default_rng(7)
+    cents = rng.standard_normal((256, dim))
+    assert 256 > _ARGMIN_INLINE_MAX
+    indexed = ivf_assign(em, "embedding", cents)
+    cells = indexed.select("vec_id", "_ivf").collect()
+    assert len(cells) == em.count()
+    assert all(0 <= r["_ivf"] < 256 for r in cells)
+
+    # flat argmin == inlined argmin on a 16-centroid prefix
+    small = cents[:16]
+    inl = {r["vec_id"]: r["_ivf"]
+           for r in ivf_assign(em, "embedding", small).select("vec_id", "_ivf").collect()}
+    import tenzir_spark.operators.similarity as simmod
+    old = simmod._ARGMIN_INLINE_MAX
+    simmod._ARGMIN_INLINE_MAX = 0  # force the flat shape for the same 16
+    try:
+        flat = {r["vec_id"]: r["_ivf"]
+                for r in ivf_assign(em, "embedding", small).select("vec_id", "_ivf").collect()}
+    finally:
+        simmod._ARGMIN_INLINE_MAX = old
+    assert inl == flat
+
+    exact = [r["vec_id"] for r in cosine_topk(em, "embedding", "vec_id", qvec, k=10).collect()]
+    got = {r["vec_id"] for r in ivf_topk(
+        indexed, "embedding", "vec_id", qvec, cents, k=10,
+        n_probe=256, cell_col="_ivf").collect()}
+    assert got == set(exact), "probing all 256 cells must equal exact top-k"

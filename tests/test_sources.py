@@ -74,8 +74,26 @@ def test_syslog_5424(spark):
     assert r["app_name"] == "su"
     assert r["process_id"] == "1"
     assert r["message_id"] == "ID47"
-    assert r["structured_data"] == '[exampleSDID@32473 iut="3"]'
+    assert r["structured_data"] == {"exampleSDID@32473.iut": "3"}
+    assert r["structured_data_raw"] == '[exampleSDID@32473 iut="3"]'
     assert r["message"] == "BOM an application event"
+
+
+def test_syslog_5424_octet_framing_and_multi_sd(spark):
+    """RFC6587 octet-counting prefix is stripped; multiple SD elements
+    flatten into one sdid.param map; nil SD gives an empty/null map."""
+    lines = [
+        Row(line='75 <34>1 2003-10-11T22:14:15Z host app 1 ID47 '
+                 '[a@1 x="1" y="two words"][b z="3"] msg body'),
+        Row(line='<34>1 2003-10-11T22:14:15Z host app 1 ID47 - bare'),
+    ]
+    rows = spark.createDataFrame(lines).select(*parse_syslog5424("line")).collect()
+    framed = next(r for r in rows if r["message"] == "msg body")
+    assert framed["hostname"] == "host"
+    assert framed["structured_data"] == {
+        "a@1.x": "1", "a@1.y": "two words", "b.z": "3"}
+    bare = next(r for r in rows if r["message"] == "bare")
+    assert not bare["structured_data"]  # nil SD -> no entries
 
 
 def test_cef(spark):
