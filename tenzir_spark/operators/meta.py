@@ -175,4 +175,32 @@ def show(spark: SparkSession, aspect: str, table=None) -> DataFrame:
             "version long, parent long, n_base_files long, n_delta_files long, total_rows long",
         )
     raise ValueError(f"unknown aspect {aspect!r} "
-                     "(partitions|fields|properties|snapshots|version)")
+                     "(partitions|fields|properties|snapshots|version|"
+                     "operators|formats)")
+
+
+#: `show operators` / `show formats` (the reference's plugin-registry
+#: aspects, builtins/aspects/operators.cpp, formats.cpp). The pipeline
+#: front-end's operator names are its registry; the format list mirrors
+#: sources/formats.py + grok/feather.
+_PIPELINE_OPERATORS = [
+    "where", "select", "drop", "rename", "set", "extend", "replace", "put",
+    "summarize", "sort", "head", "tail", "taste", "slice", "reverse",
+    "top", "rare", "unique", "deduplicate", "enumerate", "measure",
+    "unroll", "flatten", "hash", "pass", "discard", "repeat",
+]
+_FORMATS = [
+    "json", "ndjson", "csv", "tsv", "ssv", "xsv", "parquet", "feather",
+    "lines", "kv", "grok", "syslog3164", "syslog5424", "cef", "leef",
+    "zeek-tsv", "yaml",
+]
+
+
+def show_registry(spark: SparkSession, aspect: str) -> DataFrame:
+    """`show operators|formats`: the textual front-end's operator registry
+    and the format-parser inventory, one name per row."""
+    names = {"operators": _PIPELINE_OPERATORS, "formats": _FORMATS}.get(aspect)
+    if names is None:
+        raise ValueError(f"unknown registry aspect {aspect!r}")
+    return spark.createDataFrame([Row(name=n) for n in sorted(names)],
+                                 "name string")

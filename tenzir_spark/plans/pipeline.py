@@ -389,106 +389,113 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None) -> DataFrame:
                     f"`sort` stage before it")
             return order
 
-        if name == "where":
-            df = df.filter(compile_expr(args, schema))
-        elif name == "select":
-            df = core.select(df, *[_one_path(schema, f) for f in _fields_list(args)])
-        elif name == "drop":
-            df = core.drop(df, *[_one_path(schema, f) for f in _fields_list(args)])
-        elif name == "rename":
-            mapping = {new: _one_path(schema, old)
-                       for new, old in _assignments(args)}
-            df = core.rename(df, mapping)
-        elif name in ("set", "extend", "replace", "put"):
-            fields = {n: compile_value(e, schema) for n, e in _assignments(args)}
-            df = {"set": core.set_fields, "extend": core.extend,
-                  "replace": core.replace_fields, "put": core.put}[name](df, fields)
-        elif name == "summarize":
-            aggs, keys, resolution = _parse_summarize(args, schema)
-            key_paths = [_one_path(schema, k) for k in keys]
-            time_col = None
-            if resolution:
-                ts = [k for k in key_paths
-                      if isinstance(schema[k].dataType,
-                                    (T.TimestampType, T.TimestampNTZType, T.DateType))]
-                if not ts:
-                    raise TqlError("resolution needs a time-typed by key")
-                time_col = ts[0]
-                key_paths = [k for k in key_paths if k != time_col]
-            df = agg_ops.summarize(df, aggs, by=key_paths,
-                                   resolution=resolution, time_col=time_col)
-            order = None
-        elif name == "sort":
-            specs = _parse_sort(args, schema)
-            df = agg_ops.sort(df, *[c for c, _f, _a in specs])
-            # an ascending first key re-declares the stream order for
-            # downstream order-sensitive ops; a descending key does not
-            # (their position column must ascend) — explicit None beats a
-            # silently wrong order
-            order = specs[0][1] if specs[0][2] else None
-        elif name == "head":
-            df = core.head(df, int(args) if args.strip() else 10)
-        elif name == "tail":
-            df = core.tail(df, int(args) if args.strip() else 10,
-                           order_by=need_order("tail"))
-        elif name == "taste":
-            df = core.taste(df, int(args) if args.strip() else 10,
-                            schema_col=df.columns[0], order_by=need_order("taste"))
-        elif name == "slice":
-            m = re.fullmatch(
-                r"\s*(-?\d+)?\s*:\s*(-?\d+)?\s*(?::\s*(-?\d+)\s*)?", args)
-            if not m:
-                raise TqlError(f"slice: expected a:b[:c], got {args!r}")
-            b, e, s = (int(g) if g is not None else None for g in m.groups())
-            df = core.slice_rows(df, b, e, s, order_by=need_order("slice"))
-        elif name == "reverse":
-            df = core.reverse(df, order_by=need_order("reverse"))
-            order = None
-        elif name in ("top", "rare"):
-            rest, cf = _flag(args, "count-field")
-            rest2, cf2 = _flag(rest, "c")
-            field = rest2.strip()
-            if not field:
-                raise TqlError(f"{name}: expected a field")
-            out_count = cf or cf2 or "count"
-            fn = agg_ops.top if name == "top" else agg_ops.rare
-            df = fn(df, _one_path(schema, field)).withColumnRenamed(
-                "count", out_count)
-            order = None
-        elif name == "unique":
-            df = core.unique_adjacent(df, order_by=need_order("unique"))
-        elif name == "deduplicate":
-            ob = need_order("deduplicate")
-            rest, limit = _flag(args, "limit")
-            keys = _fields_list(rest) if rest.strip() else \
-                [c for c in df.columns if c != ob]
-            df = core.deduplicate(df, [_one_path(schema, k) for k in keys],
-                                  limit=int(limit) if limit else 1,
-                                  order_by=ob)
-        elif name == "enumerate":
-            df = core.enumerate_rows(df, field=args.strip() or "index",
-                                     order_by=need_order("enumerate"))
-        elif name == "measure":
-            df = agg_ops.measure(df)
-            order = None
-        elif name == "unroll":
-            df = structural.unroll(df, _one_path(schema, args.strip()))
-        elif name == "flatten":
-            df = structural.flatten(df)
-        elif name == "hash":
-            rest, salt = _flag(args, "salt")
-            df = transform.hash_field(df, _one_path(schema, rest.strip()),
-                                      salt=salt)
-        elif name == "pass":
-            df = meta.pass_(df)
-        elif name == "discard":
-            df = df.filter(F.lit(False))
-        elif name == "repeat":
-            n = int(args) if args.strip() else 1
-            rep = df.sparkSession.range(n).select(F.lit(1).alias("_rep"))
-            df = df.crossJoin(rep).drop("_rep")
-        else:
-            raise TqlError(f"unknown operator {name!r}")
+        try:
+            if name == "where":
+                df = df.filter(compile_expr(args, schema))
+            elif name == "select":
+                df = core.select(df, *[_one_path(schema, f) for f in _fields_list(args)])
+            elif name == "drop":
+                df = core.drop(df, *[_one_path(schema, f) for f in _fields_list(args)])
+            elif name == "rename":
+                mapping = {new: _one_path(schema, old)
+                           for new, old in _assignments(args)}
+                df = core.rename(df, mapping)
+            elif name in ("set", "extend", "replace", "put"):
+                fields = {n: compile_value(e, schema) for n, e in _assignments(args)}
+                df = {"set": core.set_fields, "extend": core.extend,
+                      "replace": core.replace_fields, "put": core.put}[name](df, fields)
+            elif name == "summarize":
+                aggs, keys, resolution = _parse_summarize(args, schema)
+                key_paths = [_one_path(schema, k) for k in keys]
+                time_col = None
+                if resolution:
+                    ts = [k for k in key_paths
+                          if isinstance(schema[k].dataType,
+                                        (T.TimestampType, T.TimestampNTZType, T.DateType))]
+                    if not ts:
+                        raise TqlError("resolution needs a time-typed by key")
+                    time_col = ts[0]
+                    key_paths = [k for k in key_paths if k != time_col]
+                df = agg_ops.summarize(df, aggs, by=key_paths,
+                                       resolution=resolution, time_col=time_col)
+                order = None
+            elif name == "sort":
+                specs = _parse_sort(args, schema)
+                df = agg_ops.sort(df, *[c for c, _f, _a in specs])
+                # an ascending first key re-declares the stream order for
+                # downstream order-sensitive ops; a descending key does not
+                # (their position column must ascend) — explicit None beats a
+                # silently wrong order
+                order = specs[0][1] if specs[0][2] else None
+            elif name == "head":
+                df = core.head(df, int(args) if args.strip() else 10)
+            elif name == "tail":
+                df = core.tail(df, int(args) if args.strip() else 10,
+                               order_by=need_order("tail"))
+            elif name == "taste":
+                df = core.taste(df, int(args) if args.strip() else 10,
+                                schema_col=df.columns[0], order_by=need_order("taste"))
+            elif name == "slice":
+                m = re.fullmatch(
+                    r"\s*(-?\d+)?\s*:\s*(-?\d+)?\s*(?::\s*(-?\d+)\s*)?", args)
+                if not m:
+                    raise TqlError(f"slice: expected a:b[:c], got {args!r}")
+                b, e, s = (int(g) if g is not None else None for g in m.groups())
+                df = core.slice_rows(df, b, e, s, order_by=need_order("slice"))
+            elif name == "reverse":
+                df = core.reverse(df, order_by=need_order("reverse"))
+                order = None
+            elif name in ("top", "rare"):
+                rest, cf = _flag(args, "count-field")
+                rest2, cf2 = _flag(rest, "c")
+                field = rest2.strip()
+                if not field:
+                    raise TqlError(f"{name}: expected a field")
+                out_count = cf or cf2 or "count"
+                fn = agg_ops.top if name == "top" else agg_ops.rare
+                df = fn(df, _one_path(schema, field)).withColumnRenamed(
+                    "count", out_count)
+                order = None
+            elif name == "unique":
+                df = core.unique_adjacent(df, order_by=need_order("unique"))
+            elif name == "deduplicate":
+                ob = need_order("deduplicate")
+                rest, limit = _flag(args, "limit")
+                keys = _fields_list(rest) if rest.strip() else \
+                    [c for c in df.columns if c != ob]
+                df = core.deduplicate(df, [_one_path(schema, k) for k in keys],
+                                      limit=int(limit) if limit else 1,
+                                      order_by=ob)
+            elif name == "enumerate":
+                df = core.enumerate_rows(df, field=args.strip() or "index",
+                                         order_by=need_order("enumerate"))
+            elif name == "measure":
+                df = agg_ops.measure(df)
+                order = None
+            elif name == "unroll":
+                df = structural.unroll(df, _one_path(schema, args.strip()))
+            elif name == "flatten":
+                df = structural.flatten(df)
+            elif name == "hash":
+                rest, salt = _flag(args, "salt")
+                df = transform.hash_field(df, _one_path(schema, rest.strip()),
+                                          salt=salt)
+            elif name == "pass":
+                df = meta.pass_(df)
+            elif name == "discard":
+                df = df.filter(F.lit(False))
+            elif name == "repeat":
+                n = int(args) if args.strip() else 1
+                rep = df.sparkSession.range(n).select(F.lit(1).alias("_rep"))
+                df = df.crossJoin(rep).drop("_rep")
+            else:
+                raise TqlError(f"unknown operator {name!r}")
+        except TqlError:
+            raise
+        except (ValueError, TypeError, KeyError) as e:
+            # operator-library / parser errors surface as pipeline
+            # compile errors with the failing operator named
+            raise TqlError(f"{name}: {e}") from e
     return df
 
 

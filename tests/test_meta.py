@@ -91,6 +91,32 @@ def test_show_aspects_from_manifests(spark, tmp_path):
         show(spark, "nope", t)
 
 
+def test_show_operator_and_format_registries(spark):
+    """`show operators|formats`: every advertised pipeline operator must
+    actually be accepted by run_tql, and the format list must cover the
+    parser inventory."""
+    from tenzir_spark.operators.meta import _PIPELINE_OPERATORS, show_registry
+    from tenzir_spark.plans.pipeline import TqlError, run_tql
+
+    ops = {r["name"] for r in show_registry(spark, "operators").collect()}
+    assert ops == set(_PIPELINE_OPERATORS)
+    df = spark.range(3).selectExpr("id AS event_id", "id * 2 AS value")
+    for name in ops:
+        try:
+            run_tql(df, f"{name}", order_by="event_id")
+        except TqlError as e:
+            # argument errors are fine; "unknown operator" would mean the
+            # advertised registry lies
+            assert "unknown operator" not in str(e)
+
+    fmts = {r["name"] for r in show_registry(spark, "formats").collect()}
+    assert {"json", "csv", "parquet", "feather", "grok", "syslog5424",
+            "cef", "leef"} <= fmts
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        show_registry(spark, "nope")
+
+
 def test_batch_and_delay(spark):
     """batch resizes partitions; delay paces batch emission by the time
     column scaled by speed (delay.cpp parity) without touching rows."""
