@@ -445,6 +445,42 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None) -> DataFrame:
             elif name == "reverse":
                 df = core.reverse(df, order_by=need_order("reverse"))
                 order = None
+            elif name == "parse":
+                # parse <field> <parser> [<arg>] (parse.md:16-21); the
+                # parser inventory mirrors sources/formats.py
+                pm = re.fullmatch(
+                    r'\s*([\w.]+)\s+(\w+)(?:\s+"((?:[^"\\]|\\.)*)")?\s*', args)
+                if not pm:
+                    raise TqlError(
+                        f'parse: expected <field> <parser> ["<arg>"], got {args!r}')
+                fld = _one_path(schema, pm.group(1))
+                parser, parg = pm.group(2), pm.group(3)
+                if parser == "kv":
+                    df = transform.parse_kv_field(df, fld)
+                elif parser == "json":
+                    if not parg:
+                        raise TqlError('parse json needs a "<ddl schema>" arg')
+                    df = transform.parse_json_field(df, fld, parg)
+                elif parser == "grok":
+                    if not parg:
+                        raise TqlError('parse grok needs a "<pattern>" arg')
+                    from tenzir_spark.sources.grok import parse_grok
+
+                    df = parse_grok(df, fld, parg)
+                elif parser in ("syslog3164", "syslog5424", "cef", "leef"):
+                    from tenzir_spark.sources import formats as fmt
+
+                    cols = {
+                        "syslog3164": fmt.parse_syslog3164,
+                        "syslog5424": fmt.parse_syslog5424,
+                        "cef": fmt.parse_cef,
+                        "leef": fmt.parse_leef,
+                    }[parser](fld)
+                    df = df.select("*", *cols)
+                else:
+                    raise TqlError(
+                        f"unknown parser {parser!r} (kv|json|grok|"
+                        f"syslog3164|syslog5424|cef|leef)")
             elif name in ("top", "rare"):
                 rest, cf = _flag(args, "count-field")
                 rest2, cf2 = _flag(rest, "c")

@@ -1473,6 +1473,39 @@ ORDER BY 1, 2
 """
 
 
+def q_tql_parse_grok(spark, sf):
+    """`set <synth line> | parse line grok "%{COMMONAPACHELOG}" | where |
+    select` as pipeline text — format parsing composed with filtering
+    inside one textual pipeline."""
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 2000)
+    cents = F.round(F.col("value") * 100).cast("long")
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("10.0."), F.col("user_id") % 256, F.lit("."),
+            F.col("event_id") % 256,
+            F.lit(' - frank [12/Jan/2024:03:04:05 +0000] "GET /item/'),
+            F.col("event_id"), F.lit('?q='), F.col("event_type"),
+            F.lit(' HTTP/1.1" 200 '), cents,
+        ).alias("line"),
+    )
+    return run_tql(
+        lines,
+        'parse line grok "%{COMMONAPACHELOG}"'
+        ' | where response == "200"'
+        " | select event_id, clientip, verb, request, bytes",
+    )
+
+SQL_TQL_PARSE_GROK = """
+SELECT event_id,
+       '10.0.' || (user_id % 256) || '.' || (event_id % 256) AS clientip,
+       'GET' AS verb,
+       '/item/' || event_id || '?q=' || event_type AS request,
+       CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS bytes
+FROM events WHERE event_id < 2000
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1544,6 +1577,7 @@ REGISTRY: dict[str, tuple] = {
     "tql_slice_enumerate": (q_tql_slice_enumerate, SQL_TQL_SLICE_ENUM),
     "tql_rename_drop": (q_tql_rename_drop, SQL_TQL_RENAME_DROP),
     "tql_resolution": (q_tql_resolution, SQL_TQL_RESOLUTION),
+    "tql_parse_grok": (q_tql_parse_grok, SQL_TQL_PARSE_GROK),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.

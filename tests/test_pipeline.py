@@ -110,6 +110,29 @@ def test_parse_errors(events):
         run_tql(events, "slice nonsense", order_by="event_id")
 
 
+def test_parse_operator(spark, events):
+    """`parse <field> kv|grok|syslog…` inside pipeline text."""
+    from pyspark.sql import functions as F
+
+    kv = events.limit(20).select(
+        "event_id",
+        F.concat(F.lit("k="), F.col("event_type"), F.lit(" n="),
+                 F.col("user_id")).alias("line"),
+    )
+    out = run_tql(kv, "parse line kv | set kind = 1").collect()
+    assert all(r["line_kv"]["k"] is not None for r in out)
+
+    sys = spark.createDataFrame(
+        [("<34>1 2024-01-01T00:00:00Z h app 1 m - body text",)], "line string")
+    r = run_tql(sys, "parse line syslog5424 | select hostname, message").first()
+    assert r["hostname"] == "h" and r["message"] == "body text"
+
+    with pytest.raises(TqlError, match="unknown parser"):
+        run_tql(kv, "parse line nonsense")
+    with pytest.raises(TqlError, match="needs a"):
+        run_tql(kv, "parse line grok")
+
+
 def test_compile_value_arithmetic(events):
     c = compile_value('round(value / 2, 1) + length("ab")', events.schema)
     row = events.select(F.col("value").alias("value"), c.alias("out")).first()
