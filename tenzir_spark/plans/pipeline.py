@@ -543,3 +543,107 @@ def _one_path(schema: T.StructType, name: str) -> str:
         raise TqlError(
             f"ambiguous field {name!r} matches {[p for p, _t in fields]}")
     return fields[0][0]
+
+
+# ---------------------------------------------------------------------------
+# source/sink stages: `from <path> [read <fmt>] | … | to <path> [write <fmt>]`
+# (from.md / to.md: connector ⊕ format, format inferred from the file
+# extension when omitted; compression suffixes are transparent — Spark's
+# text-based readers decompress .gz/.bz2 natively)
+# ---------------------------------------------------------------------------
+
+_EXT_FORMAT = {
+    "parquet": "parquet", "json": "json", "ndjson": "json", "jsonl": "json",
+    "csv": "csv", "tsv": "tsv", "ssv": "ssv", "txt": "lines",
+    "log": "lines", "feather": "feather", "arrow": "feather",
+}
+
+
+def _infer_format(path: str, explicit: str | None) -> str:
+    if explicit:
+        return explicit
+    base = path.rstrip("/").rsplit("/", 1)[-1]
+    parts = base.split(".")
+    # skip compression suffixes for inference (from.md's `.json.gz` rule)
+    while len(parts) > 1 and parts[-1] in ("gz", "bz2", "zst", "xz"):
+        parts.pop()
+    fmt = _EXT_FORMAT.get(parts[-1] if len(parts) > 1 else "")
+    if fmt is None:
+        return "json"  # the reference's default format for most connectors
+    return fmt
+
+
+def _read_source(spark, path: str, fmt: str | None) -> DataFrame:
+    from tenzir_spark.sources import formats as fmts
+
+    fmt = _infer_format(path, fmt)
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "json":
+        return spark.read.json(path)
+    if fmt in ("csv", "tsv", "ssv", "xsv"):
+        sep = {"csv": ",", "tsv": "\t", "ssv": " "}.get(fmt, ",")
+        return (spark.read.option("header", True).option("sep", sep)
+                .option("inferSchema", True).csv(path))
+    if fmt == "lines":
+        return fmts.read_lines(spark, path)
+    if fmt in ("zeek-tsv", "zeek"):
+        return fmts.read_zeek_tsv(spark, path)
+    if fmt == "feather":
+        from tenzir_spark.sources.feather import read_feather
+
+        return read_feather(spark, path)
+    raise TqlError(f"unknown read format {fmt!r}")
+
+
+def _write_sink(df: DataFrame, path: str, fmt: str | None) -> None:
+    fmt = _infer_format(path, fmt)
+    if fmt == "parquet":
+        df.write.mode("overwrite").parquet(path)
+    elif fmt == "json":
+        df.write.mode("overwrite").json(path)
+    elif fmt in ("csv", "tsv", "ssv"):
+        sep = {"csv": ",", "tsv": "\t", "ssv": " "}[fmt]
+        df.write.mode("overwrite").option("header", True).option("sep", sep).csv(path)
+    elif fmt == "feather":
+        from tenzir_spark.sources.feather import write_feather
+
+        write_feather(df, path)
+    else:
+        raise TqlError(f"unknown write format {fmt!r}")
+
+
+_FROM_RE = re.compile(r"from\s+(\S+)(?:\s+read\s+(\S+))?\s*$")
+_TO_RE = re.compile(
+    r"(?:to\s+(\S+)(?:\s+write\s+(\S+))?|write\s+(\S+)\s+to\s+(\S+))\s*$")
+
+
+def run_tql_source(spark, text: str, order_by: str | None = None) -> DataFrame:
+    """End-to-end textual pipeline with source and optional sink stages:
+
+        from <path> [read <format>] | <operators…> [| to <path> [write <fmt>]]
+
+    The `from` stage resolves connector+format (extension-inferred when
+    `read` is omitted, json default — from.md); a trailing `to`/`write …
+    to` stage EXECUTES the write (the sink side-effect) and the written
+    DataFrame is returned either way for inspection/chaining."""
+    stages = split_pipeline(text)
+    m = _FROM_RE.fullmatch(stages[0].strip())
+    if not m:
+        raise TqlError(
+            "pipeline must start with `from <path> [read <format>]` "
+            f"(got {stages[0]!r}); use run_tql() to apply operator text "
+            "to an existing DataFrame")
+    df = _read_source(spark, m.group(1), m.group(2))
+    rest = stages[1:]
+    sink = None
+    if rest:
+        tm = _TO_RE.fullmatch(rest[-1].strip())
+        if tm:
+            sink = (tm.group(1) or tm.group(4), tm.group(2) or tm.group(3))
+            rest = rest[:-1]
+    if rest:
+        df = run_tql(df, " | ".join(rest), order_by=order_by)
+    if sink:
+        _write_sink(df, sink[0], sink[1])
+    return df

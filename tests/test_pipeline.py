@@ -133,6 +133,45 @@ def test_parse_operator(spark, events):
         run_tql(kv, "parse line grok")
 
 
+def test_from_to_end_to_end(spark, tmp_path):
+    """`from <path> read <fmt> | ops | to <path>`: full textual pipeline
+    incl. source resolution (extension inference) and sink execution."""
+    from tenzir_spark.plans.pipeline import run_tql_source
+
+    src = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    src_path = str(tmp_path / "in.parquet")
+    src.write.parquet(src_path)
+    out_path = str(tmp_path / "out.parquet")
+
+    df = run_tql_source(
+        spark,
+        f"from {src_path} | where v >= 100 | set w = v + 1"
+        f" | sort k | head 10 | to {out_path}",
+    )
+    back = spark.read.parquet(out_path)
+    assert back.count() == 10 == df.count()
+    rows = {r["k"]: r for r in back.collect()}
+    assert set(rows) == set(range(50, 60))
+    assert all(r["w"] == r["v"] + 1 for r in rows.values())
+
+    # csv roundtrip with explicit formats + `write … to` order
+    csv_out = str(tmp_path / "out_dir")
+    run_tql_source(spark, f"from {src_path} read parquet | head 5"
+                          f" | write csv to {csv_out}")
+    assert spark.read.option("header", True).csv(csv_out).count() == 5
+
+    # json extension inference on the read side
+    j = str(tmp_path / "in.json")
+    src.limit(7).write.json(j)
+    got = run_tql_source(spark, f"from {j} | measure").first()
+    assert got["events"] == 7
+
+    with pytest.raises(TqlError, match="must start with"):
+        run_tql_source(spark, "where x > 1")
+    with pytest.raises(TqlError, match="unknown read format"):
+        run_tql_source(spark, f"from {src_path} read cassette")
+
+
 def test_compile_value_arithmetic(events):
     c = compile_value('round(value / 2, 1) + length("ab")', events.schema)
     row = events.select(F.col("value").alias("value"), c.alias("out")).first()
