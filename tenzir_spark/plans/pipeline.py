@@ -616,6 +616,17 @@ def _write_sink(df: DataFrame, path: str, fmt: str | None) -> None:
 _FROM_RE = re.compile(r"from\s+(\S+)(?:\s+read\s+(\S+))?\s*$")
 _TO_RE = re.compile(
     r"(?:to\s+(\S+)(?:\s+write\s+(\S+))?|write\s+(\S+)\s+to\s+(\S+))\s*$")
+_EXPORT_RE = re.compile(r"export\s+(\S+)\s*$")
+_IMPORT_RE = re.compile(r"import\s+(\S+)\s*$")
+
+
+def _lake_table(root: str):
+    import os
+
+    from tenzir_spark.lake.table import LakeTable
+
+    root = root.rstrip("/")
+    return LakeTable(os.path.dirname(root), os.path.basename(root))
 
 
 def run_tql_source(spark, text: str, order_by: str | None = None) -> DataFrame:
@@ -628,22 +639,43 @@ def run_tql_source(spark, text: str, order_by: str | None = None) -> DataFrame:
     to` stage EXECUTES the write (the sink side-effect) and the written
     DataFrame is returned either way for inspection/chaining."""
     stages = split_pipeline(text)
-    m = _FROM_RE.fullmatch(stages[0].strip())
-    if not m:
+    head = stages[0].strip()
+    m = _FROM_RE.fullmatch(head)
+    em = _EXPORT_RE.fullmatch(head)
+    if m:
+        df = _read_source(spark, m.group(1), m.group(2))
+    elif em:
+        # `export <table_root>` — read the lake table's current state
+        # (export.md: events from the node's storage; internal bucket/
+        # commit columns are implementation detail, dropped)
+        from tenzir_spark.lake.table import BUCKET_COL, COMMIT_COL
+
+        df = _lake_table(em.group(1)).read(spark).drop(BUCKET_COL, COMMIT_COL)
+    else:
         raise TqlError(
-            "pipeline must start with `from <path> [read <format>]` "
-            f"(got {stages[0]!r}); use run_tql() to apply operator text "
-            "to an existing DataFrame")
-    df = _read_source(spark, m.group(1), m.group(2))
+            "pipeline must start with `from <path> [read <format>]` or "
+            f"`export <table_root>` (got {stages[0]!r}); use run_tql() to "
+            "apply operator text to an existing DataFrame")
     rest = stages[1:]
     sink = None
     if rest:
-        tm = _TO_RE.fullmatch(rest[-1].strip())
+        tail_stage = rest[-1].strip()
+        tm = _TO_RE.fullmatch(tail_stage)
+        im = _IMPORT_RE.fullmatch(tail_stage)
         if tm:
-            sink = (tm.group(1) or tm.group(4), tm.group(2) or tm.group(3))
+            sink = ("file", tm.group(1) or tm.group(4), tm.group(2) or tm.group(3))
+            rest = rest[:-1]
+        elif im:
+            sink = ("lake", im.group(1), None)
             rest = rest[:-1]
     if rest:
         df = run_tql(df, " | ".join(rest), order_by=order_by)
-    if sink:
-        _write_sink(df, sink[0], sink[1])
+    if sink and sink[0] == "file":
+        _write_sink(df, sink[1], sink[2])
+    elif sink and sink[0] == "lake":
+        # `import <table_root>` — append-commit into the lake table on its
+        # declared primary key (import.md: store events durably; the CDC
+        # MERGE path is IngestRunner for keyed change streams)
+        t = _lake_table(sink[1])
+        t.append(df, t.snapshot().get("key", "doc_id"))
     return df

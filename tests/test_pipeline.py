@@ -172,6 +172,36 @@ def test_from_to_end_to_end(spark, tmp_path):
         run_tql_source(spark, f"from {src_path} read cassette")
 
 
+def test_export_import_lake_stages(spark, tmp_path):
+    """`export <table>` reads the lake table's current state; a trailing
+    `import <table>` append-commits the pipeline output into another."""
+    import pyspark.sql.types as T
+
+    from tenzir_spark.lake.table import LakeTable
+    from tenzir_spark.plans.pipeline import run_tql_source
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("n_tok", T.IntegerType(), True),
+    ])
+    src = LakeTable(str(tmp_path), "src_t")
+    src.create(schema, n_buckets=4)
+    src.append(spark.createDataFrame(
+        [(f"d{i}", i) for i in range(20)], schema), "doc_id")
+
+    dst = LakeTable(str(tmp_path), "dst_t")
+    dst.create(schema, n_buckets=4)
+
+    out = run_tql_source(
+        spark,
+        f"export {tmp_path}/src_t | where n_tok >= 10"
+        f" | import {tmp_path}/dst_t",
+    )
+    assert out.count() == 10
+    got = {r["doc_id"] for r in dst.read(spark).collect()}
+    assert got == {f"d{i}" for i in range(10, 20)}
+
+
 def test_compile_value_arithmetic(events):
     c = compile_value('round(value / 2, 1) + length("ab")', events.schema)
     row = events.select(F.col("value").alias("value"), c.alias("out")).first()
