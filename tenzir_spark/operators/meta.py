@@ -187,7 +187,8 @@ _PIPELINE_OPERATORS = [
     "where", "select", "drop", "rename", "set", "extend", "replace", "put",
     "summarize", "sort", "head", "tail", "taste", "slice", "reverse",
     "top", "rare", "unique", "deduplicate", "enumerate", "measure",
-    "unroll", "flatten", "hash", "pass", "discard", "repeat", "parse",
+    "unroll", "flatten", "unflatten", "yield", "batch", "timeshift",
+    "hash", "pass", "discard", "repeat", "parse",
 ]
 _FORMATS = [
     "json", "ndjson", "csv", "tsv", "ssv", "xsv", "parquet", "feather",

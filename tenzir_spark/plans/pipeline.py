@@ -512,6 +512,21 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None) -> DataFrame:
                 df = structural.unroll(df, _one_path(schema, args.strip()))
             elif name == "flatten":
                 df = structural.flatten(df)
+            elif name == "unflatten":
+                df = structural.unflatten(df)
+            elif name == "yield":
+                if not args.strip():
+                    raise TqlError("yield: expected an extractor (a.b[].c)")
+                df = structural.yield_(df, args.strip())
+            elif name == "batch":
+                df = meta.batch(df, int(args) if args.strip() else 65536)
+            elif name == "timeshift":
+                ts_args = args.split()
+                if not ts_args:
+                    raise TqlError("timeshift: expected a time field")
+                start = ts_args[1] if len(ts_args) > 1 else None
+                df = transform.timeshift(
+                    df, _one_path(schema, ts_args[0]), start=start)
             elif name == "hash":
                 rest, salt = _flag(args, "salt")
                 df = transform.hash_field(df, _one_path(schema, rest.strip()),
