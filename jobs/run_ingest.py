@@ -56,6 +56,18 @@ def main() -> None:
                         "driver's footer read are then noise. On small-"
                         "payload/many-key batches full wins (A/B numbers "
                         "in BASELINE.md).")
+    p.add_argument("--collapse-mode", default="maxby",
+                   choices=["maxby", "semijoin"],
+                   help="LWW collapse strategy: 'maxby' (algebraic "
+                        "max_by(struct, lsn) partial agg; default — won "
+                        "the 4x4-executor A/B by 30%%, BASELINE.md) or "
+                        "'semijoin' (payload never shuffles; for sources "
+                        "whose payloads defeat partial aggregation)")
+    p.add_argument("--master", default=None,
+                   help="Spark master URL (e.g. spark://host:7077) for a "
+                        "real multi-executor cluster; default local[cores]. "
+                        "With spark-submit, ship the library via "
+                        "--py-files dist/tenzir_spark.zip (scripts/package.py)")
     p.add_argument("--async-compact", action="store_true",
                    help="fold merge-on-read debt in a background thread "
                         "(commit rebase keeps newer deltas); hides the "
@@ -96,10 +108,12 @@ def main() -> None:
 
     extra = {"spark.local.dir": args.local_dir} if args.local_dir else {}
     spark = get_spark("tenzir_spark_ingest", cores=args.cores,
-                      driver_memory=args.driver_mem, extra_conf=extra)
+                      driver_memory=args.driver_mem, extra_conf=extra,
+                      master=args.master)
     runner = IngestRunner(
         spark, args.warehouse, n_buckets=args.buckets, salt_buckets=args.salt,
         async_compact=args.async_compact, stats_mode=args.stats_mode,
+        collapse_mode=args.collapse_mode,
     )
     stats = runner.run(args.changes, start_batch=args.start_batch)
     for st in stats["batch_stats"]:
