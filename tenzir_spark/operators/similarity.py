@@ -246,8 +246,14 @@ def cosine_near_dup_pairs_lsh(df: DataFrame, emb_col: str, id_col: str,
     if planes is None:
         planes = rademacher_planes(
             len(df.select(emb_col).head()[0]), n_bits)
+    # the bucket expression (n_bits dot products per row) feeds an
+    # exchange on the join key: BOTH self-join sides then read the same
+    # shuffle files (ReusedExchange) instead of each re-scanning the
+    # corpus and re-projecting every row twice
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     base = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"),
-                     lsh_bucket(emb_col, planes).alias("_b"))
+                     lsh_bucket(emb_col, planes).alias("_b")
+                     ).repartition(n_parts, "_b")
     a, b = base.alias("a"), base.alias("b")
     sim = cosine(F.col("a.e"), F.col("b.e"))
     return (
