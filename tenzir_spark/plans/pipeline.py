@@ -308,8 +308,8 @@ def _parse_summarize(args: str, schema: T.StructType):
         by_part = by_part[: rm.start()]
 
     aggs: dict[str, Column] = {}
-    for am in re.finditer(r"(?:([\w.]+)\s*=\s*)?(\w+)\(\s*([\w.*]*)\s*\)",
-                          agg_part):
+    agg_re = re.compile(r"(?:([\w.]+)\s*=\s*)?(\w+)\(\s*([\w.*]*)\s*\)")
+    for am in agg_re.finditer(agg_part):
         name, fn, arg = am.group(1), am.group(2), am.group(3)
         builder = agg_ops.AGG_FUNCTIONS.get(fn)
         if builder is None:
@@ -319,6 +319,10 @@ def _parse_summarize(args: str, schema: T.StructType):
         aggs[name or f"{fn}({arg})"] = builder(col)
     if not aggs:
         raise TqlError(f"summarize: no aggregations in {agg_part!r}")
+    leftover = agg_re.sub("", agg_part).strip(" ,\t\n")
+    if leftover:
+        raise TqlError(
+            f"summarize: unparsed text {leftover!r} between aggregations")
     keys = [a for a in re.split(r"[,\s]+", by_part.strip()) if a]
     return aggs, keys, resolution
 
@@ -329,7 +333,8 @@ _SORT_WORDS = {"asc": ("asc", None), "desc": ("desc", None),
 
 def _parse_sort(args: str, schema: T.StructType):
     """``[--stable] f [asc|desc] [nulls-first|nulls-last] ...`` → list of
-    (column, key-name, ascending)."""
+    (column, RESOLVED key path, ascending) — the path (not the typed
+    suffix) becomes the downstream stream-order column."""
     toks = [t for t in re.split(r"[,\s]+", args.strip()) if t and t != "--stable"]
     if not toks:
         raise TqlError("sort: expected at least one field")
@@ -345,6 +350,7 @@ def _parse_sort(args: str, schema: T.StructType):
             specs.append((t, "asc", None))
     out = []
     for fname, d, nl in specs:
+        path = _one_path(schema, fname)
         c = _field_col(schema, fname)
         if d == "asc":
             c = c.asc_nulls_first() if nl == "first" else c.asc_nulls_last() \
@@ -352,7 +358,7 @@ def _parse_sort(args: str, schema: T.StructType):
         else:
             c = c.desc_nulls_first() if nl == "first" else c.desc_nulls_last() \
                 if nl == "last" else c.desc()
-        out.append((c, fname, d == "asc"))
+        out.append((c, path, d == "asc"))
     return out
 
 
