@@ -188,7 +188,7 @@ _PIPELINE_OPERATORS = [
     "summarize", "sort", "head", "tail", "taste", "slice", "reverse",
     "top", "rare", "unique", "deduplicate", "enumerate", "measure",
     "unroll", "flatten", "unflatten", "yield", "batch", "timeshift",
-    "hash", "pass", "discard", "repeat", "parse",
+    "hash", "pass", "discard", "repeat", "parse", "apply",
 ]
 _FORMATS = [
     "json", "ndjson", "csv", "tsv", "ssv", "xsv", "parquet", "feather",

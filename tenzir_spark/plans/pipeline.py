@@ -537,6 +537,21 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None) -> DataFrame:
                 rest, salt = _flag(args, "salt")
                 df = transform.hash_field(df, _one_path(schema, rest.strip()),
                                           salt=salt)
+            elif name == "apply":
+                # include the pipeline defined in another file (apply.md:
+                # search as-given, then with `.tql` appended, then the
+                # TENZIR_SPARK_APPLY_PATH directories — the analog of the
+                # reference's <config>/apply/ search list)
+                fname = args.strip()
+                if not fname:
+                    raise TqlError("apply: expected a pipeline file")
+                path = _find_apply(fname)
+                with open(path) as fh:
+                    df = run_tql(df, fh.read(), order_by=order)
+                # the sub-pipeline may have re-aggregated or re-sorted;
+                # a conservative unknown order errors later rather than
+                # silently mis-ordering downstream order-sensitive ops
+                order = None
             elif name == "pass":
                 df = meta.pass_(df)
             elif name == "discard":
@@ -554,6 +569,22 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None) -> DataFrame:
             # compile errors with the failing operator named
             raise TqlError(f"{name}: {e}") from e
     return df
+
+
+def _find_apply(fname: str) -> str:
+    import os
+
+    candidates = [fname]
+    if "." not in os.path.basename(fname):
+        candidates.append(fname + ".tql")
+    for d in os.environ.get("TENZIR_SPARK_APPLY_PATH", "").split(os.pathsep):
+        if d:
+            candidates += [os.path.join(d, c) for c in list(candidates)]
+    for c in candidates:
+        if os.path.isfile(c):
+            return c
+    raise TqlError(f"apply: pipeline file {fname!r} not found "
+                   f"(tried {candidates})")
 
 
 def _one_path(schema: T.StructType, name: str) -> str:

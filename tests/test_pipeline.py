@@ -172,6 +172,22 @@ def test_from_to_end_to_end(spark, tmp_path):
         run_tql_source(spark, f"from {src_path} read cassette")
 
 
+def test_apply_includes_pipeline_file(events, tmp_path, monkeypatch):
+    """`apply <file>`: splice a pipeline from disk (.tql auto-extension,
+    TENZIR_SPARK_APPLY_PATH search)."""
+    d = tmp_path / "applydir"
+    d.mkdir()
+    (d / "cleanup.tql").write_text(
+        "where value > 0 | select event_id, value | set v2 = value * 2")
+    monkeypatch.setenv("TENZIR_SPARK_APPLY_PATH", str(d))
+    out = run_tql(events, "apply cleanup | sort event_id | head 5")
+    rows = out.collect()
+    assert len(rows) == 5 and list(out.columns) == ["event_id", "value", "v2"]
+    assert all(r["v2"] == pytest.approx(r["value"] * 2) for r in rows)
+    with pytest.raises(TqlError, match="not found"):
+        run_tql(events, "apply nonexistent")
+
+
 def test_export_import_lake_stages(spark, tmp_path):
     """`export <table>` reads the lake table's current state; a trailing
     `import <table>` append-commits the pipeline output into another."""
