@@ -58,15 +58,28 @@ def chart(df: DataFrame, chart_type: str, x: str, y: str) -> DataFrame:
     return set_attributes(out, y, chart="y", chart_type=chart_type)
 
 
-def batch(df: DataFrame, rows_per_batch: int = 65536) -> DataFrame:
+def batch(df: DataFrame, rows_per_batch: int = 65536,
+          row_count: int | None = None) -> DataFrame:
     """`batch <n>` (batch.cpp): re-chunk the stream into ~n-row units. The
     Spark analog of a batch is a partition, so this repartitions to
-    ceil(count/n) partitions (one count job; at scale prefer tuning
+    ceil(rows/n) partitions. The row count comes from (in order): the
+    caller (``row_count``, free when the source already knows it — e.g.
+    parquet footers), a cheap Catalyst plan-statistics estimate, else one
+    count job (the only case that scans twice; at scale prefer tuning
     spark.sql.files.maxPartitionBytes so the SCAN produces the right
     granularity and no shuffle is needed at all)."""
     import math
 
-    n = max(1, math.ceil(df.count() / max(rows_per_batch, 1)))
+    if row_count is None:
+        # optimized-plan row-count statistic: exact for simple scans
+        # (parquet footer counts), an estimate otherwise — both fine for
+        # sizing partitions; fall back to a count only when absent
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        if stats.rowCount().isDefined():
+            row_count = int(str(stats.rowCount().get()))
+        else:
+            row_count = df.count()
+    n = max(1, math.ceil(row_count / max(rows_per_batch, 1)))
     return df.repartition(n)
 
 
