@@ -221,14 +221,19 @@ class LakeTable:
         deltas = [e for e in entries if e.get("kind") == "delta"]
         return base, deltas
 
-    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
-        """Current table state. If merge-on-read delta files are present,
+    def read(self, spark: SparkSession, buckets: list[int] | None = None,
+             version: int | None = None) -> DataFrame:
+        """Table state — current, or AS OF an older snapshot (``version``:
+        time travel; every snapshot's manifest and its files are immutable,
+        so reading v_k replays exactly what a reader at commit k saw —
+        Iceberg's snapshot-isolation read, and the reference's partition-
+        version time travel). If merge-on-read delta files are present,
         the LWW resolution (winner = highest commit per key, tombstones
         dropped) is applied — but ONLY to the buckets the deltas touch;
         cold buckets stream through with zero shuffle (the manifest's
         per-delta bucket list is our partition-pruning synopsis, reference
         analog: catalog pruning, libtenzir/src/catalog.cpp:119-171)."""
-        snap = self.snapshot()
+        snap = self.snapshot(version)
         schema = T.StructType.fromJson(snap["schema"])
         entries = snap["files"]
         if buckets is not None:
@@ -253,6 +258,29 @@ class LakeTable:
             resolved = resolved.filter(F.col(BUCKET_COL).isin(list(bset)))
         cold = self.read_files(spark, cold_base, schema)
         return cold.unionByName(resolved)
+
+    def bucket_of(self, spark: SparkSession, value) -> int:
+        """The bucket a key value hashes to — computed with the SAME JVM
+        expression the writer uses (a 1-row job; reimplementing xxhash64
+        driver-side would be a second source of truth)."""
+        row = spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(value)), F.lit(self.n_buckets()))
+            .cast("int").alias("b")
+        ).first()
+        return int(row["b"])
+
+    def lookup(self, spark: SparkSession, value,
+               version: int | None = None) -> DataFrame:
+        """Bucket-pruned point lookup on the primary key: hash the value
+        to its bucket and read ONLY that bucket's base files + the deltas
+        touching it — at 10^9 keys this scans 1/n_buckets of the table
+        instead of all of it (the reference's catalog-pruned point query,
+        catalog.cpp:119-171; Iceberg bucket-transform partition pruning)."""
+        key = self.snapshot(version).get("key", "doc_id")
+        b = self.bucket_of(spark, value)
+        return self.read(spark, buckets=[b], version=version).filter(
+            F.col(key) == F.lit(value)
+        )
 
     def _resolve(
         self,

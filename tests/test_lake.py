@@ -161,3 +161,59 @@ def test_fold_preserves_original_commit_order(spark, tmp_path):
     assert {r["doc_id"] for r in t.read(spark).collect()} == {"b"}
     assert t.compact(spark) is not None
     assert {r["doc_id"] for r in t.read(spark).collect()} == {"b"}
+
+
+def test_time_travel_read(spark, tmp_path):
+    """read(version=k) replays exactly the state a reader at snapshot k
+    saw — manifests and data files are immutable, so time travel costs
+    nothing (Iceberg snapshot-isolation analog)."""
+    t = LakeTable(str(tmp_path), "t_tt")
+    t.create(SCHEMA, n_buckets=4)
+    t.append(_mk(spark, [("a", [1], 1, "web")]), key_col="doc_id")
+    v1 = t.current_version()
+    t.append(_mk(spark, [("b", [2], 1, "code")]), key_col="doc_id")
+    from tenzir_spark.lake.table import DELETED_COL
+
+    upd = _mk(spark, [("a", [9], 1, "wiki")]).withColumn(
+        BUCKET_COL, t.bucket_expr("doc_id")).withColumn(DELETED_COL, F.lit(False))
+    t.delta_commit(upd, schema=SCHEMA, properties={})
+    assert {r["doc_id"] for r in t.read(spark, version=v1).collect()} == {"a"}
+    assert t.read(spark, version=v1).filter("doc_id='a'").first()["tokens"] == [1]
+    now = {r["doc_id"]: r["tokens"] for r in t.read(spark).collect()}
+    assert now == {"a": [9], "b": [2]}
+    # version 0: empty table
+    assert t.read(spark, version=0).count() == 0
+
+
+def test_bucket_pruned_point_lookup(spark, tmp_path):
+    """lookup() hashes the key to its bucket and reads only that bucket's
+    files; the result matches an unpruned filter, incl. under
+    merge-on-read deltas and after deletes."""
+    t = LakeTable(str(tmp_path), "t_pl")
+    t.create(SCHEMA, n_buckets=8)
+    rows = [(f"d{i}", [i], 1, "web") for i in range(64)]
+    t.append(_mk(spark, rows), key_col="doc_id")
+
+    for key in ("d3", "d41"):
+        got = t.lookup(spark, key).collect()
+        assert len(got) == 1 and got[0]["tokens"] == [int(key[1:])]
+        # pruning actually prunes: the chosen bucket holds < all the files
+        b = t.bucket_of(spark, key)
+        base_files = [e for e in t.snapshot()["files"]
+                      if e.get("kind", "base") == "base"]
+        pruned = [e for e in base_files if e["bucket"] == b]
+        assert 0 < len(pruned) < len(base_files)
+
+    # under a delta: updated value wins, tombstoned key disappears
+    from tenzir_spark.lake.table import DELETED_COL
+
+    upd = _mk(spark, [("d3", [99], 1, "wiki")]).withColumn(
+        BUCKET_COL, t.bucket_expr("doc_id")).withColumn(DELETED_COL, F.lit(False))
+    t.delta_commit(upd, schema=SCHEMA, properties={})
+    assert t.lookup(spark, "d3").first()["tokens"] == [99]
+    tomb = _mk(spark, [("d41", None, None, None)]).withColumn(
+        BUCKET_COL, t.bucket_expr("doc_id")).withColumn(DELETED_COL, F.lit(True))
+    t.delta_commit(tomb, schema=SCHEMA, properties={})
+    assert t.lookup(spark, "d41").count() == 0
+    # time-travel lookup still sees the pre-delete row
+    assert t.lookup(spark, "d41", version=1).first()["tokens"] == [41]
