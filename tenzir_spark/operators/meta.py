@@ -201,7 +201,8 @@ _PIPELINE_OPERATORS = [
     "summarize", "sort", "head", "tail", "taste", "slice", "reverse",
     "top", "rare", "unique", "deduplicate", "enumerate", "measure",
     "unroll", "flatten", "unflatten", "yield", "batch", "timeshift",
-    "hash", "pass", "discard", "repeat", "parse", "apply",
+    "hash", "pass", "discard", "repeat", "parse", "apply", "enrich",
+    "lookup",
 ]
 _FORMATS = [
     "json", "ndjson", "csv", "tsv", "ssv", "xsv", "parquet", "feather",

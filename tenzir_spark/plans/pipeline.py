@@ -375,12 +375,16 @@ def _flag(args: str, name: str) -> tuple[str, str | None]:
 # ---------------------------------------------------------------------------
 
 
-def run_tql(df: DataFrame, text: str, order_by: str | None = None) -> DataFrame:
+def run_tql(df: DataFrame, text: str, order_by: str | None = None,
+            context_store=None) -> DataFrame:
     """Compile pipeline text onto ``df`` and return the resulting
     DataFrame (lazy — one Catalyst plan for the whole pipeline).
 
     ``order_by`` declares the stream-position column for order-sensitive
     operators; a ``sort`` stage re-declares it for everything downstream.
+    ``context_store`` (an operators.contexts.ContextStore) enables the
+    ``enrich <ctx> [--field <f>] [--filter]`` and ``lookup <ctx> --field
+    <f>`` stages against named lake-backed contexts.
     """
     order: str | None = order_by
     for stage in split_pipeline(text):
@@ -537,6 +541,23 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None) -> DataFrame:
                 rest, salt = _flag(args, "salt")
                 df = transform.hash_field(df, _one_path(schema, rest.strip()),
                                           salt=salt)
+            elif name in ("enrich", "lookup"):
+                if context_store is None:
+                    raise TqlError(
+                        f"{name} needs a ContextStore: pass context_store= "
+                        "to run_tql (contexts live in the lake warehouse)")
+                rest, fld = _flag(args, "field")
+                rest, _live = _flag(rest, "live")
+                do_filter = name == "lookup"
+                if "--filter" in rest:
+                    rest = rest.replace("--filter", "")
+                    do_filter = True
+                cname = rest.strip()
+                if not cname:
+                    raise TqlError(f"{name}: expected a context name")
+                key = context_store._table(cname).properties()["key"]
+                df = context_store.apply(df, cname, on=fld or key,
+                                         filter=do_filter)
             elif name == "apply":
                 # include the pipeline defined in another file (apply.md:
                 # search as-given, then with `.tql` appended, then the

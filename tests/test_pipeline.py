@@ -188,6 +188,33 @@ def test_apply_includes_pipeline_file(events, tmp_path, monkeypatch):
         run_tql(events, "apply nonexistent")
 
 
+def test_enrich_lookup_context_stages(spark, events, tmp_path):
+    """`enrich <ctx>` / `lookup <ctx> --field <f>` against a lake-backed
+    ContextStore threaded through run_tql."""
+    from pyspark.sql import functions as F
+
+    from tenzir_spark.operators.contexts import ContextStore
+
+    store = ContextStore(spark, str(tmp_path))
+    ctx = spark.createDataFrame(
+        [("click", "ui"), ("view", "passive")], "event_type string, cls string")
+    store.create("etypes", ctx, key="event_type")
+
+    out = run_tql(events.limit(200), "enrich etypes | select event_id, cls",
+                  context_store=store)
+    rows = out.collect()
+    assert any(r["cls"] == "ui" for r in rows)
+    assert any(r["cls"] is None for r in rows)  # left join keeps non-matches
+
+    hits = run_tql(events.limit(200),
+                   "lookup etypes --field event_type | measure",
+                   context_store=store).first()["events"]
+    assert 0 < hits < 200
+
+    with pytest.raises(TqlError, match="needs a ContextStore"):
+        run_tql(events, "enrich etypes")
+
+
 def test_export_import_lake_stages(spark, tmp_path):
     """`export <table>` reads the lake table's current state; a trailing
     `import <table>` append-commits the pipeline output into another."""
