@@ -30,8 +30,16 @@ dedicated modules: sources/, streaming/, lake/):
     head [n]    tail [n]    taste [n]    slice a:b[:c]    reverse
     top <f> [--count-field=<c>]       rare <f> [--count-field=<c>]
     unique      deduplicate [<f>...] [--limit <n>]    enumerate [<f>]
-    measure     unroll <f>    flatten    hash <f> [--salt=<s>]
-    pass        discard       repeat [n]
+    measure     unroll <f>    flatten    unflatten    yield <a.b[].c>
+    hash <f> [--salt=<s>]    batch [n]    timeshift <f> [<start>]
+    parse <f> kv|json|grok|syslog3164|syslog5424|cef|leef ["<arg>"]
+    apply <file.tql>    enrich <ctx> [--field <f>] [--filter]
+    lookup <ctx> --field <f>          pass    discard    repeat [n]
+
+:func:`run_tql_source` adds the source/sink stages:
+
+    from <path> [read <fmt>] | … | to <path> [write <fmt>]
+    export <table_root>      | … | import <table_root>
 
 Value expressions (<vexpr>) support literals, field refs, arithmetic
 (+ - * / %), parentheses and a function whitelist (round abs length lower
