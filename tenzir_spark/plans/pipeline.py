@@ -451,8 +451,18 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                 df = core.tail(df, int(args) if args.strip() else 10,
                                order_by=need_order("tail"))
             elif name == "taste":
-                df = core.taste(df, int(args) if args.strip() else 10,
-                                schema_col=df.columns[0], order_by=need_order("taste"))
+                # `taste [n] [by <col>]` — the per-"schema" discriminator
+                # column; defaults to the first column (the multi-schema
+                # stream id in the reference becomes an ordinary column
+                # in a typed DataFrame world)
+                tm = re.fullmatch(r"\s*(\d+)?\s*(?:by\s+([\w.]+))?\s*", args)
+                if not tm:
+                    raise TqlError(f"taste: expected [n] [by <col>], got {args!r}")
+                n = int(tm.group(1)) if tm.group(1) else 10
+                disc = (_one_path(schema, tm.group(2)) if tm.group(2)
+                        else df.columns[0])
+                df = core.taste(df, n, schema_col=disc,
+                                order_by=need_order("taste"))
             elif name == "slice":
                 m = re.fullmatch(
                     r"\s*(-?\d+)?\s*:\s*(-?\d+)?\s*(?::\s*(-?\d+)\s*)?", args)

@@ -323,8 +323,14 @@ class KafkaConnector(ChangeConnector):
         redelivery after a group rebalance)."""
         from kafka import OffsetAndMetadata
 
+        def _om(next_off: int):
+            try:  # kafka-python >= 2.1 adds leader_epoch
+                return OffsetAndMetadata(next_off, "", -1)
+            except TypeError:
+                return OffsetAndMetadata(next_off, "")
+
         commit = {
-            self._tp_cls(self.topic, int(p)): OffsetAndMetadata(int(o) + 1, "", -1)
+            self._tp_cls(self.topic, int(p)): _om(int(o) + 1)
             for p, o in offsets.items()
             if int(o) >= 0
         }
