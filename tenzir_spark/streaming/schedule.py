@@ -37,9 +37,10 @@ def _parse_field(text: str, idx: int) -> frozenset[int]:
     names = _MONTHS if idx == 4 else _DAYS if idx == 5 else {}
     out: set[int] = set()
     for part in text.split(","):
-        step = 1
+        step, had_step = 1, False
         if "/" in part:
             part, step_s = part.split("/", 1)
+            had_step = True
             try:
                 step = int(step_s)
             except ValueError as e:
@@ -53,7 +54,7 @@ def _parse_field(text: str, idx: int) -> frozenset[int]:
             a, b = _value(a_s, names, idx), _value(b_s, names, idx)
         else:
             a = b = _value(part, names, idx)
-            if "/" in text and part not in ("*", "?"):
+            if had_step:
                 b = hi  # `5/15` == `5-max/15` (croncpp semantics)
         if not (lo <= a <= hi and lo <= b <= hi and a <= b):
             raise BadCronExpr(f"field {idx}: {text!r} out of range [{lo},{hi}]")

@@ -58,6 +58,14 @@ def test_cron_vixie_dom_dow_either():
     assert cron_next(e, datetime(2024, 1, 13, 0, 0, 0)) == datetime(2024, 1, 15)
 
 
+def test_cron_list_mixing_step_and_plain():
+    """A plain value in a list must stay a single value even when a
+    SIBLING element carries a step (`1,30/15` ≠ `1-59,30/15`)."""
+    e = parse_cron("1,30/15 * * * *")
+    assert e.min == frozenset({1, 30, 45})
+    assert cron_next(e, T0) == T0.replace(minute=30, second=0)
+
+
 def test_cron_sunday_aliases():
     assert parse_cron("0 0 * * 7").dow == parse_cron("0 0 * * 0").dow
     assert parse_cron("0 0 * * SUN").dow == frozenset({0})
