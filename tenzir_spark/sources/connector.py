@@ -367,7 +367,21 @@ def kafka_change_stream(spark: SparkSession, bootstrap_servers: str,
         F.col("partition").alias("part_id"),
         F.from_json(F.col("value").cast("string"), payload_json_schema).alias("_p"),
     )
-    payload_cols = [f.split()[0] for f in payload_json_schema.split(",")]
+    # DDL field names: split on commas OUTSIDE <> so nested types
+    # (array<int>, map<string,string>) survive
+    payload_cols, buf, depth = [], [], 0
+    for ch in payload_json_schema + ",":
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            part = "".join(buf).strip()
+            if part:
+                payload_cols.append(part.split()[0].rstrip(":"))
+            buf = []
+        else:
+            buf.append(ch)
     return parsed.select(
         "lsn", "epoch", "part_id",
         F.coalesce(F.col("_p.op"), F.lit("insert")).alias("op"),
