@@ -202,12 +202,13 @@ _PIPELINE_OPERATORS = [
     "top", "rare", "unique", "deduplicate", "enumerate", "measure",
     "unroll", "flatten", "unflatten", "yield", "batch", "timeshift",
     "hash", "pass", "discard", "repeat", "parse", "apply", "enrich",
+    "decapsulate",
     "lookup",
 ]
 _FORMATS = [
     "json", "ndjson", "csv", "tsv", "ssv", "xsv", "parquet", "feather",
     "lines", "kv", "grok", "syslog3164", "syslog5424", "cef", "leef",
-    "zeek-tsv", "yaml",
+    "zeek-tsv", "yaml", "pcap",
 ]
 
 

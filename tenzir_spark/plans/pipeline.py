@@ -31,6 +31,7 @@ dedicated modules: sources/, streaming/, lake/):
     top <f> [--count-field=<c>]       rare <f> [--count-field=<c>]
     unique      deduplicate [<f>...] [--limit <n>]    enumerate [<f>]
     measure     unroll <f>    flatten    unflatten    yield <a.b[].c>
+    decapsulate [<data-col>]
     hash <f> [--salt=<s>]    batch [n]    timeshift <f> [<start>]
     parse <f> kv|json|grok|syslog3164|syslog5424|cef|leef ["<arg>"]
     apply <file.tql>    enrich <ctx> [--field <f>] [--filter]
@@ -540,6 +541,10 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                 df = structural.unroll(df, _one_path(schema, args.strip()))
             elif name == "flatten":
                 df = structural.flatten(df)
+            elif name == "decapsulate":
+                from tenzir_spark.sources.pcap import decapsulate as _decap
+
+                df = _decap(df, data_col=args.strip() or "data")
             elif name == "unflatten":
                 df = structural.unflatten(df)
             elif name == "yield":
@@ -647,6 +652,7 @@ _EXT_FORMAT = {
     "parquet": "parquet", "json": "json", "ndjson": "json", "jsonl": "json",
     "csv": "csv", "tsv": "tsv", "ssv": "ssv", "txt": "lines",
     "log": "lines", "feather": "feather", "arrow": "feather",
+    "pcap": "pcap",
 }
 
 
@@ -684,6 +690,10 @@ def _read_source(spark, path: str, fmt: str | None) -> DataFrame:
         from tenzir_spark.sources.feather import read_feather
 
         return read_feather(spark, path)
+    if fmt == "pcap":
+        from tenzir_spark.sources.pcap import read_pcap
+
+        return read_pcap(spark, path)
     raise TqlError(f"unknown read format {fmt!r}")
 
 
