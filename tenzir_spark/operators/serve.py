@@ -1,0 +1,136 @@
+"""``serve <id>`` — make pipeline results retrievable over the ``/serve``
+REST endpoint (reference: libtenzir/builtins/operators/serve.cpp +
+web/docs/operators/serve.md and the /api#/paths/~1serve/post contract:
+POST {serve_id, continuation_token, max_events, timeout} → {events,
+next_continuation_token}).
+
+Stdlib-only (ThreadingHTTPServer) — no web framework dependency. The
+operator buffers up to ``buffer_size`` driver-side rows per serve id
+(the reference buffers 64Ki by default and throttles the pipeline; here
+the DataFrame is drained up to the buffer bound with ``limit``), serves
+them in ``max_events`` pages keyed by monotonically increasing
+continuation tokens, and a duplicate serve id errors exactly like the
+reference. Waiting semantics (``timeout``/``min_events``): the handler
+blocks until the id is registered or the timeout lapses — the
+"wait for an initial event" pattern in serve.md's second example.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame
+
+
+class ServeHub:
+    """In-process registry of served result sets + the HTTP front door."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._buffers: dict[str, list[dict]] = {}
+        self._done: dict[str, bool] = {}
+        self._server: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------ operator
+    def serve(self, df: DataFrame, serve_id: str,
+              buffer_size: int = 64 * 1024) -> int:
+        """The ``serve <id>`` sink: drain up to ``buffer_size`` events of
+        ``df`` into the buffer for ``serve_id``. Returns the event count."""
+        with self._lock:
+            if serve_id in self._buffers:
+                raise ValueError(f"duplicate serve id {serve_id!r}")
+            self._buffers[serve_id] = []  # claim the id before the job runs
+        rows = [r.asDict(recursive=True) for r in df.limit(buffer_size).collect()]
+        with self._lock:
+            self._buffers[serve_id] = rows
+            self._done[serve_id] = True
+        return len(rows)
+
+    # ------------------------------------------------------------ retrieval
+    def fetch(self, serve_id: str, continuation_token: str | None = None,
+              max_events: int = 1024, timeout_sec: float = 0.0) -> dict:
+        """The /serve contract, callable in-process too. Blocks up to
+        ``timeout_sec`` waiting for the id's first events."""
+        deadline = time.monotonic() + max(timeout_sec, 0.0)
+        while True:
+            with self._lock:
+                ready = self._done.get(serve_id, False)
+            if ready or time.monotonic() >= deadline:
+                break
+            time.sleep(0.02)
+        with self._lock:
+            if serve_id not in self._buffers or not self._done.get(serve_id):
+                return {"error": f"unknown serve id {serve_id!r}"}
+            rows = self._buffers[serve_id]
+        start = int(continuation_token) if continuation_token else 0
+        if start < 0 or start > len(rows):
+            return {"error": f"invalid continuation token {continuation_token!r}"}
+        page = rows[start:start + max_events]
+        nxt = start + len(page)
+        return {
+            "events": page,
+            "next_continuation_token": str(nxt) if nxt < len(rows) else None,
+        }
+
+    # ------------------------------------------------------------ HTTP
+    def start(self, port: int = 0, host: str = "127.0.0.1") -> int:
+        """Start the REST endpoint; returns the bound port (0 = ephemeral)."""
+        hub = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet test output
+                pass
+
+            def do_POST(self):
+                if self.path.rstrip("/") not in ("/serve", "/api/v0/serve"):
+                    self.send_error(404)
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    out = hub.fetch(
+                        req.get("serve_id", ""),
+                        req.get("continuation_token"),
+                        int(req.get("max_events", 1024)),
+                        _parse_timeout(req.get("timeout", "0s")),
+                    )
+                except Exception as e:  # noqa: BLE001 - reported to client
+                    out = {"error": str(e)}
+                body = json.dumps(out, default=str).encode()
+                self.send_response(400 if "error" in out else 200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self._server.server_address[1]
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+
+
+def _parse_timeout(t) -> float:
+    if isinstance(t, (int, float)):
+        return float(t)
+    s = str(t).strip().lower()
+    for suffix, mult in (("ms", 0.001), ("s", 1.0), ("m", 60.0)):
+        if s.endswith(suffix):
+            try:
+                return float(s[: -len(suffix)]) * mult
+            except ValueError:
+                break
+    try:
+        return float(s)
+    except ValueError:
+        return 0.0

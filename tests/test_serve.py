@@ -1,0 +1,87 @@
+"""serve operator + /serve REST endpoint (operators/serve.py): paging via
+continuation tokens, duplicate-id rejection, wait-for-first-event, HTTP
+contract parity with web/docs/operators/serve.md + the /serve API."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from tenzir_spark.operators.serve import ServeHub
+
+
+def _post(port: int, payload: dict) -> tuple[int, dict]:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/v0/serve",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_serve_paging_and_tokens(spark):
+    hub = ServeHub()
+    df = spark.range(25).selectExpr("id", "id * 2 AS v")
+    assert hub.serve(df, "nums") == 25
+    port = hub.start()
+    try:
+        seen, token = [], None
+        for _ in range(10):
+            st, out = _post(port, {"serve_id": "nums",
+                                   "continuation_token": token,
+                                   "max_events": 10})
+            assert st == 200
+            seen += out["events"]
+            token = out["next_continuation_token"]
+            if token is None:
+                break
+        assert sorted(r["id"] for r in seen) == list(range(25))
+        assert all(r["v"] == r["id"] * 2 for r in seen)
+
+        # duplicate id errors (serve.md: "errors when receiving a
+        # duplicate serve id")
+        with pytest.raises(ValueError, match="duplicate serve id"):
+            hub.serve(df, "nums")
+
+        # unknown id -> 400 with an error body
+        st, out = _post(port, {"serve_id": "nope", "timeout": "0s"})
+        assert st == 400 and "error" in out
+    finally:
+        hub.stop()
+
+
+def test_serve_waits_for_first_event(spark):
+    """A fetch with a timeout blocks until the pipeline delivers — the
+    'wait for an initial event' pattern."""
+    hub = ServeHub()
+    df = spark.range(3)
+
+    def later():
+        import time
+
+        time.sleep(0.4)
+        hub.serve(df, "slow")
+
+    t = threading.Thread(target=later)
+    t.start()
+    out = hub.fetch("slow", timeout_sec=5.0)
+    t.join()
+    assert len(out["events"]) == 3
+    assert out["next_continuation_token"] is None
+
+    # zero-timeout fetch on a never-served id reports unknown immediately
+    assert "error" in hub.fetch("never", timeout_sec=0.0)
+
+
+def test_serve_buffer_bound(spark):
+    hub = ServeHub()
+    n = hub.serve(spark.range(100), "bounded", buffer_size=10)
+    assert n == 10
+    out = hub.fetch("bounded", max_events=100)
+    assert len(out["events"]) == 10
