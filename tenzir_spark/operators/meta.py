@@ -202,7 +202,7 @@ _PIPELINE_OPERATORS = [
     "top", "rare", "unique", "deduplicate", "enumerate", "measure",
     "unroll", "flatten", "unflatten", "yield", "batch", "timeshift",
     "hash", "pass", "discard", "repeat", "parse", "apply", "enrich",
-    "decapsulate",
+    "decapsulate", "yara",
     "lookup",
 ]
 _FORMATS = [

@@ -541,6 +541,18 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                 df = structural.unroll(df, _one_path(schema, args.strip()))
             elif name == "flatten":
                 df = structural.flatten(df)
+            elif name == "yara":
+                # `yara <rules-file> [--field <col>]` — the reference CLI
+                # takes rule file paths (yara.md synopsis)
+                rest, fld = _flag(args, "field")
+                rpath = rest.strip()
+                if not rpath:
+                    raise TqlError("yara: expected a rules file")
+                from tenzir_spark.operators.yara import yara_match
+
+                with open(rpath) as fh:
+                    df = yara_match(df, fh.read(),
+                                    _one_path(schema, fld or "data"))
             elif name == "decapsulate":
                 from tenzir_spark.sources.pcap import decapsulate as _decap
 
