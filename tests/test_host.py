@@ -1,0 +1,62 @@
+"""Host inventory sources (sources/host.py): files/processes/sockets —
+parity with files.md/processes.md/sockets.md, stdlib/procfs only."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from tenzir_spark.sources.host import files, processes, sockets
+
+linux_only = pytest.mark.skipif(not os.path.isdir("/proc"),
+                                reason="needs Linux procfs")
+
+
+def test_files_source(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("hello")
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "b.bin").write_bytes(b"\x00" * 128)
+    os.mkfifo(tmp_path / "pipe")
+
+    got = {r["name"]: r for r in files(spark, str(tmp_path)).collect()}
+    assert got["a.txt"]["type"] == "regular" and got["a.txt"]["size"] == 5
+    assert got["sub"]["type"] == "directory" and got["sub"]["depth"] == 0
+    assert got["b.bin"]["size"] == 128 and got["b.bin"]["depth"] == 1
+    assert got["pipe"]["type"] == "fifo"  # files.md's named-pipe example
+    assert got["a.txt"]["mode"].startswith("-rw")
+
+    flat = files(spark, str(tmp_path), recurse=False)
+    assert {r["name"] for r in flat.collect()} == {"a.txt", "sub", "pipe"}
+
+
+@linux_only
+def test_processes_source(spark):
+    df = processes(spark)
+    rows = {r["pid"]: r for r in df.collect()}
+    me = rows[os.getpid()]
+    assert "python" in me["name"] or "python" in me["command"]
+    assert me["ppid"] > 0 and me["state"] in list("RSDZTtXxKWPI")
+    # the processes.md example composition runs on it
+    top = df.groupBy("name").count().orderBy(F.desc("count")).limit(5)
+    assert top.count() <= 5
+
+
+@linux_only
+def test_sockets_source(spark):
+    import socket as pysocket
+
+    srv = pysocket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    try:
+        rows = sockets(spark).collect()
+        mine = [r for r in rows
+                if r["protocol"] == "tcp" and r["local_port"] == port]
+        assert mine and mine[0]["state"] == "LISTEN"
+        assert mine[0]["local_addr"] == "127.0.0.1"
+        assert mine[0]["uid"] == os.getuid()
+    finally:
+        srv.close()
