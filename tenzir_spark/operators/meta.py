@@ -102,6 +102,31 @@ def delay(batches, time_col: str = "ts", speed: float = 1.0, sleep=None):
         yield df
 
 
+def shell(df: DataFrame, command: str, column: str | None = None,
+          out_col: str = "line") -> DataFrame:
+    """``shell <command>`` (shell.cpp; shell.md: stdin/stdout hooked into
+    the pipeline). The Spark-native restatement is ``RDD.pipe`` — each
+    PARTITION spawns the command and streams its rows through the child's
+    stdin/stdout (the Hadoop-streaming model), so the operator
+    distributes instead of funneling bytes through one process like the
+    reference. Consequences, documented not hidden: the command runs once
+    per partition (a stateful filter like ``sort`` is per-partition), and
+    row order within a partition is the child's output order.
+
+    One string column in (default: the first), one string column out.
+    This is one of the few justified RDD usages in the engine — genuinely
+    per-partition imperative byte piping with no Catalyst equivalent."""
+    col = column or df.columns[0]
+    spark = df.sparkSession
+    piped = (
+        df.select(F.col(col).cast("string"))
+        .rdd.map(lambda r: r[0] if r[0] is not None else "")
+        .pipe(command)
+    )
+    return spark.createDataFrame(piped.map(lambda s: (s,)),
+                                 T.StructType([T.StructField(out_col, T.StringType(), True)]))
+
+
 def version(spark: SparkSession) -> DataFrame:
     """One event describing the engine (version.cpp analog)."""
     import tenzir_spark

@@ -91,6 +91,20 @@ def test_show_aspects_from_manifests(spark, tmp_path):
         show(spark, "nope", t)
 
 
+def test_shell_pipes_rows_through_command(spark):
+    """shell: rows stream through the child's stdin/stdout per partition
+    (RDD.pipe, the Hadoop-streaming model)."""
+    from tenzir_spark.operators.meta import shell
+
+    df = spark.createDataFrame(
+        [("hello",), ("world",), ("SHOUT",)], "txt string").repartition(2)
+    up = shell(df, "tr a-z A-Z")
+    assert sorted(r["line"] for r in up.collect()) == ["HELLO", "SHOUT", "WORLD"]
+    # a filtering command drops rows
+    only_o = shell(df, "grep o")  # case-sensitive: SHOUT drops
+    assert sorted(r["line"] for r in only_o.collect()) == ["hello", "world"]
+
+
 def test_show_operator_and_format_registries(spark):
     """`show operators|formats`: every advertised pipeline operator must
     actually be accepted by run_tql, and the format list must cover the
