@@ -1506,6 +1506,53 @@ FROM events WHERE event_id < 2000
 """
 
 
+def q_yara_text(spark, sf):
+    """YARA-subset matching over documents (operators/yara.py — text +
+    regex strings, condition algebra, N rules ONE scan). The compiled
+    predicates are plain contains/rlike, so the oracle replays them
+    exactly in SQL."""
+    from tenzir_spark.operators.yara import yara_match
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    rules = """
+rule HasData
+{
+    strings:
+        $a = "data" nocase
+        $b = "model"
+    condition:
+        any of them
+}
+
+rule TrainingTalk
+{
+    strings:
+        $t = /train(ing)?/
+        $q = "quality"
+    condition:
+        $t and $q
+}
+"""
+    out = yara_match(docs.select("doc_id", "text"), rules, "text")
+    return out.select(
+        "doc_id", F.array_join("yara_matches", ",").alias("rules")
+    )
+
+SQL_YARA_TEXT = """
+WITH m AS (
+  SELECT doc_id,
+         (contains(lower(text), 'data') OR contains(text, 'model')) AS r1,
+         (regexp_matches(text, 'train(ing)?') AND contains(text, 'quality')) AS r2
+  FROM documents WHERE doc_id < 2000
+)
+SELECT doc_id,
+       concat_ws(',',
+         CASE WHEN r1 THEN 'HasData' END,
+         CASE WHEN r2 THEN 'TrainingTalk' END) AS rules
+FROM m WHERE r1 OR r2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1578,6 +1625,7 @@ REGISTRY: dict[str, tuple] = {
     "tql_rename_drop": (q_tql_rename_drop, SQL_TQL_RENAME_DROP),
     "tql_resolution": (q_tql_resolution, SQL_TQL_RESOLUTION),
     "tql_parse_grok": (q_tql_parse_grok, SQL_TQL_PARSE_GROK),
+    "yara_text_rules": (q_yara_text, SQL_YARA_TEXT),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.
