@@ -134,3 +134,50 @@ def _parse_timeout(t) -> float:
         return float(s)
     except ValueError:
         return 0.0
+
+
+OPENAPI_SPEC = {
+    "openapi": "3.0.0",
+    "info": {"title": "tenzir_spark", "version": "0.1"},
+    "paths": {
+        "/serve": {
+            "post": {
+                "summary": "Retrieve served pipeline results",
+                "requestBody": {"content": {"application/json": {"schema": {
+                    "type": "object",
+                    "properties": {
+                        "serve_id": {"type": "string"},
+                        "continuation_token": {"type": ["string", "null"]},
+                        "max_events": {"type": "integer", "default": 1024},
+                        "timeout": {"type": "string", "default": "0s"},
+                    },
+                    "required": ["serve_id"],
+                }}}},
+                "responses": {"200": {"description": "a page of events",
+                    "content": {"application/json": {"schema": {
+                        "type": "object",
+                        "properties": {
+                            "events": {"type": "array"},
+                            "next_continuation_token":
+                                {"type": ["string", "null"]},
+                        }}}}},
+                    "400": {"description": "unknown id / bad token"}},
+            }
+        }
+    },
+}
+
+
+def openapi(spark) -> "DataFrame":
+    """``openapi`` / ``api`` aspect (openapi.md: emit the node's REST API
+    spec as one event): one row per (path, method, summary) plus the full
+    spec JSON — queryable like any other source."""
+    import json as _json
+
+    rows = []
+    for path, methods in OPENAPI_SPEC["paths"].items():
+        for method, spec in methods.items():
+            rows.append((path, method.upper(), spec.get("summary", ""),
+                         _json.dumps(OPENAPI_SPEC, sort_keys=True)))
+    return spark.createDataFrame(
+        rows, "path string, method string, summary string, spec string")

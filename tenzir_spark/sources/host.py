@@ -163,3 +163,31 @@ def sockets(spark: SparkSession) -> DataFrame:
             except (ValueError, IndexError):
                 continue
     return spark.createDataFrame(rows, SOCKETS_SCHEMA)
+
+
+NICS_SCHEMA = "name string, mac string, state string, mtu int, is_up boolean"
+
+
+def nics(spark: SparkSession) -> DataFrame:
+    """``nics`` (nics.md): one event per network interface, from
+    /sys/class/net (no capture lib needed for the inventory listing; LIVE
+    capture on an interface remains out of scope without libpcap)."""
+    root = "/sys/class/net"
+    if not os.path.isdir(root):
+        raise OSError("nics source needs Linux sysfs")
+
+    def rd(dev: str, attr: str) -> str:
+        try:
+            with open(os.path.join(root, dev, attr)) as f:
+                return f.read().strip()
+        except OSError:
+            return ""
+
+    rows = []
+    for dev in sorted(os.listdir(root)):
+        state = rd(dev, "operstate")
+        rows.append((
+            dev, rd(dev, "address"), state,
+            int(rd(dev, "mtu") or 0), state == "up" or dev == "lo",
+        ))
+    return spark.createDataFrame(rows, NICS_SCHEMA)

@@ -60,3 +60,12 @@ def test_sockets_source(spark):
         assert mine[0]["uid"] == os.getuid()
     finally:
         srv.close()
+
+
+@linux_only
+def test_nics_source(spark):
+    from tenzir_spark.sources.host import nics
+
+    rows = {r["name"]: r for r in nics(spark).collect()}
+    assert "lo" in rows
+    assert rows["lo"]["mtu"] >= 1500  # loopback MTU is >= 16436 typically

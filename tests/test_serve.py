@@ -85,3 +85,14 @@ def test_serve_buffer_bound(spark):
     assert n == 10
     out = hub.fetch("bounded", max_events=100)
     assert len(out["events"]) == 10
+
+
+def test_openapi_spec(spark):
+    from tenzir_spark.operators.serve import openapi
+
+    rows = openapi(spark).collect()
+    assert any(r["path"] == "/serve" and r["method"] == "POST" for r in rows)
+    import json
+
+    spec = json.loads(rows[0]["spec"])
+    assert spec["openapi"].startswith("3.")
