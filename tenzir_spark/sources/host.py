@@ -191,3 +191,49 @@ def nics(spark: SparkSession) -> DataFrame:
             int(rd(dev, "mtu") or 0), state == "up" or dev == "lo",
         ))
     return spark.createDataFrame(rows, NICS_SCHEMA)
+
+
+def tcp_listen(spark: SparkSession, host: str = "127.0.0.1", port: int = 0,
+               max_events: int | None = None, timeout_sec: float = 30.0,
+               ready=None) -> DataFrame:
+    """``from tcp://host:port`` listener (reference: tcp connector,
+    tcp.md — bind a socket, read line-framed bytes from connecting
+    clients). Batch flavor: accept connections until ``max_events`` lines
+    arrive or ``timeout_sec`` lapses, then hand the lines to Spark (one
+    string column, parse downstream with read/parse operators).
+    ``ready(port)`` is called once bound — lets a caller/test connect
+    without racing the bind. For a continuous tail use Structured
+    Streaming's socket source instead::
+
+        spark.readStream.format("socket")
+             .option("host", h).option("port", p).load()
+
+    which yields the same one-string-column shape for foreachBatch."""
+    import socket
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, port))
+    srv.listen(8)
+    srv.settimeout(timeout_sec)
+    if ready is not None:
+        ready(srv.getsockname()[1])
+    lines: list[str] = []
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_sec
+    try:
+        while (max_events is None or len(lines) < max_events) \
+                and _time.monotonic() < deadline:
+            try:
+                conn, _addr = srv.accept()
+            except socket.timeout:
+                break
+            with conn, conn.makefile("rb") as f:
+                for raw in f:
+                    lines.append(raw.decode("utf-8", "replace").rstrip("\r\n"))
+                    if max_events is not None and len(lines) >= max_events:
+                        break
+    finally:
+        srv.close()
+    return spark.createDataFrame([(ln,) for ln in lines], "line string")

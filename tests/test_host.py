@@ -69,3 +69,32 @@ def test_nics_source(spark):
     rows = {r["name"]: r for r in nics(spark).collect()}
     assert "lo" in rows
     assert rows["lo"]["mtu"] >= 1500  # loopback MTU is >= 16436 typically
+
+
+def test_tcp_listen_source(spark):
+    """tcp_listen: line-framed events from a connecting client, composed
+    with a downstream textual pipeline."""
+    import socket
+    import threading
+
+    from tenzir_spark.sources.host import tcp_listen
+
+    got_port = {}
+
+    def client(port):
+        with socket.create_connection(("127.0.0.1", port), timeout=5) as c:
+            c.sendall(b"k=a n=1\nk=b n=2\nk=c n=3\n")
+
+    def on_ready(port):
+        got_port["port"] = port
+        threading.Thread(target=client, args=(port,), daemon=True).start()
+
+    df = tcp_listen(spark, port=0, max_events=3, timeout_sec=10,
+                    ready=on_ready)
+    assert got_port["port"] > 0
+    from tenzir_spark.plans.pipeline import run_tql
+
+    out = run_tql(df, "parse line kv | measure").first()
+    assert out["events"] == 3
+    rows = sorted(r["line"] for r in df.collect())
+    assert rows == ["k=a n=1", "k=b n=2", "k=c n=3"]
