@@ -54,6 +54,16 @@ class _N:
         self.right = None
 
 
+def enc_ptr(offset: int) -> bytes:
+    """Data-section pointer (type 1). Sizes per spec: <2048 → 1-byte
+    form, else the 2-byte form (+2048 bias)."""
+    if offset < 2048:
+        return bytes([(1 << 5) | (offset >> 8), offset & 0xFF])
+    v = offset - 2048
+    return bytes([(1 << 5) | (1 << 3) | (v >> 16),
+                  (v >> 8) & 0xFF, v & 0xFF])
+
+
 def write_mmdb(path, networks, record_size=24, ip_version=4):
     """networks: [(cidr, payload_bytes_key)]; payloads: {key: bytes}."""
     root = _N()
@@ -107,8 +117,16 @@ def write_mmdb(path, networks, record_size=24, ip_version=4):
     tree = b""
     for n in order:
         left, right = record(n.left), record(n.right)
-        assert record_size == 24
-        tree += left.to_bytes(3, "big") + right.to_bytes(3, "big")
+        if record_size == 24:
+            tree += left.to_bytes(3, "big") + right.to_bytes(3, "big")
+        elif record_size == 32:
+            tree += left.to_bytes(4, "big") + right.to_bytes(4, "big")
+        elif record_size == 28:
+            mid = ((left >> 24) << 4) | (right >> 24)
+            tree += ((left & 0xFFFFFF).to_bytes(3, "big") + bytes([mid])
+                     + (right & 0xFFFFFF).to_bytes(3, "big"))
+        else:
+            raise AssertionError(record_size)
 
     meta = enc_map({
         "binary_format_major_version": enc_uint(2, 5),
@@ -193,6 +211,36 @@ def test_geoip_enrich_join(spark, db):
     assert out["e1"]["asn"] == "100"
     assert out["e2"]["country_iso_code"] == "BB"
     assert out["e3"]["country_iso_code"] is None
+
+
+@pytest.mark.parametrize("rs", [24, 28, 32])
+def test_record_sizes(tmp_path, rs):
+    p = tmp_path / f"rs{rs}.mmdb"
+    write_mmdb(p, [
+        ("10.0.0.0/8", "a", PAYLOAD_A),
+        ("192.168.1.0/24", "b", PAYLOAD_B),
+    ], record_size=rs)
+    r = MmdbReader(str(p))
+    assert r.record_size == rs
+    assert r.lookup("10.1.2.3")["country"]["iso_code"] == "AA"
+    assert r.lookup("192.168.1.9")["country"]["iso_code"] == "BB"
+    assert r.lookup("4.4.4.4") is None
+    assert len(r.networks()) == 2
+
+
+def test_pointer_decoding(tmp_path):
+    """Real DBs deduplicate via data-section pointers: a payload whose
+    'country' value is a POINTER into another payload must resolve."""
+    # PAYLOAD_A layout: map ctrl(1) + "country"(8) => country map at +9
+    country_off_in_a = 1 + 8
+    payload_c = enc_map({"country": enc_ptr(country_off_in_a)})
+    p = tmp_path / "ptr.mmdb"
+    write_mmdb(p, [
+        ("10.0.0.0/8", "a", PAYLOAD_A),       # offset 0 in data section
+        ("172.16.0.0/12", "c", payload_c),
+    ])
+    r = MmdbReader(str(p))
+    assert r.lookup("172.16.5.5") == {"country": {"iso_code": "AA"}}
 
 
 def test_bad_file_rejected(tmp_path):
