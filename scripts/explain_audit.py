@@ -69,6 +69,11 @@ AUDIT = {
          r"TakeOrderedAndProject"],
         [r"CartesianProduct", r"BatchEvalPython"],
     ),
+    # YARA rules compile to pure JVM contains/rlike predicates — N rules,
+    # ONE scan, zero Python in the hot path
+    "yara_text_rules": ([r"PushedFilters"], [r"BatchEvalPython"]),
+    # grok parsing via the textual front-end stays codegen'd JVM regex
+    "tql_parse_grok": ([], [r"BatchEvalPython", r"CartesianProduct"]),
 }
 
 
