@@ -31,7 +31,7 @@ dedicated modules: sources/, streaming/, lake/):
     top <f> [--count-field=<c>]       rare <f> [--count-field=<c>]
     unique      deduplicate [<f>...] [--limit <n>]    enumerate [<f>]
     measure     unroll <f>    flatten    unflatten    yield <a.b[].c>
-    decapsulate [<data-col>]
+    decapsulate [<data-col>]          yara <rules-file> [--field <col>]
     hash <f> [--salt=<s>]    batch [n]    timeshift <f> [<start>]
     parse <f> kv|json|grok|syslog3164|syslog5424|cef|leef ["<arg>"]
     apply <file.tql>    enrich <ctx> [--field <f>] [--filter]
