@@ -1506,6 +1506,56 @@ FROM events WHERE event_id < 2000
 """
 
 
+def q_pcap_decapsulate(spark, sf):
+    """PCAP read + decapsulate, oracle-exact: a deterministic capture file
+    is synthesized from the events table (one UDP packet per event, ips/
+    ports derived from event fields), parsed back through the binary
+    reader + vectorized header extraction, and the oracle recomputes the
+    expected fields from the same rows in SQL."""
+    import os
+    import struct
+    import tempfile
+
+    from tenzir_spark.sources.pcap import decapsulate, read_pcap
+
+    ev = (
+        load(spark, sf, "events").filter(F.col("event_id") < 2000)
+        .select("event_id", "user_id").orderBy("event_id").collect()
+    )
+    blob = struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1)
+    for r in ev:
+        e, u = int(r["event_id"]), int(r["user_id"])
+        udp = struct.pack(">HHHH", 1000 + e % 1000, 53, 9, 0) + b"x"
+        ip = struct.pack(
+            ">BBHHHBBH4B4B", 0x45, 0, 20 + len(udp), 1, 0, 64, 17, 0,
+            10, 0, u % 256, e % 256, 10, 1, u % 256, (e * 3) % 256,
+        ) + udp
+        pkt = bytes(6) + bytes(6) + struct.pack(">H", 0x0800) + ip
+        blob += struct.pack("<IIII", 1700000000 + e, 0, len(pkt), len(pkt))
+        blob += pkt
+    path = os.path.join(tempfile.gettempdir(),
+                        f"tenzir_spark_pcap_{os.path.basename(sf.rstrip('/'))}.pcap")
+    with open(path, "wb") as f:
+        f.write(blob)
+    out = decapsulate(read_pcap(spark, path))
+    return out.select(
+        F.col("packet_id"), "ip_src", "ip_dst", "ip_proto",
+        "src_port", "dst_port",
+        F.col("timestamp").cast("long").alias("ts_sec"),
+    )
+
+SQL_PCAP_DECAP = """
+SELECT CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS packet_id,
+       '10.0.' || (user_id % 256) || '.' || (event_id % 256) AS ip_src,
+       '10.1.' || (user_id % 256) || '.' || ((event_id * 3) % 256) AS ip_dst,
+       CAST(17 AS INT) AS ip_proto,
+       CAST(1000 + event_id % 1000 AS INT) AS src_port,
+       CAST(53 AS INT) AS dst_port,
+       1700000000 + event_id AS ts_sec
+FROM events WHERE event_id < 2000
+"""
+
+
 def q_yara_text(spark, sf):
     """YARA-subset matching over documents (operators/yara.py — text +
     regex strings, condition algebra, N rules ONE scan). The compiled
@@ -1626,6 +1676,7 @@ REGISTRY: dict[str, tuple] = {
     "tql_resolution": (q_tql_resolution, SQL_TQL_RESOLUTION),
     "tql_parse_grok": (q_tql_parse_grok, SQL_TQL_PARSE_GROK),
     "yara_text_rules": (q_yara_text, SQL_YARA_TEXT),
+    "pcap_decapsulate": (q_pcap_decapsulate, SQL_PCAP_DECAP),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.
