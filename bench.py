@@ -169,6 +169,31 @@ def main() -> None:
             stats["events_in"] / (stats["wall_sec"] + compact_sec), 1)
         shutil.rmtree(wh, ignore_errors=True)
 
+        # micro-batch size is the engine's throughput/latency knob (the
+        # reference's own published 7x rests largely on batch-size tuning,
+        # web/blog/vast-v2.1: 1024 -> 65536). Same events in 520k-event
+        # batches, reported as a SEPARATE metric — the headline metric's
+        # composition stays identical across rounds.
+        changes_lg = f"{base}/tenzir_spark_bench_changes_{n_events}_lg"
+        if not os.path.exists(os.path.join(changes_lg, "manifest.json")):
+            generate_changes(changes_lg, n_events=n_events,
+                             n_docs=n_events // 10, n_parts=2 * cores,
+                             n_batches=4, seed=42, token_len=(64, 256))
+        shutil.rmtree(wh, ignore_errors=True)
+        runner_lg = IngestRunner(spark, wh, n_buckets=64,
+                                 compact_min_rows=1 << 60,
+                                 stats_mode=stats_mode)
+        stats_lg = runner_lg.run(changes_lg)
+        steady_lg = stats_lg["batch_stats"][1:]
+        if steady_lg:
+            ev = sum(b["events_in"] for b in steady_lg)
+            sec = sum(b["wall_ms"] for b in steady_lg) / 1000
+            extra["cdc_steady_events_per_sec_large_batch"] = (
+                round(ev / sec, 1) if sec else None)
+        extra["cdc_large_batch_walls_ms"] = [
+            b["wall_ms"] for b in stats_lg["batch_stats"]]
+        shutil.rmtree(wh, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_wall_sec",
