@@ -664,7 +664,7 @@ _EXT_FORMAT = {
     "parquet": "parquet", "json": "json", "ndjson": "json", "jsonl": "json",
     "csv": "csv", "tsv": "tsv", "ssv": "ssv", "txt": "lines",
     "log": "lines", "feather": "feather", "arrow": "feather",
-    "pcap": "pcap",
+    "pcap": "pcap", "bitz": "bitz",
 }
 
 
@@ -706,6 +706,10 @@ def _read_source(spark, path: str, fmt: str | None) -> DataFrame:
         from tenzir_spark.sources.pcap import read_pcap
 
         return read_pcap(spark, path)
+    if fmt == "bitz":
+        from tenzir_spark.sources.bitz import read_bitz
+
+        return read_bitz(spark, path)
     raise TqlError(f"unknown read format {fmt!r}")
 
 
@@ -722,6 +726,10 @@ def _write_sink(df: DataFrame, path: str, fmt: str | None) -> None:
         from tenzir_spark.sources.feather import write_feather
 
         write_feather(df, path)
+    elif fmt == "bitz":
+        from tenzir_spark.sources.bitz import write_bitz
+
+        write_bitz(df, path)
     else:
         raise TqlError(f"unknown write format {fmt!r}")
 

@@ -1556,6 +1556,50 @@ FROM events WHERE event_id < 2000
 """
 
 
+def q_bitz_roundtrip(spark, sf):
+    """BITZ wire-format round trip, oracle-exact: events rows are framed
+    into size-prefixed Arrow-IPC messages (sources/bitz.py; reference
+    libtenzir/builtins/formats/bitz.cpp:9-67), read back through the
+    distributed binaryFile+mapInPandas parser, and aggregated; the oracle
+    recomputes the aggregate from the source table directly — any framing
+    or decode corruption breaks the value hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from tenzir_spark.sources.bitz import read_bitz, write_bitz
+
+    src = (
+        load(spark, sf, "events").filter(F.col("event_id") < 20000)
+        .select("event_id", "event_type", "user_id")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"tenzir_spark_bitz_{os.path.basename(sf.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bitz(src.repartition(4), path)
+    back = read_bitz(spark, path, "event_id long, event_type string, user_id long")
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("sum_id"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+        )
+    )
+
+SQL_BITZ_ROUNDTRIP = """
+SELECT event_type,
+       count(*) AS n,
+       sum(event_id) AS sum_id,
+       min(user_id) AS min_user,
+       max(user_id) AS max_user
+FROM events WHERE event_id < 20000
+GROUP BY event_type
+"""
+
+
 def q_yara_text(spark, sf):
     """YARA-subset matching over documents (operators/yara.py — text +
     regex strings, condition algebra, N rules ONE scan). The compiled
@@ -1677,6 +1721,7 @@ REGISTRY: dict[str, tuple] = {
     "tql_parse_grok": (q_tql_parse_grok, SQL_TQL_PARSE_GROK),
     "yara_text_rules": (q_yara_text, SQL_YARA_TEXT),
     "pcap_decapsulate": (q_pcap_decapsulate, SQL_PCAP_DECAP),
+    "bitz_roundtrip": (q_bitz_roundtrip, SQL_BITZ_ROUNDTRIP),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.
