@@ -237,3 +237,46 @@ def tcp_listen(spark: SparkSession, host: str = "127.0.0.1", port: int = 0,
     finally:
         srv.close()
     return spark.createDataFrame([(ln,) for ln in lines], "line string")
+
+
+def udp_listen(spark: SparkSession, host: str = "127.0.0.1", port: int = 0,
+               max_events: int | None = None, timeout_sec: float = 30.0,
+               ready=None, insert_newlines: bool = False) -> DataFrame:
+    """``from udp://host:port`` listener (reference: udp connector,
+    libtenzir/builtins/connectors/udp.cpp + udp.md — bind a datagram
+    socket in listening mode, read blocks of bytes; ``-n`` treats each
+    datagram as newline-framed). Batch flavor mirroring ``tcp_listen``:
+    receive datagrams until ``max_events`` rows arrive or ``timeout_sec``
+    lapses. One row per datagram, or per line within each datagram when
+    ``insert_newlines`` (the reference's ``--insert-newlines``); parse
+    downstream with read/parse operators. ``ready(port)`` fires once
+    bound so callers/tests can send without racing the bind."""
+    import socket
+    import time as _time
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, port))
+    srv.settimeout(min(timeout_sec, 0.5))
+    if ready is not None:
+        ready(srv.getsockname()[1])
+    rows: list[str] = []
+    deadline = _time.monotonic() + timeout_sec
+    try:
+        while (max_events is None or len(rows) < max_events) \
+                and _time.monotonic() < deadline:
+            try:
+                blob, _addr = srv.recvfrom(65535)
+            except socket.timeout:
+                continue
+            text = blob.decode("utf-8", "replace")
+            if insert_newlines:
+                rows.extend(ln.rstrip("\r")
+                            for ln in text.split("\n") if ln != "")
+            else:
+                rows.append(text.rstrip("\r\n"))
+    finally:
+        srv.close()
+    if max_events is not None:
+        rows = rows[:max_events]
+    return spark.createDataFrame([(ln,) for ln in rows], "line string")

@@ -98,3 +98,35 @@ def test_tcp_listen_source(spark):
     assert out["events"] == 3
     rows = sorted(r["line"] for r in df.collect())
     assert rows == ["k=a n=1", "k=b n=2", "k=c n=3"]
+
+
+def test_udp_listen_source(spark):
+    """udp_listen: one row per datagram (and per line with
+    insert_newlines), composed with a downstream textual pipeline."""
+    import socket
+    import threading
+
+    from tenzir_spark.sources.host import udp_listen
+
+    got_port = {}
+
+    def client(port):
+        c = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        c.sendto(b"k=a n=1", ("127.0.0.1", port))
+        c.sendto(b"k=b n=2\nk=c n=3\n", ("127.0.0.1", port))
+        c.close()
+
+    def on_ready(port):
+        got_port["port"] = port
+        threading.Thread(target=client, args=(port,), daemon=True).start()
+
+    df = udp_listen(spark, port=0, max_events=3, timeout_sec=10,
+                    ready=on_ready, insert_newlines=True)
+    assert got_port["port"] > 0
+    rows = sorted(r["line"] for r in df.collect())
+    assert rows == ["k=a n=1", "k=b n=2", "k=c n=3"]
+
+    from tenzir_spark.plans.pipeline import run_tql
+
+    out = run_tql(df, "parse line kv | measure").first()
+    assert out["events"] == 3
