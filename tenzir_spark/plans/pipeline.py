@@ -399,6 +399,19 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
     for stage in split_pipeline(text):
         parts = stage.split(None, 1)
         name, args = parts[0], (parts[1] if len(parts) > 1 else "")
+        # location/order modifiers wrap the next operator (reference:
+        # local_remote.cpp:28-70 wraps an operator with a location tag;
+        # unordered.cpp drops its ordering requirement). One engine, one
+        # location — local/remote are accepted and recorded as no-ops
+        # (Catalyst places the work); unordered clears the declared
+        # stream order so order-sensitive ops downstream must re-sort.
+        while name in ("local", "remote", "unordered"):
+            if name == "unordered":
+                order = None
+            if not args.strip():
+                raise TqlError(f"{name}: expected a wrapped operator")
+            parts = args.split(None, 1)
+            name, args = parts[0], (parts[1] if len(parts) > 1 else "")
         schema = df.schema
 
         def need_order(opname: str) -> str:

@@ -263,3 +263,31 @@ def test_summarize_resolution(events):
     )
     assert out.count() == expected.count()
     assert set(out.columns) == {"ts", "event_type", "n"}
+
+
+def test_local_remote_unordered_modifiers(spark):
+    """local/remote wrap the next operator as location tags (no-ops in a
+    one-engine world); unordered clears the declared stream order so a
+    downstream order-sensitive op must re-sort."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tenzir_spark.plans.pipeline import TqlError, run_tql
+
+    df = spark.range(100).select(
+        F.col("id").alias("event_id"), (F.col("id") % 7).alias("k"))
+
+    out = run_tql(df, "local where k == 3 | remote select event_id",
+                  order_by="event_id")
+    assert out.columns == ["event_id"]
+    assert out.count() == 14
+
+    # unordered drops the order declaration: tail then errors
+    with pytest.raises(TqlError, match="needs stream order"):
+        run_tql(df, "unordered pass | tail 5", order_by="event_id")
+    # ...but a re-sort restores it
+    assert run_tql(df, "unordered pass | sort event_id | tail 5",
+                   order_by="event_id").count() == 5
+
+    with pytest.raises(TqlError, match="expected a wrapped operator"):
+        run_tql(df, "local", order_by="event_id")
