@@ -727,6 +727,11 @@ def _read_source(spark, path: str, fmt: str | None) -> DataFrame:
 
 
 def _write_sink(df: DataFrame, path: str, fmt: str | None) -> None:
+    if path.startswith(("http://", "https://")):
+        from tenzir_spark.sources.http import http_save
+
+        http_save(df, path, fmt=fmt or "json")
+        return
     fmt = _infer_format(path, fmt)
     if fmt == "parquet":
         df.write.mode("overwrite").parquet(path)
@@ -777,7 +782,13 @@ def run_tql_source(spark, text: str, order_by: str | None = None) -> DataFrame:
     m = _FROM_RE.fullmatch(head)
     em = _EXPORT_RE.fullmatch(head)
     if m:
-        df = _read_source(spark, m.group(1), m.group(2))
+        path = m.group(1)
+        if path.startswith(("http://", "https://")):
+            from tenzir_spark.sources.http import http_load
+
+            df = http_load(spark, path, fmt=m.group(2))
+        else:
+            df = _read_source(spark, path, m.group(2))
     elif em:
         # `export <table_root>` — read the lake table's current state
         # (export.md: events from the node's storage; internal bucket/

@@ -1,0 +1,104 @@
+"""HTTP connector: loader/saver against a local stdlib server, HTTPie
+item syntax, pipeline-text integration."""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+FIXTURE = [
+    {"event_id": 1, "event_type": "click", "value": 2.5},
+    {"event_id": 2, "event_type": "view", "value": 0.5},
+    {"event_id": 3, "event_type": "click", "value": 1.0},
+]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    received = []
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        body = ("\n".join(json.dumps(r) for r in FIXTURE)).encode()
+        if self.path.startswith("/echoq"):
+            body = json.dumps({"path": self.path,
+                               "tok": self.headers.get("X-Token", "")}).encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        _Handler.received.append(
+            (self.path, self.headers.get("Content-Type"), self.rfile.read(n)))
+        self.send_response(200)
+        self.send_header("Content-Length", "2")
+        self.end_headers()
+        self.wfile.write(b"ok")
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_http_items_syntax():
+    from tenzir_spark.sources.http import parse_http_items
+
+    h, d, p = parse_http_items(["X-API-Token:123", "foo=bar", "q==search"])
+    assert h == {"X-API-Token": "123"}
+    assert d == {"foo": "bar"}
+    assert p == {"q": "search"}
+    with pytest.raises(ValueError, match="bad http item"):
+        parse_http_items(["plainword"])
+
+
+def test_http_fetch_headers_and_params(server):
+    from tenzir_spark.sources.http import http_fetch
+
+    out = json.loads(http_fetch(f"{server}/echoq",
+                                items=["X-Token:abc", "q==1"]))
+    assert out == {"path": "/echoq?q=1", "tok": "abc"}
+
+
+def test_http_load_pipeline_text(spark, server):
+    from tenzir_spark.plans.pipeline import run_tql_source
+
+    df = run_tql_source(
+        spark,
+        f'from {server}/events.json | where event_type == "click" '
+        "| select event_id, value")
+    rows = sorted((r["event_id"], r["value"]) for r in df.collect())
+    assert rows == [(1, 2.5), (3, 1.0)]
+
+
+def test_http_save_posts_ndjson(spark, server):
+    from tenzir_spark.plans.pipeline import run_tql_source
+
+    _Handler.received.clear()
+    run_tql_source(
+        spark,
+        f"from {server}/events.json | select event_id | to {server}/sink")
+    assert len(_Handler.received) == 1
+    path, ctype, body = _Handler.received[0]
+    assert path == "/sink" and ctype == "application/x-ndjson"
+    got = sorted(json.loads(ln)["event_id"]
+                 for ln in body.decode().strip().split("\n"))
+    assert got == [1, 2, 3]
+
+
+def test_http_fetch_json_body_flips_post(server):
+    from tenzir_spark.sources.http import http_fetch
+
+    _Handler.received.clear()
+    http_fetch(f"{server}/sink", items=["foo=bar"])
+    path, ctype, body = _Handler.received[0]
+    assert ctype == "application/json"
+    assert json.loads(body) == {"foo": "bar"}
