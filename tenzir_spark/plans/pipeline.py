@@ -36,11 +36,17 @@ dedicated modules: sources/, streaming/, lake/):
     parse <f> kv|json|grok|syslog3164|syslog5424|cef|leef ["<arg>"]
     apply <file.tql>    enrich <ctx> [--field <f>] [--filter]
     lookup <ctx> --field <f>          pass    discard    repeat [n]
+    chart <type> [--x <f>] [--y <f>]  shell <cmd>    version
+    local <op …>    remote <op …>     unordered <op …>
 
 :func:`run_tql_source` adds the source/sink stages:
 
     from <path> [read <fmt>] | … | to <path> [write <fmt>]
+    from http(s)://… [read <fmt>]    | … | to http(s)://…
+    from -|stdin [read <fmt>]
     export <table_root>      | … | import <table_root>
+
+(formats: parquet json csv/tsv/ssv lines zeek-tsv feather pcap bitz)
 
 Value expressions (<vexpr>) support literals, field refs, arithmetic
 (+ - * / %), parentheses and a function whitelist (round abs length lower
@@ -621,6 +627,28 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                 # a conservative unknown order errors later rather than
                 # silently mis-ordering downstream order-sensitive ops
                 order = None
+            elif name == "chart":
+                # `chart <type> [-x|--x-axis f] [-y|--y-axis f]` (chart.md;
+                # rendering hints ride the schema metadata)
+                rest, x = _flag(args, "x-axis")
+                rest, x2 = _flag(rest, "x")
+                rest, y = _flag(rest, "y-axis")
+                rest, y2 = _flag(rest, "y")
+                ctype = rest.strip()
+                if not ctype:
+                    raise TqlError("chart: expected a chart type")
+                cols = df.columns
+                df = meta.chart(df, ctype,
+                                _one_path(schema, x or x2 or cols[0]),
+                                _one_path(schema, y or y2 or cols[min(1, len(cols) - 1)]))
+            elif name == "shell":
+                if not args.strip():
+                    raise TqlError("shell: expected a command")
+                df = meta.shell(df, args.strip())
+                order = None  # child output order is per-partition
+            elif name == "version":
+                df = meta.version(df.sparkSession)
+                order = None
             elif name == "pass":
                 df = meta.pass_(df)
             elif name == "discard":
@@ -787,6 +815,21 @@ def run_tql_source(spark, text: str, order_by: str | None = None) -> DataFrame:
             from tenzir_spark.sources.http import http_load
 
             df = http_load(spark, path, fmt=m.group(2))
+        elif path in ("-", "stdin"):
+            # `from stdin [read <fmt>]` (reference stdin connector): spool
+            # the stream and parse with the shared format inventory
+            import sys
+            import tempfile
+
+            raw = (sys.stdin.buffer.read()
+                   if hasattr(sys.stdin, "buffer") else
+                   sys.stdin.read().encode())
+            fd, tmp = tempfile.mkstemp(prefix="tenzir_spark_stdin_")
+            import os as _os
+
+            with _os.fdopen(fd, "wb") as fh:
+                fh.write(raw)
+            df = _read_source(spark, tmp, m.group(2) or "json")
         else:
             df = _read_source(spark, path, m.group(2))
     elif em:

@@ -102,3 +102,36 @@ def http_save(df: DataFrame, url: str, *, method: str = "POST",
     with urllib.request.urlopen(req, timeout=timeout) as resp:
         resp.read()
     return len(rows)
+
+
+def email_save(df: DataFrame, recipient: str, *, sender: str = "tenzir-spark",
+               subject: str = "pipeline output", smtp=None,
+               host: str = "localhost", port: int = 25,
+               username: str | None = None,
+               password: str | None = None) -> int:
+    """``to email://<recipient>`` (reference: email saver,
+    libtenzir/builtins/connectors/email.cpp + email.md — "establish a
+    SMTP(S) connection and send bytes as email body"; default printer is
+    json). Serializes the DataFrame as ndjson into one message via
+    stdlib smtplib; the connection object is injectable (``smtp=``) so
+    the protocol is testable without a mail server. Returns rows sent."""
+    import email.message
+    import smtplib
+
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    body = "\n".join(json.dumps(r, default=str) for r in rows) + "\n"
+    msg = email.message.EmailMessage()
+    msg["From"], msg["To"], msg["Subject"] = sender, recipient, subject
+    msg.set_content(body)
+    own = smtp is None
+    if own:  # pragma: no cover - needs a mail server
+        smtp = smtplib.SMTP(host, port, timeout=30)
+        if username:
+            smtp.starttls()
+            smtp.login(username, password or "")
+    try:
+        smtp.send_message(msg)
+    finally:
+        if own:  # pragma: no cover
+            smtp.quit()
+    return len(rows)

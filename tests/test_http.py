@@ -102,3 +102,50 @@ def test_http_fetch_json_body_flips_post(server):
     path, ctype, body = _Handler.received[0]
     assert ctype == "application/json"
     assert json.loads(body) == {"foo": "bar"}
+
+
+def test_email_save_fake_smtp(spark):
+    from tenzir_spark.sources.http import email_save
+
+    sent = []
+
+    class FakeSmtp:
+        def send_message(self, msg):
+            sent.append(msg)
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "event_id int, s string")
+    n = email_save(df, "ops@example.com", subject="alerts", smtp=FakeSmtp())
+    assert n == 2 and len(sent) == 1
+    msg = sent[0]
+    assert msg["To"] == "ops@example.com" and msg["Subject"] == "alerts"
+    lines = msg.get_content().strip().split("\n")
+    assert sorted(json.loads(ln)["event_id"] for ln in lines) == [1, 2]
+
+
+def test_stdin_source_pipeline(spark, monkeypatch):
+    import io
+
+    from tenzir_spark.plans.pipeline import run_tql_source
+
+    ndjson = "\n".join(json.dumps(r) for r in FIXTURE)
+    monkeypatch.setattr("sys.stdin", io.StringIO(ndjson))
+    df = run_tql_source(spark, 'from - | where event_type == "view"')
+    assert [r["event_id"] for r in df.collect()] == [2]
+
+
+def test_chart_version_shell_stages(spark):
+    from tenzir_spark.operators.meta import get_attributes
+    from tenzir_spark.plans.pipeline import run_tql
+
+    df = spark.createDataFrame(
+        [(i, float(i) * 2) for i in range(10)], "t int, v double")
+    out = run_tql(df, "chart line --x t --y v")
+    assert get_attributes(out, "t")["chart"] == "x"
+    assert get_attributes(out, "v")["chart_type"] == "line"
+
+    ver = run_tql(df, "version").first()
+    assert ver["version"]
+
+    echoed = run_tql(spark.createDataFrame([("x",), ("y",)], "line string"),
+                     "shell cat")
+    assert sorted(r["line"] for r in echoed.collect()) == ["x", "y"]
