@@ -63,21 +63,45 @@ class ReorderBuffer:
 
     def __init__(self) -> None:
         self._next = 0
+        self._wm: dict[int, int] = {}
         self._held: dict[int, tuple[int, dict]] = {}
+        self._instant: list[tuple[int, int, dict]] = []
 
     def seek(self, offsets: dict[int, int]) -> None:
-        self._next = max((int(o) for o in offsets.values()), default=-1) + 1
+        self._wm = {int(p): int(o) for p, o in offsets.items()}
+        self._next = max(self._wm.values(), default=-1) + 1
         self._held.clear()
+        self._instant.clear()
+
+    def ack_update(self, offsets: dict[int, int]) -> None:
+        """Advance the durability map with sink-committed watermarks —
+        the connector calls this from ``ack`` so later redeliveries of
+        now-durable events classify as deletable dupes."""
+        for p, o in offsets.items():
+            p, o = int(p), int(o)
+            if o > self._wm.get(p, -1):
+                self._wm[p] = o
 
     def insert(self, part: int, lsn: int, rec: dict) -> bool:
-        lsn = int(lsn)
-        if lsn < self._next:
+        """False ⇒ provably durable (lsn ≤ its OWN partition's SINK-ACKED
+        watermark) — the only case where deleting the message is safe. An
+        event below the global frontier but above its partition's
+        watermark (a redelivery of a released-but-unacked event, or a
+        watermark map that isn't a gapless prefix because the table was
+        previously fed by a different source) is released immediately
+        instead of misclassified as a dupe: the sink's per-partition
+        watermark filter still orders/dedupes it idempotently."""
+        part, lsn = int(part), int(lsn)
+        if lsn <= self._wm.get(part, -1):
             return False
-        self._held[lsn] = (int(part), rec)
+        if lsn < self._next:
+            self._instant.append((part, lsn, rec))
+            return True
+        self._held[lsn] = (part, rec)
         return True
 
     def drain(self) -> list[tuple[int, int, dict]]:
-        out: list[tuple[int, int, dict]] = []
+        out, self._instant = self._instant, []
         while self._next in self._held:
             part, rec = self._held.pop(self._next)
             out.append((part, self._next, rec))
@@ -85,7 +109,7 @@ class ReorderBuffer:
         return out
 
     def held_count(self) -> int:
-        return len(self._held)
+        return len(self._held) + len(self._instant)
 
 
 def _envelope_df(spark: SparkSession, rows: list[tuple[int, int, str]],
@@ -197,6 +221,7 @@ class SqsConnector(ChangeConnector):
 
     def ack(self, offsets: dict[int, int]) -> None:
         offsets = {int(k): int(v) for k, v in offsets.items()}
+        self.buffer.ack_update(offsets)
         done = [k for k in self._pending
                 if k[1] <= offsets.get(k[0], -1)]
         for k in done:
@@ -273,6 +298,7 @@ class AmqpConnector(ChangeConnector):
 
     def ack(self, offsets: dict[int, int]) -> None:
         offsets = {int(k): int(v) for k, v in offsets.items()}
+        self.buffer.ack_update(offsets)
         done = [k for k in self._pending
                 if k[1] <= offsets.get(k[0], -1)]
         for k in done:

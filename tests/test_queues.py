@@ -112,7 +112,7 @@ def _bodies(records):
 def test_reorder_buffer_contiguity():
     rb = ReorderBuffer()
     rb.seek({0: 4, 1: 2})  # released prefix was [0..4] -> next global 5
-    assert not rb.insert(1, 3, {"x": 3})  # below frontier -> dupe
+    assert not rb.insert(0, 3, {"x": 3})  # <= wm[0] -> durable dupe
     assert rb.insert(0, 7, {"x": 7})
     assert rb.drain() == []  # gap at 5-6 holds 7 back
     assert rb.insert(1, 5, {"x": 5})
@@ -120,6 +120,12 @@ def test_reorder_buffer_contiguity():
     got = rb.drain()
     assert [(p, l) for p, l, _ in got] == [(1, 5), (0, 6), (0, 7)]
     assert rb.held_count() == 0
+    # ack advances the durability map: a redelivery of lsn 7 is now a
+    # deletable dupe instead of an instant re-release
+    assert rb.insert(0, 7, {"x": 7})  # released but not yet acked
+    assert [(p, l) for p, l, _ in rb.drain()] == [(0, 7)]  # re-released
+    rb.ack_update({0: 7, 1: 5})
+    assert not rb.insert(0, 7, {"x": 7})  # now durable -> deletable dupe
 
 
 def test_sqs_out_of_order_delivery_converges(spark, tmp_path):
@@ -208,3 +214,22 @@ def test_zmq_bitz_roundtrip(spark):
 
     with pytest.raises(ValueError, match="no bitz frames"):
         zmq_load(spark, "inproc://x", socket=FakeZmqSocket())
+
+
+def test_reorder_buffer_lagging_partition_watermarks():
+    """A watermark map that is NOT a gapless global prefix (partition 1
+    lags): events above their own partition's watermark must never be
+    classified durable, even when below the global frontier — they
+    release immediately instead of being deleted (data loss) or held
+    forever (stall)."""
+    rb = ReorderBuffer()
+    rb.seek({0: 100, 1: 50})  # global frontier 101, partition 1 lagging
+    assert not rb.insert(1, 40, {})   # <= wm[1] -> durable dupe
+    assert not rb.insert(0, 100, {})  # <= wm[0] -> durable dupe
+    assert rb.insert(1, 75, {"v": 75})   # lagging-partition event
+    got = rb.drain()
+    assert [(p, l) for p, l, _ in got] == [(1, 75)]
+    # the global frontier is unaffected by instant releases
+    assert rb.insert(0, 101, {"v": 101})
+    assert [(p, l) for p, l, _ in rb.drain()] == [(0, 101)]
+    assert rb.held_count() == 0
