@@ -229,17 +229,32 @@ _PIPELINE_OPERATORS = [
     "hash", "pass", "discard", "repeat", "parse", "apply", "enrich",
     "decapsulate", "yara",
     "lookup",
+    "chart", "shell", "version", "local", "remote", "unordered",
 ]
 _FORMATS = [
     "json", "ndjson", "csv", "tsv", "ssv", "xsv", "parquet", "feather",
     "lines", "kv", "grok", "syslog3164", "syslog5424", "cef", "leef",
-    "zeek-tsv", "yaml", "pcap",
+    "zeek-tsv", "yaml", "pcap", "bitz",
+]
+_CONNECTORS = [
+    # (name, loader?, saver?) — the byte-transport inventory; each maps to
+    # the module named in SURVEY §2's coverage table
+    ("file", True, True), ("directory", True, True), ("stdin", True, False),
+    ("tcp", True, False), ("udp", True, False), ("http", True, True),
+    ("https", True, True), ("email", False, True), ("kafka", True, False),
+    ("sqs", True, False), ("amqp", True, False), ("zmq", True, True),
+    ("s3", True, True), ("gcs", True, True), ("nic", True, False),
 ]
 
 
 def show_registry(spark: SparkSession, aspect: str) -> DataFrame:
     """`show operators|formats`: the textual front-end's operator registry
     and the format-parser inventory, one name per row."""
+    if aspect == "connectors":
+        return spark.createDataFrame(
+            [Row(name=n, loader=l, saver=s)
+             for n, l, s in sorted(_CONNECTORS)],
+            "name string, loader boolean, saver boolean")
     names = {"operators": _PIPELINE_OPERATORS, "formats": _FORMATS}.get(aspect)
     if names is None:
         raise ValueError(f"unknown registry aspect {aspect!r}")

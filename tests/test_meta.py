@@ -145,3 +145,14 @@ def test_batch_and_delay(spark):
     out = list(delay(batches, speed=5.0, sleep=slept.append))
     assert out == ["b0", "b1", "b2"]
     assert slept == [2.0, 0.2]
+
+
+def test_show_connectors_aspect(spark):
+    from tenzir_spark.operators.meta import show_registry
+
+    rows = {r["name"]: (r["loader"], r["saver"])
+            for r in show_registry(spark, "connectors").collect()}
+    assert rows["http"] == (True, True)
+    assert rows["email"] == (False, True)
+    assert {"file", "stdin", "tcp", "udp", "kafka", "sqs", "amqp",
+            "zmq"} <= set(rows)

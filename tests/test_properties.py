@@ -58,3 +58,45 @@ def test_cron_next_is_minimal_future_match(sec, mi, h, dom, mon, dow, offset):
     # calendar day by re-deriving from one second before
     again = cron_next(expr, nxt - timedelta(seconds=1))
     assert again == nxt
+
+
+@given(
+    n=st.integers(min_value=1, max_value=80),
+    parts=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=10**6),
+    chunk=st.integers(min_value=1, max_value=17),
+)
+@settings(max_examples=60, deadline=None)
+def test_reorder_buffer_releases_identity_sequence(n, parts, seed, chunk):
+    """Any delivery permutation, chunked arbitrarily, with acks at every
+    drain: the released lsn sequence is exactly 0..n-1 in order, dupes
+    are deletable ONLY at/below their partition's acked watermark, and
+    nothing is ever lost or double-released."""
+    import random as _random
+
+    from tenzir_spark.sources.queues import ReorderBuffer
+
+    rng = _random.Random(seed)
+    events = [(lsn % parts, lsn) for lsn in range(n)]
+    order = events[:]
+    rng.shuffle(order)
+
+    rb = ReorderBuffer()
+    rb.seek({})
+    released, acked = [], {}
+    for i in range(0, len(order), chunk):
+        for part, lsn in order[i:i + chunk]:
+            assert rb.insert(part, lsn, {"lsn": lsn})
+            # a redelivered copy BEFORE ack must never be deletable
+            if (acked.get(part, -1)) < lsn:
+                assert rb.insert(part, lsn, {"lsn": lsn})
+        out = rb.drain()
+        released.extend(l for _p, l, _r in out)
+        for p, l, _r in out:  # sink commits, connector acks
+            acked[p] = max(acked.get(p, -1), l)
+        rb.ack_update(acked)
+        # acked events redelivered late ARE deletable dupes
+        for p, l, _ in out:
+            assert not rb.insert(p, l, {"lsn": l})
+    assert released == list(range(n))
+    assert rb.held_count() == 0
