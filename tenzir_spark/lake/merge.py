@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from tenzir_spark.lake.table import BUCKET_COL, COMMIT_COL, LakeTable
+from tenzir_spark.lake.table import BUCKET_COL, LakeTable
 
 # Below this many distinct keys in the batch, hint a broadcast of the key set
 # for the anti-join (typical micro-batches). Above it, fall back to a shuffle

@@ -1303,7 +1303,7 @@ def q_multimodal_features(spark, sf):
     """Binary media columns → mapInPandas feature extraction (decode is a
     deterministic stub; Spark-side schema/batching/pruning is real). Media
     synthesized from documents bytes — rows-only check (UDF output)."""
-    from tenzir_spark.functions.multimodal import MEDIA_SCHEMA, extract_features
+    from tenzir_spark.functions.multimodal import extract_features
 
     docs = load(spark, sf, "documents").filter(F.col("doc_id") < 500)
     media = docs.select(

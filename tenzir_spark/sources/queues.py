@@ -28,7 +28,6 @@ the default constructors use boto3 / pika / pyzmq where installed.
 from __future__ import annotations
 
 import json
-from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 
