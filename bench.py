@@ -130,6 +130,11 @@ def main() -> None:
         # "full" remains the engine default for sources without that
         # guarantee (measured r3: winners 160k vs full 137k ev/s steady).
         stats_mode = os.environ.get("BENCH_STATS_MODE", "winners")
+        # exact_watermarks (Observation-based per-partition maxes) removes
+        # the keyed-routing precondition but its CollectMetrics barrier
+        # costs 20-35% steady throughput — the changegen IS keyed, so the
+        # bench default stays off; flip BENCH_EXACT_WM=1 to A/B it.
+        exact_wm = os.environ.get("BENCH_EXACT_WM", "0") != "0"
         # CDC warmup: replay the first batches of the SAME change log into a
         # throwaway warehouse. The generic session warmup above covers the
         # scan/write/max_by first-use costs, but the CDC loop has its own:
@@ -140,15 +145,16 @@ def main() -> None:
         # floor). Untimed, identical shape, then discarded.
         wh_warm = f"{base}/tenzir_spark_bench_wh_warm"
         shutil.rmtree(wh_warm, ignore_errors=True)
-        IngestRunner(spark, wh_warm, n_buckets=64,
-                     stats_mode=stats_mode).run(changes, max_batches=3)
+        IngestRunner(spark, wh_warm, n_buckets=64, stats_mode=stats_mode,
+                     exact_watermarks=exact_wm).run(changes, max_batches=3)
         shutil.rmtree(wh_warm, ignore_errors=True)
         # compaction is kept OUT of the timed batches (compact_min_rows
         # sentinel) and measured separately below — merge-on-read defers
         # the fold by design; per-batch walls then measure ingest alone
         runner = IngestRunner(spark, wh, n_buckets=64,
                               compact_min_rows=1 << 60,
-                              stats_mode=stats_mode)
+                              stats_mode=stats_mode,
+                              exact_watermarks=exact_wm)
         stats = runner.run(changes)
         timings["cdc_ingest"] = round(stats["wall_sec"], 3)
         extra["cdc_events_per_sec"] = round(stats["events_per_sec"], 1)
@@ -182,7 +188,8 @@ def main() -> None:
         shutil.rmtree(wh, ignore_errors=True)
         runner_lg = IngestRunner(spark, wh, n_buckets=64,
                                  compact_min_rows=1 << 60,
-                                 stats_mode=stats_mode)
+                                 stats_mode=stats_mode,
+                                 exact_watermarks=exact_wm)
         stats_lg = runner_lg.run(changes_lg)
         steady_lg = stats_lg["batch_stats"][1:]
         if steady_lg:

@@ -55,6 +55,12 @@ BASE_PAYLOAD_SCHEMA = T.StructType(
     ]
 )
 
+# Above this many known source partitions, winners mode stops attaching
+# the per-partition observed-metrics watermark (EXACT_WM; one conditional
+# max expression per partition — the expression list itself would dominate
+# at 10^4 partitions) and falls back to the keyed-routing contract.
+EXACT_WM_MAX_PARTS = 256
+
 # Per-mode metric semantics (stats_mode):
 # - "full":    events_in = DELIVERED events incl. stale redeliveries;
 #              events_deduped = delivered - distinct fresh LSNs (redelivery
@@ -133,6 +139,7 @@ class IngestRunner:
         collapse_mode: str = "maxby",
         stats_mode: str = "full",
         delta_codec: str = "zstd",
+        exact_watermarks: bool = False,
     ):
         self.spark = spark
         self.warehouse = warehouse
@@ -163,17 +170,28 @@ class IngestRunner:
         # "winners": ONE Spark job per batch — the collapse carries each
         # winner's lsn and collapsed-event count into the delta files, and
         # watermarks/lineage/dedup metrics come from a driver-side pyarrow
-        # read of those three int columns. Exactness argument: under keyed
-        # routing (all events of a key live in one source partition — the
-        # kafka/keyed-topic contract the changegen implements), the
-        # max-lsn event of partition P wins its own key, so
-        # max(winner lsn | part=P) == max(lsn | part=P). If keys straddle
-        # partitions that equality can fail low, and a replay could
-        # re-apply a stale straddling event — use "full" for such sources
-        # (where cross-partition order is undefined anyway).
+        # read of those three int columns. Watermarks derive from winner
+        # lsns, exact only under keyed routing (all events of a key in
+        # one source partition — the kafka/keyed-topic contract the
+        # changegen implements): the max-lsn event of partition P then
+        # wins its own key, so max(winner lsn|part=P) == max(lsn|part=P).
+        # If keys straddle partitions that equality can fail low and a
+        # replay could re-apply a stale straddling event. For such
+        # sources either use "full" (the overlapped side scan is exact
+        # for any routing; ~15% on a loaded box) or set
+        # exact_watermarks=True: a per-known-partition max(lsn) then
+        # rides the SAME job as observed metrics (CollectMetrics —
+        # map-side accumulator, no extra job; unknown partitions fall
+        # back to one slim agg for that batch). One-job semantics for any
+        # routing, but the CollectMetrics barrier splits the scan's
+        # whole-stage-codegen span and re-materializes the wide token
+        # rows — measured 20-35% steady-throughput cost on the sf0.1
+        # bench, which is why it is OFF by default and "full" is the
+        # recommended non-keyed mode.
         # "winners" falls back to "full" under collapse_mode="semijoin"
         # (the semi join keeps no count column).
         self.stats_mode = stats_mode
+        self.exact_watermarks = exact_watermarks
 
     # ------------------------------------------------------------- helpers
     def ensure_table(self, payload_schema: T.StructType = BASE_PAYLOAD_SCHEMA) -> None:
@@ -326,6 +344,37 @@ class IngestRunner:
         raw = raw.join(F.broadcast(wm_df), on="part_id", how="left")
         is_fresh = F.col("lsn") > F.coalesce(F.col("_wm"), F.lit(-1))
 
+        # -- exact winners-mode watermarks: per-known-partition max(lsn)
+        # as OBSERVED metrics on the raw batch. CollectMetrics evaluates
+        # map-side inside the one collapse+write job (no extra pass, no
+        # shuffle), and unlike the winner-derived max it is exact for ANY
+        # event→partition routing, keyed or not. The expression list uses
+        # the same stable partition-id literals every batch, so the plan
+        # (and its codegen unit) stays cached. Partitions absent from the
+        # watermark map are detected by a catch-all count; their (rare —
+        # first batch, partition-count change) watermarks come from one
+        # slim column-pruned fallback agg in _props.
+        wm_obs = None
+        obs_parts: list[int] = []
+        raw_pre_obs = raw  # observe-free plan for the rare fallback agg
+        if (use_winners and self.exact_watermarks
+                and len(wm) <= EXACT_WM_MAX_PARTS):
+            from pyspark.sql import Observation
+
+            obs_parts = sorted(int(k) for k in wm.keys())
+            unknown = (~F.col("part_id").isin(obs_parts)
+                       if obs_parts else F.lit(True))
+            wm_obs = Observation()
+            raw = raw.observe(
+                wm_obs,
+                F.count(F.when(unknown, F.lit(1))).alias("_unk"),
+                *[
+                    F.max(F.when(F.col("part_id") == p, F.col("lsn")))
+                    .alias(f"_w{p}")
+                    for p in obs_parts
+                ],
+            )
+
         stats_box: dict = {}
         if not use_winners:
             # -- "full" mode: lineage counts + watermarks from a slim
@@ -432,9 +481,35 @@ class IngestRunner:
                 st = self._winner_stats(entries)
                 stats_box.update(st)
                 new_wm = dict(wm)
-                for p, mx in st["wmax"].items():
-                    k = str(p)
-                    new_wm[k] = max(int(new_wm.get(k, -1)), int(mx))
+                if wm_obs is not None:
+                    # the delta write (an action over the observed plan)
+                    # has completed by manifest-swap time, so .get is
+                    # immediate — exact per-partition delivered maxes
+                    m = wm_obs.get
+                    for p in obs_parts:
+                        v = m[f"_w{p}"]
+                        if v is not None:
+                            k = str(p)
+                            new_wm[k] = max(int(new_wm.get(k, -1)), int(v))
+                    if m["_unk"]:
+                        # partitions not yet in the watermark map: one
+                        # slim (part_id, lsn)-pruned agg over just their
+                        # rows — pays a job only on partition-appearance
+                        # batches (incl. the very first batch)
+                        unk_rows = (
+                            raw_pre_obs.filter(~F.col("part_id").isin(obs_parts))
+                            if obs_parts else raw_pre_obs
+                        )
+                        for r in (unk_rows.groupBy("part_id")
+                                  .agg(F.max("lsn").alias("_mx")).collect()):
+                            k = str(int(r["part_id"]))
+                            new_wm[k] = max(int(new_wm.get(k, -1)), int(r["_mx"]))
+                else:
+                    # keyed-routing contract: winner lsns stand in for the
+                    # per-partition delivered maxes (see __init__ note)
+                    for p, mx in st["wmax"].items():
+                        k = str(p)
+                        new_wm[k] = max(int(new_wm.get(k, -1)), int(mx))
                 stats_box["new_wm"] = new_wm
                 if new_wm == wm:
                     return {}  # pure redelivery: no progress to record

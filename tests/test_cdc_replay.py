@@ -298,3 +298,79 @@ def test_winners_mode_single_action_per_batch(spark, changes_dir, tmp_path):
         jobs_for[tag] = jobs_consumed(r, batches[1], 1, tag)
     assert jobs_for["w"] < jobs_for["f"], (
         f"winners mode must consume fewer jobs ({jobs_for})")
+
+
+def _mini_batch(spark, rows):
+    """(part_id, lsn, op, doc_id, n_tok) rows → a change-batch DataFrame
+    with the full control + base payload schema."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("part_id", T.IntegerType(), False),
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("epoch", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ])
+    data = [(p, lsn, 0, op, d, [n, n + 1], n, "s") for p, lsn, op, d, n in rows]
+    return spark.createDataFrame(data, schema)
+
+
+def test_winners_exact_watermarks_nonkeyed_routing(spark, tmp_path):
+    """Keys straddling partitions: partition 0's max-lsn event (A,5) loses
+    key A to partition 1's (A,10), so the winner-derived watermark misses
+    part 0 entirely. The observed-metrics watermark must still record the
+    TRUE per-partition delivered max, and a redelivery of (A,5) must be a
+    noop — the exactly-once contract without the keyed-routing assumption."""
+    r = IngestRunner(spark, str(tmp_path / "wh"), n_buckets=4,
+                     stats_mode="winners", exact_watermarks=True)
+    r.ensure_table()
+    r.apply_batch_df(_mini_batch(spark, [
+        (0, 5, "upsert", "A", 50),
+        (1, 10, "upsert", "A", 100),
+        (1, 3, "upsert", "B", 30),
+    ]), 0)
+    assert r.watermarks() == {"0": 5, "1": 10}
+    v = r.table.current_version()
+    # stale straddling event redelivered alone: must NOT re-apply
+    r.apply_batch_df(_mini_batch(spark, [(0, 5, "upsert", "A", 50)]), 1)
+    assert r.table.current_version() == v
+    state = {row["doc_id"]: row["n_tok"] for row in r.final_state().collect()}
+    assert state == {"A": 100, "B": 30}
+    # the control: winner-derived watermarks (exact_watermarks=False)
+    # genuinely miss part 0 here — proves the observed path is load-bearing
+    r2 = IngestRunner(spark, str(tmp_path / "wh2"), n_buckets=4,
+                      stats_mode="winners", exact_watermarks=False)
+    r2.ensure_table()
+    r2.apply_batch_df(_mini_batch(spark, [
+        (0, 5, "upsert", "A", 50),
+        (1, 10, "upsert", "A", 100),
+        (1, 3, "upsert", "B", 30),
+    ]), 0)
+    assert "0" not in r2.watermarks()
+
+
+def test_winners_exact_watermarks_new_partition_fallback(spark, tmp_path):
+    """A partition first seen mid-stream isn't in the observed expression
+    list — the catch-all must detect it and the fallback agg must record
+    its exact watermark (deletes count too)."""
+    r = IngestRunner(spark, str(tmp_path / "wh"), n_buckets=4,
+                     stats_mode="winners", exact_watermarks=True)
+    r.ensure_table()
+    r.apply_batch_df(_mini_batch(spark, [
+        (0, 1, "upsert", "A", 10),
+        (0, 2, "upsert", "B", 20),
+    ]), 0)
+    assert r.watermarks() == {"0": 2}
+    # part 7 appears; its max-lsn event (C,31) loses to part 0's (C,40)
+    r.apply_batch_df(_mini_batch(spark, [
+        (7, 30, "upsert", "D", 5),
+        (7, 31, "upsert", "C", 7),
+        (0, 40, "upsert", "C", 70),
+    ]), 1)
+    assert r.watermarks() == {"0": 40, "7": 31}
+    state = {row["doc_id"]: row["n_tok"] for row in r.final_state().collect()}
+    assert state == {"A": 10, "B": 20, "C": 70, "D": 5}
