@@ -58,7 +58,8 @@ BASE_PAYLOAD_SCHEMA = T.StructType(
 # Above this many known source partitions, winners mode stops attaching
 # the per-partition observed-metrics watermark (EXACT_WM; one conditional
 # max expression per partition — the expression list itself would dominate
-# at 10^4 partitions) and falls back to the keyed-routing contract.
+# at 10^4 partitions) and pays one slim column-pruned agg job per batch
+# instead (still exact for any routing; never the keyed assumption).
 EXACT_WM_MAX_PARTS = 256
 
 # Per-mode metric semantics (stats_mode):
@@ -504,6 +505,16 @@ class IngestRunner:
                                   .agg(F.max("lsn").alias("_mx")).collect()):
                             k = str(int(r["part_id"]))
                             new_wm[k] = max(int(new_wm.get(k, -1)), int(r["_mx"]))
+                elif self.exact_watermarks:
+                    # > EXACT_WM_MAX_PARTS known partitions: the observed
+                    # expression list would dominate, so pay ONE slim
+                    # (part_id, lsn)-pruned agg per batch instead —
+                    # exactness never silently degrades to the
+                    # keyed-routing assumption
+                    for r in (raw_pre_obs.groupBy("part_id")
+                              .agg(F.max("lsn").alias("_mx")).collect()):
+                        k = str(int(r["part_id"]))
+                        new_wm[k] = max(int(new_wm.get(k, -1)), int(r["_mx"]))
                 else:
                     # keyed-routing contract: winner lsns stand in for the
                     # per-partition delivered maxes (see __init__ note)

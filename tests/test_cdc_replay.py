@@ -374,3 +374,34 @@ def test_winners_exact_watermarks_new_partition_fallback(spark, tmp_path):
     assert r.watermarks() == {"0": 40, "7": 31}
     state = {row["doc_id"]: row["n_tok"] for row in r.final_state().collect()}
     assert state == {"A": 10, "B": 20, "C": 70, "D": 5}
+
+
+def test_winners_exact_watermarks_over_partition_cap(spark, tmp_path,
+                                                     monkeypatch):
+    """With more known partitions than EXACT_WM_MAX_PARTS the observed
+    expression list is skipped, but exactness must NOT degrade to the
+    keyed-routing assumption — the slim per-batch agg takes over."""
+    from tenzir_spark.cdc import runner as runner_mod
+
+    monkeypatch.setattr(runner_mod, "EXACT_WM_MAX_PARTS", 1)
+    r = IngestRunner(spark, str(tmp_path / "wh"), n_buckets=4,
+                     stats_mode="winners", exact_watermarks=True)
+    r.ensure_table()
+    r.apply_batch_df(_mini_batch(spark, [
+        (0, 1, "upsert", "A", 10),
+        (1, 2, "upsert", "B", 20),
+    ]), 0)
+    assert r.watermarks() == {"0": 1, "1": 2}
+    # two known partitions > cap of 1 → slim-agg path; part 0's max-lsn
+    # event (A,5) loses key A to part 1's (A,10), so winner lsns would
+    # miss part 0 — the slim agg must still record it
+    r.apply_batch_df(_mini_batch(spark, [
+        (0, 5, "upsert", "A", 50),
+        (1, 10, "upsert", "A", 100),
+    ]), 1)
+    assert r.watermarks() == {"0": 5, "1": 10}
+    v = r.table.current_version()
+    r.apply_batch_df(_mini_batch(spark, [(0, 5, "upsert", "A", 50)]), 2)
+    assert r.table.current_version() == v
+    state = {row["doc_id"]: row["n_tok"] for row in r.final_state().collect()}
+    assert state == {"A": 100, "B": 20}
