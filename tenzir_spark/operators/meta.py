@@ -228,7 +228,7 @@ _PIPELINE_OPERATORS = [
     "unroll", "flatten", "unflatten", "yield", "batch", "timeshift",
     "hash", "pass", "discard", "repeat", "parse", "apply", "enrich",
     "decapsulate", "yara",
-    "lookup",
+    "lookup", "sigma", "pseudonymize", "compress", "decompress", "publish",
     "chart", "shell", "version", "local", "remote", "unordered",
 ]
 _FORMATS = [

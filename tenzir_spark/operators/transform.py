@@ -188,7 +188,9 @@ def decompress_field(df: DataFrame, field: str, codec: str = "gzip",
 
     @F.pandas_udf(T.BinaryType())
     def _decomp(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: None if v is None else fn(bytes(v)))
+        return s.map(lambda v: None if v is None else fn(
+            bytes(v) if isinstance(v, (bytes, bytearray, memoryview))
+            else str(v).encode()))
 
     return df.withColumn(out or f"{field}_raw", _decomp(F.col(field)))
 

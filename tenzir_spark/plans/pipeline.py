@@ -37,6 +37,9 @@ dedicated modules: sources/, streaming/, lake/):
     apply <file.tql>    enrich <ctx> [--field <f>] [--filter]
     lookup <ctx> --field <f>          pass    discard    repeat [n]
     chart <type> [--x <f>] [--y <f>]  shell <cmd>    version
+    sigma <rules-file|dir>            pseudonymize [--seed <s>] <f>...
+    compress <codec> [--field <f>]    decompress <codec> [--field <f>]
+    publish <warehouse>/<topic>
     local <op …>    remote <op …>     unordered <op …>
 
 :func:`run_tql_source` adds the source/sink stages:
@@ -45,6 +48,7 @@ dedicated modules: sources/, streaming/, lake/):
     from http(s)://… [read <fmt>]    | … | to http(s)://…
     from -|stdin [read <fmt>]
     export <table_root>      | … | import <table_root>
+    subscribe <warehouse>/<topic>  (publish is an operator stage)
 
 (formats: parquet json csv/tsv/ssv lines zeek-tsv feather pcap bitz)
 
@@ -595,6 +599,73 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                 rest, salt = _flag(args, "salt")
                 df = transform.hash_field(df, _one_path(schema, rest.strip()),
                                           salt=salt)
+            elif name == "sigma":
+                # `sigma <rules-file|dir>` (sigma.md: rule file or
+                # directory); several YAML documents / files run as ONE
+                # multi-rule scan (operators/sigma.py)
+                import os as _os
+
+                from tenzir_spark.operators.sigma import sigma as _sigma
+                from tenzir_spark.operators.sigma import sigma_multi
+
+                rpath = args.strip()
+                if not rpath:
+                    raise TqlError("sigma: expected a rules file")
+                if _os.path.isdir(rpath):
+                    texts = []
+                    for f_ in sorted(_os.listdir(rpath)):
+                        if f_.endswith((".yml", ".yaml")):
+                            with open(_os.path.join(rpath, f_)) as fh:
+                                texts.append(fh.read())
+                else:
+                    with open(rpath) as fh:
+                        raw = fh.read()
+                    texts = [t for t in re.split(r"(?m)^---\s*$", raw)
+                             if t.strip()]
+                if not texts:
+                    raise TqlError(f"sigma: no rules found at {rpath!r}")
+                df = (sigma_multi(df, texts) if len(texts) > 1
+                      else _sigma(df, texts[0]))
+            elif name == "pseudonymize":
+                # `pseudonymize [--method crypto-pan] [--seed <s>] <f>...`
+                # (pseudonymize.md's flags; crypto-pan is the only method
+                # the reference implements too)
+                rest, method = _flag(args, "method")
+                rest, seed = _flag(rest, "seed")
+                if method not in (None, "crypto-pan"):
+                    raise TqlError(
+                        f"pseudonymize: unknown method {method!r}")
+                flds = rest.split()
+                if not flds:
+                    raise TqlError("pseudonymize: expected a field")
+                for f_ in flds:
+                    p_ = _one_path(schema, f_)
+                    # the reference replaces the field in place
+                    df = transform.pseudonymize_ip(
+                        df, p_, seed=seed or "tenzir", out=p_)
+            elif name in ("compress", "decompress"):
+                # `compress <codec> [--field <f>]` (compress.md takes the
+                # codec positionally; here per-value on a binary column)
+                rest, fld = _flag(args, "field")
+                codec = rest.strip() or "gzip"
+                fn_ = (transform.compress_field if name == "compress"
+                       else transform.decompress_field)
+                p_ = _one_path(schema, fld or "data")
+                # the reference transforms the byte stream in place
+                df = fn_(df, p_, codec=codec, out=p_)
+            elif name == "publish":
+                # `publish <warehouse>/<topic>` — append the CURRENT
+                # pipeline state as one topic segment and pass the rows
+                # through (publish.md forwards its input). Eager by
+                # necessity: the segment is the side effect.
+                import os as _os
+
+                from tenzir_spark.operators.topics import publish as _pub
+
+                root = args.strip().rstrip("/")
+                if not root or "/" not in root:
+                    raise TqlError("publish: expected <warehouse>/<topic>")
+                _pub(df, _os.path.basename(root), _os.path.dirname(root))
             elif name in ("enrich", "lookup"):
                 if context_store is None:
                     raise TqlError(
@@ -785,6 +856,7 @@ _TO_RE = re.compile(
     r"(?:to\s+(\S+)(?:\s+write\s+(\S+))?|write\s+(\S+)\s+to\s+(\S+))\s*$")
 _EXPORT_RE = re.compile(r"export\s+(\S+)\s*$")
 _IMPORT_RE = re.compile(r"import\s+(\S+)\s*$")
+_SUBSCRIBE_RE = re.compile(r"subscribe\s+(\S+)\s*$")
 
 
 def _lake_table(root: str):
@@ -809,7 +881,19 @@ def run_tql_source(spark, text: str, order_by: str | None = None) -> DataFrame:
     head = stages[0].strip()
     m = _FROM_RE.fullmatch(head)
     em = _EXPORT_RE.fullmatch(head)
-    if m:
+    sm = _SUBSCRIBE_RE.fullmatch(head)
+    if sm:
+        # `subscribe <warehouse>/<topic>` — batch read of everything the
+        # topic holds so far (publish.md's counterpart; operators/topics)
+        import os as _os
+
+        from tenzir_spark.operators.topics import subscribe as _sub
+
+        root = sm.group(1).rstrip("/")
+        if "/" not in root:
+            raise TqlError("subscribe: expected <warehouse>/<topic>")
+        df = _sub(spark, _os.path.basename(root), _os.path.dirname(root))
+    elif m:
         path = m.group(1)
         if path.startswith(("http://", "https://")):
             from tenzir_spark.sources.http import http_load

@@ -291,3 +291,62 @@ def test_local_remote_unordered_modifiers(spark):
 
     with pytest.raises(TqlError, match="expected a wrapped operator"):
         run_tql(df, "local", order_by="event_id")
+
+
+def test_sigma_pseudonymize_codec_stages(spark, tmp_path):
+    """Late-r3 text stages: `sigma <file>` (multi-document one-scan),
+    `pseudonymize <field>`, and the compress|decompress round trip."""
+    rules = tmp_path / "rules.yml"
+    rules.write_text(
+        "title: Download\n"
+        "detection:\n"
+        "  sel:\n"
+        "    cmd|contains: 'curl'\n"
+        "  condition: sel\n"
+        "---\n"
+        "title: Shell\n"
+        "detection:\n"
+        "  sel:\n"
+        "    img|endswith: '/bash'\n"
+        "  condition: sel\n"
+    )
+    df = spark.createDataFrame(
+        [("curl http://x", "/bin/bash", "10.1.2.3"),
+         ("ls", "/bin/ls", "10.1.9.9"),
+         ("curl -s y", "/usr/bin/curl", "192.168.0.1")],
+        "cmd string, img string, ip string")
+    out = run_tql(df, f"sigma {rules}").collect()
+    tags = sorted((r["cmd"], r["sigma_tag"]) for r in out)
+    # row 1 matches BOTH rules (fan-out), row 3 matches Download only
+    assert tags == [("curl -s y", "Download"),
+                    ("curl http://x", "Download"),
+                    ("curl http://x", "Shell")]
+
+    ps = run_tql(df, "pseudonymize --seed s3cret ip").collect()
+    anon = {r["cmd"]: r["ip"] for r in ps}
+    assert anon["curl http://x"] != "10.1.2.3"
+    # prefix preservation: the two 10.1.x.x addresses share two octets
+    assert (anon["curl http://x"].split(".")[:2]
+            == anon["ls"].split(".")[:2])
+    with pytest.raises(TqlError):
+        run_tql(df, "pseudonymize --method rot13 ip")
+
+    blob = spark.createDataFrame([("abc" * 100,)], "data string")
+    rt = run_tql(blob, "compress zlib | decompress zlib").collect()
+    assert bytes(rt[0]["data"]).decode() == "abc" * 100
+
+
+def test_publish_subscribe_stages(spark, events, tmp_path):
+    """`publish <wh>/<topic>` mid-pipeline forwards rows and appends a
+    segment; `subscribe <wh>/<topic>` heads a source pipeline."""
+    from tenzir_spark.plans.pipeline import run_tql_source
+
+    wh = str(tmp_path / "wh")
+    out = run_tql(events.limit(50), f"where value > 0 | publish {wh}/hot")
+    n = out.count()
+    assert n > 0
+    got = run_tql_source(
+        spark, f"subscribe {wh}/hot | summarize n=count(.)").collect()
+    assert got[0]["n"] == n
+    with pytest.raises(TqlError):
+        run_tql_source(spark, "subscribe nopath")
