@@ -405,3 +405,58 @@ def test_winners_exact_watermarks_over_partition_cap(spark, tmp_path,
     assert r.table.current_version() == v
     state = {row["doc_id"]: row["n_tok"] for row in r.final_state().collect()}
     assert state == {"A": 100, "B": 20}
+
+
+def test_randomized_nonkeyed_stream_matches_oracle(spark, tmp_path):
+    """Adversarial sweep: a dense global WAL with random NON-KEYED
+    routing (keys straddle partitions freely), 15% deletes, random batch
+    cut points, within-batch shuffling, probabilistic full-batch
+    redeliveries and a mid-stream crash (new runner over the same
+    warehouse re-delivering its last batch). Final state must equal the
+    in-lsn-order oracle in BOTH exact configurations: full stats mode,
+    and winners mode with exact_watermarks (the non-keyed-safe variant)."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        n_events, n_parts = 600, 5
+        docs = [f"d{i}" for i in range(40)]
+        events = []
+        for lsn in range(n_events):
+            part = rng.randrange(n_parts)
+            doc = rng.choice(docs)
+            if rng.random() < 0.15:
+                events.append((part, lsn, "delete", doc, 0))
+            else:
+                events.append((part, lsn, "upsert", doc,
+                               rng.randrange(1, 500)))
+        oracle_state: dict[str, int] = {}
+        for _part, _lsn, op, doc, n in events:
+            if op == "delete":
+                oracle_state.pop(doc, None)
+            else:
+                oracle_state[doc] = n
+        cuts = sorted(rng.sample(range(1, n_events), 4))
+        batches = [events[a:b] for a, b in zip([0] + cuts, cuts + [n_events])]
+
+        for mode_kw in ({"stats_mode": "winners", "exact_watermarks": True},
+                        {"stats_mode": "full"}):
+            wh = str(tmp_path / f"wh_{seed}_{mode_kw['stats_mode']}")
+            r = IngestRunner(spark, wh, n_buckets=4, **mode_kw)
+            r.ensure_table()
+            bid = 0
+            for i, b in enumerate(batches):
+                rows = b[:]
+                rng.shuffle(rows)
+                r.apply_batch_df(_mini_batch(spark, rows), bid)
+                bid += 1
+                if rng.random() < 0.4:  # broker redelivers the batch
+                    r.apply_batch_df(_mini_batch(spark, rows), bid)
+                    bid += 1
+                if i == 2:  # crash: fresh runner, re-deliver last batch
+                    r = IngestRunner(spark, wh, n_buckets=4, **mode_kw)
+                    r.apply_batch_df(_mini_batch(spark, rows), bid)
+                    bid += 1
+            got = {row["doc_id"]: row["n_tok"]
+                   for row in r.final_state().collect()}
+            assert got == oracle_state, (seed, mode_kw)
