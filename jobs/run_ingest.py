@@ -56,6 +56,13 @@ def main() -> None:
                         "driver's footer read are then noise. On small-"
                         "payload/many-key batches full wins (A/B numbers "
                         "in BASELINE.md).")
+    p.add_argument("--exact-watermarks", action="store_true",
+                   help="with --stats-mode winners: derive per-partition "
+                        "watermarks from observed metrics riding the one "
+                        "collapse+write job (CollectMetrics) — exact for "
+                        "ANY event->partition routing, no keyed-topic "
+                        "assumption, at a measured 20-35%% steady cost "
+                        "(the barrier splits the scan's codegen span)")
     p.add_argument("--collapse-mode", default="maxby",
                    choices=["maxby", "semijoin"],
                    help="LWW collapse strategy: 'maxby' (algebraic "
@@ -114,6 +121,7 @@ def main() -> None:
         spark, args.warehouse, n_buckets=args.buckets, salt_buckets=args.salt,
         async_compact=args.async_compact, stats_mode=args.stats_mode,
         collapse_mode=args.collapse_mode,
+        exact_watermarks=args.exact_watermarks,
     )
     stats = runner.run(args.changes, start_batch=args.start_batch)
     for st in stats["batch_stats"]:
