@@ -234,14 +234,15 @@ _PIPELINE_OPERATORS = [
 _FORMATS = [
     "json", "ndjson", "csv", "tsv", "ssv", "xsv", "parquet", "feather",
     "lines", "kv", "grok", "syslog3164", "syslog5424", "cef", "leef",
-    "zeek-tsv", "yaml", "pcap", "bitz",
+    "zeek-tsv", "zeek-json", "yaml", "pcap", "bitz", "gelf", "suricata",
 ]
 _CONNECTORS = [
     # (name, loader?, saver?) — the byte-transport inventory; each maps to
     # the module named in SURVEY §2's coverage table
     ("file", True, True), ("directory", True, True), ("stdin", True, False),
-    ("tcp", True, False), ("udp", True, False), ("http", True, True),
-    ("https", True, True), ("email", False, True), ("kafka", True, False),
+    ("stdout", False, True), ("tcp", True, False), ("udp", True, False),
+    ("http", True, True), ("https", True, True), ("ftp", True, False),
+    ("email", False, True), ("kafka", True, False),
     ("sqs", True, False), ("amqp", True, False), ("zmq", True, True),
     ("s3", True, True), ("gcs", True, True), ("nic", True, False),
 ]

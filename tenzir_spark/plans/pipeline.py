@@ -810,6 +810,12 @@ def _read_source(spark, path: str, fmt: str | None) -> DataFrame:
         return fmts.read_lines(spark, path)
     if fmt in ("zeek-tsv", "zeek"):
         return fmts.read_zeek_tsv(spark, path)
+    if fmt == "gelf":
+        return fmts.read_gelf(spark, path)
+    if fmt == "suricata":
+        return fmts.read_suricata(spark, path)
+    if fmt == "zeek-json":
+        return fmts.read_zeek_json(spark, path)
     if fmt == "feather":
         from tenzir_spark.sources.feather import read_feather
 
@@ -830,6 +836,14 @@ def _write_sink(df: DataFrame, path: str, fmt: str | None) -> None:
         from tenzir_spark.sources.http import http_save
 
         http_save(df, path, fmt=fmt or "json")
+        return
+    if path in ("-", "stdout"):
+        # `to stdout` / `to -` (stdout.md): ndjson to the driver's
+        # stdout, streamed partition-by-partition (no full collect)
+        import sys
+
+        for line in df.toJSON().toLocalIterator():
+            sys.stdout.write(line + "\n")
         return
     fmt = _infer_format(path, fmt)
     if fmt == "parquet":
@@ -895,7 +909,9 @@ def run_tql_source(spark, text: str, order_by: str | None = None) -> DataFrame:
         df = _sub(spark, _os.path.basename(root), _os.path.dirname(root))
     elif m:
         path = m.group(1)
-        if path.startswith(("http://", "https://")):
+        if path.startswith(("http://", "https://", "ftp://")):
+            # ftp rides the same spool-then-distributed-parse path as
+            # http (ftp.md; urllib handles the scheme natively)
             from tenzir_spark.sources.http import http_load
 
             df = http_load(spark, path, fmt=m.group(2))

@@ -1000,6 +1000,49 @@ FROM events WHERE event_id < 2000
 """
 
 
+def q_parse_gelf(spark, sf):
+    """GELF 1.1 parse (sources/formats.py parse_gelf; gelf.md): known
+    fields to typed columns, ``_``-prefixed additional fields to a map;
+    every third message omits ``level`` to prove the spec's default-1."""
+    from tenzir_spark.sources.formats import parse_gelf
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 2000)
+    lvl = F.when(
+        F.col("event_id") % 3 == 0, F.lit("")
+    ).otherwise(F.concat(F.lit(',"level":'),
+                         (F.col("event_id") % 8).cast("string")))
+    msg = ev.select(
+        "event_id",
+        F.concat(
+            F.lit('{"version":"1.1","host":"host-'), F.col("user_id"),
+            F.lit('","short_message":"'), F.col("event_type"),
+            F.lit(' happened","timestamp":'),
+            (F.col("event_id") % 1000).cast("string"),
+            lvl,
+            F.lit(',"_app":"'), F.col("event_type"),
+            F.lit('","_seq":"'), (F.col("event_id") % 5).cast("string"),
+            F.lit('"}'),
+        ).alias("line"),
+    )
+    p = msg.select("event_id", *parse_gelf("line"))
+    return p.select(
+        "event_id", "version", "host", "short_message",
+        F.unix_timestamp("timestamp").alias("ts"),
+        "level",
+        F.col("additional")["_app"].alias("app"),
+        F.col("additional")["_seq"].alias("seq"),
+    )
+
+SQL_PARSE_GELF = """
+SELECT event_id, '1.1' AS version, 'host-' || user_id AS host,
+       event_type || ' happened' AS short_message,
+       (event_id % 1000) AS ts,
+       CASE WHEN event_id % 3 = 0 THEN 1 ELSE (event_id % 8) END AS level,
+       event_type AS app, CAST(event_id % 5 AS VARCHAR) AS seq
+FROM events WHERE event_id < 2000
+"""
+
+
 def q_parse_cef(spark, sf):
     from tenzir_spark.sources.formats import parse_cef
 
@@ -1722,6 +1765,7 @@ REGISTRY: dict[str, tuple] = {
     "yara_text_rules": (q_yara_text, SQL_YARA_TEXT),
     "pcap_decapsulate": (q_pcap_decapsulate, SQL_PCAP_DECAP),
     "bitz_roundtrip": (q_bitz_roundtrip, SQL_BITZ_ROUNDTRIP),
+    "parse_gelf": (q_parse_gelf, SQL_PARSE_GELF),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.

@@ -272,3 +272,70 @@ def parse_leef(col: Column | str, delim: str = r"\t") -> list[Column]:
     out = [parts.getItem(i).alias(n) for i, n in enumerate(names)]
     out.append(F.str_to_map(parts.getItem(5), F.lit(delim), F.lit("=")).alias("attributes"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# gelf / suricata / zeek-json (web/docs/formats/{gelf,suricata,zeek-json}.md)
+# ---------------------------------------------------------------------------
+
+_GELF_KNOWN = ("version string, host string, short_message string, "
+               "full_message string, timestamp double, level int, "
+               "facility string, line bigint, file string")
+
+
+def parse_gelf(col: Column | str) -> list[Column]:
+    """GELF 1.1 (gelf.md; public Graylog spec): the spec's named fields
+    become typed columns (``level`` defaults to 1 per the spec), and the
+    user-defined ``_``-prefixed additional fields land in an
+    ``additional`` map — two ``from_json`` passes over the same string,
+    both Catalyst-native (struct for the known shape, open string map
+    filtered to ``_`` keys for the rest)."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.from_json(c, _GELF_KNOWN)
+    extras = F.map_filter(
+        F.from_json(c, "map<string,string>"),
+        lambda k, _v: k.startswith("_"),
+    )
+    return [
+        s["version"].alias("version"),
+        s["host"].alias("host"),
+        s["short_message"].alias("short_message"),
+        s["full_message"].alias("full_message"),
+        F.timestamp_seconds(s["timestamp"]).alias("timestamp"),
+        F.coalesce(s["level"], F.lit(1)).alias("level"),
+        extras.alias("additional"),
+    ]
+
+
+def read_gelf(spark: SparkSession, path: str) -> DataFrame:
+    """``read gelf`` — a stream of JSON records separated by ``\\0``
+    bytes (gelf.md: "Tenzir parses GELF as a stream of JSON records
+    separated by a \\0 byte"; lone unframed messages parse too, since a
+    separator-free file is one record). Chunked-mode datagrams are not
+    supported, matching the reference."""
+    raw = spark.read.option("lineSep", "\x00").text(path)
+    return (
+        raw.filter(F.trim(F.col("value")) != "")
+        .select(*parse_gelf(F.col("value")))
+    )
+
+
+def read_suricata(spark: SparkSession, path: str) -> DataFrame:
+    """``read suricata`` — EVE JSON; per suricata.md this is exactly
+    ``json --ndjson --selector=event_type:suricata``, so the schema name
+    is derived from the ``event_type`` field into ``_schema``."""
+    df = spark.read.json(path)
+    return df.withColumn(
+        "_schema", F.concat(F.lit("suricata."), F.col("event_type")))
+
+
+def read_zeek_json(spark: SparkSession, path: str) -> DataFrame:
+    """``read zeek-json`` — per zeek-json.md an alias for ``json
+    --ndjson --selector=_path:zeek --unnest-separator="."``: dotted keys
+    (``id.orig_h``) rebuild into nested records via the shared unflatten
+    operator, and ``_schema`` carries ``zeek.<_path>``."""
+    from tenzir_spark.operators.structural import unflatten
+
+    df = spark.read.json(path)
+    df = df.withColumn("_schema", F.concat(F.lit("zeek."), F.col("_path")))
+    return unflatten(df.drop("_path"))

@@ -209,3 +209,64 @@ def test_grok_expansion_and_parse(spark):
     with _pytest.raises(KeyError):
         expand("%{NO_SUCH_PATTERN:x}")
     assert "TIMESTAMP_ISO8601" in PATTERNS and "LOGLEVEL" in PATTERNS
+
+
+def test_read_gelf_nul_separated(spark, tmp_path):
+    """gelf.md: JSON records separated by \\0 bytes; a lone unframed
+    message also parses; missing level defaults to 1; `_` additional
+    fields land in the map."""
+    from tenzir_spark.sources.formats import read_gelf
+
+    msgs = [
+        '{"version":"1.1","host":"a","short_message":"m1","timestamp":7,'
+        '"level":3,"_app":"web"}',
+        '{"version":"1.1","host":"b","short_message":"m2","_seq":"9"}',
+    ]
+    p = tmp_path / "x.gelf"
+    p.write_bytes("\x00".join(msgs).encode())
+    rows = {r["host"]: r for r in read_gelf(spark, str(p)).collect()}
+    assert rows["a"]["level"] == 3 and rows["a"]["additional"]["_app"] == "web"
+    assert rows["b"]["level"] == 1 and rows["b"]["additional"]["_seq"] == "9"
+    assert rows["b"]["full_message"] is None
+    # unframed single message
+    p2 = tmp_path / "one.gelf"
+    p2.write_bytes(msgs[0].encode())
+    assert read_gelf(spark, str(p2)).count() == 1
+
+
+def test_read_suricata_and_zeek_json(spark, tmp_path):
+    """suricata = ndjson + event_type schema selector; zeek-json = ndjson
+    + _path selector + '.'-unnest into nested records."""
+    from tenzir_spark.sources.formats import read_suricata, read_zeek_json
+
+    eve = tmp_path / "eve.json"
+    eve.write_text(
+        '{"event_type":"alert","src_ip":"10.0.0.1","alert":{"severity":2}}\n'
+        '{"event_type":"dns","src_ip":"10.0.0.2","dns":{"rrname":"x.org"}}\n')
+    sur = read_suricata(spark, str(eve))
+    got = {r["_schema"]: r["src_ip"] for r in sur.collect()}
+    assert got == {"suricata.alert": "10.0.0.1", "suricata.dns": "10.0.0.2"}
+
+    zlog = tmp_path / "conn.log"
+    zlog.write_text(
+        '{"_path":"conn","ts":1.5,"id.orig_h":"10.0.0.9","id.resp_p":443}\n')
+    z = read_zeek_json(spark, str(zlog)).collect()[0]
+    assert z["_schema"] == "zeek.conn"
+    assert z["id"]["orig_h"] == "10.0.0.9" and z["id"]["resp_p"] == 443
+
+
+def test_pipeline_gelf_and_stdout_sink(spark, tmp_path, capsys):
+    """`from <f> read gelf | … | to stdout` end-to-end through the text
+    front-end."""
+    import json as _json
+
+    from tenzir_spark.plans.pipeline import run_tql_source
+
+    p = tmp_path / "x.gelf"
+    p.write_bytes(
+        b'{"version":"1.1","host":"a","short_message":"m","level":5}\x00'
+        b'{"version":"1.1","host":"b","short_message":"n","level":2}')
+    run_tql_source(
+        spark, f"from {p} read gelf | where level > 3 | select host | to stdout")
+    out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert [_json.loads(l) for l in out] == [{"host": "a"}]
