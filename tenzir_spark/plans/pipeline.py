@@ -33,7 +33,7 @@ dedicated modules: sources/, streaming/, lake/):
     measure     unroll <f>    flatten    unflatten    yield <a.b[].c>
     decapsulate [<data-col>]          yara <rules-file> [--field <col>]
     hash <f> [--salt=<s>]    batch [n]    timeshift <f> [<start>]
-    parse <f> kv|json|grok|syslog3164|syslog5424|cef|leef ["<arg>"]
+    parse <f> kv|json|grok|syslog3164|syslog5424|cef|leef|gelf ["<arg>"]
     apply <file.tql>    enrich <ctx> [--field <f>] [--filter]
     lookup <ctx> --field <f>          pass    discard    repeat [n]
     chart <type> [--x <f>] [--y <f>]  shell <cmd>    version
@@ -519,7 +519,8 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                     from tenzir_spark.sources.grok import parse_grok
 
                     df = parse_grok(df, fld, parg)
-                elif parser in ("syslog3164", "syslog5424", "cef", "leef"):
+                elif parser in ("syslog3164", "syslog5424", "cef", "leef",
+                                "gelf"):
                     from tenzir_spark.sources import formats as fmt
 
                     cols = {
@@ -527,12 +528,13 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                         "syslog5424": fmt.parse_syslog5424,
                         "cef": fmt.parse_cef,
                         "leef": fmt.parse_leef,
+                        "gelf": fmt.parse_gelf,
                     }[parser](fld)
                     df = df.select("*", *cols)
                 else:
                     raise TqlError(
                         f"unknown parser {parser!r} (kv|json|grok|"
-                        f"syslog3164|syslog5424|cef|leef)")
+                        f"syslog3164|syslog5424|cef|leef|gelf)")
             elif name in ("top", "rare"):
                 rest, cf = _flag(args, "count-field")
                 rest2, cf2 = _flag(rest, "c")
