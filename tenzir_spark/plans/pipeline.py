@@ -50,7 +50,8 @@ dedicated modules: sources/, streaming/, lake/):
     export <table_root>      | … | import <table_root>
     subscribe <warehouse>/<topic>  (publish is an operator stage)
 
-(formats: parquet json csv/tsv/ssv lines zeek-tsv feather pcap bitz)
+(formats: parquet json csv/tsv/ssv lines zeek-tsv feather pcap bitz
+ msgpack fluentbit/fwd — fluent forward-protocol chunk files)
 
 Value expressions (<vexpr>) support literals, field refs, arithmetic
 (+ - * / %), parentheses and a function whitelist (round abs length lower
@@ -778,7 +779,7 @@ _EXT_FORMAT = {
     "parquet": "parquet", "json": "json", "ndjson": "json", "jsonl": "json",
     "csv": "csv", "tsv": "tsv", "ssv": "ssv", "txt": "lines",
     "log": "lines", "feather": "feather", "arrow": "feather",
-    "pcap": "pcap", "bitz": "bitz",
+    "pcap": "pcap", "bitz": "bitz", "msgpack": "msgpack", "fwd": "fluentbit",
 }
 
 
@@ -830,6 +831,14 @@ def _read_source(spark, path: str, fmt: str | None) -> DataFrame:
         from tenzir_spark.sources.bitz import read_bitz
 
         return read_bitz(spark, path)
+    if fmt == "msgpack":
+        from tenzir_spark.sources.msgpack import read_msgpack
+
+        return read_msgpack(spark, path)
+    if fmt in ("fluentbit", "fluent-bit", "forward"):
+        from tenzir_spark.sources.fluentbit import read_forward
+
+        return read_forward(spark, path)
     raise TqlError(f"unknown read format {fmt!r}")
 
 
@@ -863,6 +872,14 @@ def _write_sink(df: DataFrame, path: str, fmt: str | None) -> None:
         from tenzir_spark.sources.bitz import write_bitz
 
         write_bitz(df, path)
+    elif fmt == "msgpack":
+        from tenzir_spark.sources.msgpack import write_msgpack
+
+        write_msgpack(df, path)
+    elif fmt in ("fluentbit", "fluent-bit", "forward"):
+        from tenzir_spark.sources.fluentbit import write_forward
+
+        write_forward(df, path)
     else:
         raise TqlError(f"unknown write format {fmt!r}")
 
@@ -884,7 +901,8 @@ def _lake_table(root: str):
     return LakeTable(os.path.dirname(root), os.path.basename(root))
 
 
-def run_tql_source(spark, text: str, order_by: str | None = None) -> DataFrame:
+def run_tql_source(spark, text: str, order_by: str | None = None,
+                   source_df: DataFrame | None = None) -> DataFrame:
     """End-to-end textual pipeline with source and optional sink stages:
 
         from <path> [read <format>] | <operators…> [| to <path> [write <fmt>]]
@@ -892,13 +910,19 @@ def run_tql_source(spark, text: str, order_by: str | None = None) -> DataFrame:
     The `from` stage resolves connector+format (extension-inferred when
     `read` is omitted, json default — from.md); a trailing `to`/`write …
     to` stage EXECUTES the write (the sink side-effect) and the written
-    DataFrame is returned either way for inspection/chaining."""
+    DataFrame is returned either way for inspection/chaining.
+    ``source_df`` supplies the input DataFrame instead of a `from`/
+    `export` head — the programmatic analogue of piping events in."""
     stages = split_pipeline(text)
     head = stages[0].strip()
     m = _FROM_RE.fullmatch(head)
     em = _EXPORT_RE.fullmatch(head)
     sm = _SUBSCRIBE_RE.fullmatch(head)
-    if sm:
+    if source_df is not None and not (m or em or sm):
+        df = source_df
+        stages = ["__source__", *stages]  # operator stages start at [1]
+        m = em = sm = None
+    elif sm:
         # `subscribe <warehouse>/<topic>` — batch read of everything the
         # topic holds so far (publish.md's counterpart; operators/topics)
         import os as _os

@@ -1643,6 +1643,57 @@ GROUP BY event_type
 """
 
 
+def q_fluentbit_forward(spark, sf):
+    """Fluent Forward protocol round trip, oracle-exact: events rows are
+    framed as spec PackedForward chunks with EventTime ext timestamps
+    (sources/fluentbit.py; public fluentd forward spec v1 — the
+    reference's fluent-bit plugin speaks the same msgpack event pairs,
+    plugins/fluent-bit/src/plugin.cpp:85-141), read back through the
+    distributed binaryFile+mapInPandas decoder, and aggregated. min/max
+    epoch-MICROS prove the EventTime nanosecond field survives framing;
+    the oracle recomputes the aggregate from the source table directly."""
+    import os
+    import shutil
+    import tempfile
+
+    from tenzir_spark.sources.fluentbit import read_forward, write_forward
+
+    src = (
+        load(spark, sf, "events").filter(F.col("event_id") < 20000)
+        .select("event_id", "ts", "event_type", "user_id")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"tenzir_spark_fwd_{os.path.basename(sf.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_forward(src.repartition(4), path, tag="events", time_col="ts",
+                  mode="packed", compress=True)
+    back = read_forward(
+        spark, path, "event_id long, event_type string, user_id long")
+    return (
+        back.filter(F.col("tag") == "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("sum_id"),
+            F.min(F.unix_micros("time")).alias("min_t"),
+            F.max(F.unix_micros("time")).alias("max_t"),
+            F.sum("user_id").alias("sum_user"),
+        )
+    )
+
+SQL_FLUENTBIT_FORWARD = """
+SELECT event_type,
+       count(*) AS n,
+       sum(event_id) AS sum_id,
+       min(epoch_us(ts)) AS min_t,
+       max(epoch_us(ts)) AS max_t,
+       sum(user_id) AS sum_user
+FROM events WHERE event_id < 20000
+GROUP BY event_type
+"""
+
+
 def q_yara_text(spark, sf):
     """YARA-subset matching over documents (operators/yara.py — text +
     regex strings, condition algebra, N rules ONE scan). The compiled
@@ -1766,6 +1817,7 @@ REGISTRY: dict[str, tuple] = {
     "pcap_decapsulate": (q_pcap_decapsulate, SQL_PCAP_DECAP),
     "bitz_roundtrip": (q_bitz_roundtrip, SQL_BITZ_ROUNDTRIP),
     "parse_gelf": (q_parse_gelf, SQL_PARSE_GELF),
+    "fluentbit_forward": (q_fluentbit_forward, SQL_FLUENTBIT_FORWARD),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.

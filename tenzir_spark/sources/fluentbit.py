@@ -1,0 +1,321 @@
+"""Fluent Bit / Fluentd integration via the public **Forward protocol**
+(fluentd forward protocol spec v1; msgpack on the wire).
+
+The reference's fluent-bit plugin embeds libfluent-bit in-process and
+exchanges msgpack ``[timestamp, record]`` event pairs
+(plugins/fluent-bit/src/plugin.cpp:85-141 — "format msgpack" lib input,
+msgpack_object visitors). Embedding an external daemon is out of scope
+in this engine; the Spark-first re-expression speaks the same public
+wire contract every fluent agent ships with — ``out_forward`` /
+``in_forward`` — so a real Fluent Bit pointed at
+``forward_listen``'s socket (or writing chunk files) lands here without
+any plugin code. All three spec event modes are handled:
+
+    Message:        [tag, time, record, option?]
+    Forward:        [tag, [[time, record], ...], option?]
+    PackedForward:  [tag, <bin: concatenated msgpack entries>, option?]
+                    (CompressedPackedForward when option compressed=gzip)
+
+``time`` is either a plain integer (seconds) or the spec's EventTime ext
+(type 0, u32 sec + u32 nanosec). Chunk acknowledgement (option
+``chunk`` => respond ``{"ack": chunk}``) is implemented on the listener,
+matching the at-least-once delivery handshake of the spec.
+
+Scale shape: files (or accepted connections) are the unit of
+parallelism — ``binaryFile`` scan + per-file decode in ``mapInPandas``,
+like the bitz/feather wire formats. Decoding a self-describing msgpack
+stream is per-value Python by nature; it runs on executors, never on
+the driver, and rows are handed back to Spark as Arrow batches.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from tenzir_spark.sources.msgpack import (
+    Ext,
+    MsgpackError,
+    pack,
+    unpack_all,
+    unpack_from,
+)
+
+_EVENT_TIME = struct.Struct(">II")
+
+
+def event_time(sec: int, nsec: int = 0) -> Ext:
+    """The spec's EventTime ext value (type 0, u32 sec + u32 nsec)."""
+    return Ext(0, _EVENT_TIME.pack(sec, nsec))
+
+
+def _time_to_ns(t) -> int:
+    """Decode a forward-protocol time (int seconds | EventTime ext) to
+    epoch nanoseconds."""
+    if isinstance(t, Ext):
+        if t.code != 0 or len(t.data) != 8:
+            raise MsgpackError(f"unknown time ext type {t.code}")
+        sec, nsec = _EVENT_TIME.unpack(t.data)
+        return sec * 1_000_000_000 + nsec
+    if isinstance(t, int):
+        return t * 1_000_000_000
+    if isinstance(t, float):
+        return int(t * 1e9)
+    raise MsgpackError(f"bad forward time value {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# frame encode / decode (shared by file and socket paths)
+# ---------------------------------------------------------------------------
+
+
+def encode_forward_frame(tag: str, entries: list[tuple[int, dict]],
+                         mode: str = "forward",
+                         compress: bool = False) -> bytes:
+    """Encode ``entries`` (epoch-ns, record) as one spec frame."""
+    ents = [[event_time(ns // 1_000_000_000, ns % 1_000_000_000), rec]
+            for ns, rec in entries]
+    if mode == "message":
+        return b"".join(pack([tag, t, r]) for t, r in ents)
+    if mode == "forward":
+        return pack([tag, ents, {"size": len(ents)}])
+    if mode == "packed":
+        blob = b"".join(pack(e) for e in ents)
+        opt = {"size": len(ents)}
+        if compress:
+            blob = gzip.compress(blob, mtime=0)
+            opt["compressed"] = "gzip"
+        return pack([tag, blob, opt])
+    raise ValueError(f"unknown forward mode {mode!r}")
+
+
+def decode_forward(blob: bytes) -> list[tuple[str, int, dict]]:
+    """Decode a byte stream of forward frames to (tag, epoch_ns, record)
+    tuples; mode is detected per frame from the second element's type,
+    exactly as the spec prescribes for in_forward."""
+    out: list[tuple[str, int, dict]] = []
+    for frame in unpack_all(blob):
+        if not isinstance(frame, list) or len(frame) < 2:
+            raise MsgpackError(f"bad forward frame {type(frame).__name__}")
+        tag, second = frame[0], frame[1]
+        if isinstance(second, list):  # Forward mode
+            for t, rec in second:
+                out.append((tag, _time_to_ns(t), rec))
+        elif isinstance(second, bytes):  # (Compressed)PackedForward
+            opt = frame[2] if len(frame) > 2 and isinstance(
+                frame[2], dict) else {}
+            if opt.get("compressed") == "gzip" or second[:2] == b"\x1f\x8b":
+                second = gzip.decompress(second)
+            for ent in unpack_all(second):
+                t, rec = ent
+                out.append((tag, _time_to_ns(t), rec))
+        else:  # Message mode: [tag, time, record, option?]
+            out.append((tag, _time_to_ns(second), frame[2]))
+    return out
+
+
+def _records_frame(tags, times_ns, recs, names):
+    cols = {"tag": list(tags)}
+    cols["time"] = pd.to_datetime(pd.Series(times_ns, dtype="int64"))
+    for n in names:
+        cols[n] = [r.get(n) for r in recs]
+    return pd.DataFrame(cols)
+
+
+# ---------------------------------------------------------------------------
+# file writer / reader (chunk files, e.g. out_forward secondary buffers)
+# ---------------------------------------------------------------------------
+
+
+def write_forward(df, path: str, tag: str = "tenzir", time_col=None,
+                  mode: str = "forward", compress: bool = False) -> list[str]:
+    """Write ``df`` as forward-protocol chunk files: one file per
+    executor partition, one frame per Arrow batch. ``time_col`` (a
+    timestamp column name) becomes the per-event EventTime; epoch 0 when
+    omitted. Returns written file names."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    data_cols = None
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import uuid
+
+        fn = fh = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cols = [c for c in pdf.columns if c != time_col]
+            if time_col is not None:
+                ns = pdf[time_col].astype("int64").tolist()
+            else:
+                ns = [0] * len(pdf)
+            recs = pdf[cols].to_dict("records")
+            recs = [{k: _plain(v) for k, v in r.items()} for r in recs]
+            if fh is None:
+                fn = f"{path}/part-{uuid.uuid4().hex}.fwd"
+                fh = open(fn, "wb")
+            fh.write(encode_forward_frame(
+                tag, list(zip(ns, recs)), mode=mode, compress=compress))
+        if fh is not None:
+            fh.close()
+            yield pd.DataFrame({"file": [fn]})
+
+    del data_cols
+    return [r["file"] for r in df.mapInPandas(_write, "file string").collect()]
+
+
+def _plain(v):
+    """numpy scalar -> plain python for the msgpack encoder; NaN/NaT -> nil."""
+    if v is None or v != v:  # NaN-safe
+        return None
+    if hasattr(v, "item"):
+        return v.item()
+    return v
+
+
+def read_forward(spark, path: str, schema=None):
+    """Distributed read of forward chunk files: columns ``tag string,
+    time timestamp`` plus the record fields. ``schema`` (DDL or
+    StructType) covers the record fields only; inferred from the first
+    record of the first file when omitted."""
+    import glob as _glob
+
+    from pyspark.sql import types as T
+
+    from tenzir_spark.sources.msgpack import _py_to_spark_type
+
+    if schema is None:
+        files = sorted(_glob.glob(f"{path}/*.fwd")) or [path]
+        with open(files[0], "rb") as fh:
+            probe = decode_forward(_first_frame_bytes(fh.read()))
+        if not probe:
+            raise MsgpackError("cannot infer schema from empty forward file")
+        rec = probe[0][2]
+        schema = T.StructType(
+            [T.StructField(k, _py_to_spark_type(v)) for k, v in rec.items()])
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    names = [f.name for f in schema.fields]
+    full = T.StructType(
+        [T.StructField("tag", T.StringType()),
+         T.StructField("time", T.TimestampType()), *schema.fields])
+
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.fwd" if not path.endswith(".fwd") else "*")
+        .load(path).select("content"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["content"]:
+                evs = decode_forward(bytes(blob))
+                if evs:
+                    tags, ns, recs = zip(*evs)
+                    yield _records_frame(tags, ns, recs, names)
+
+    return binary.mapInPandas(decode, full)
+
+
+def _first_frame_bytes(blob: bytes) -> bytes:
+    _, end = unpack_from(blob, 0)
+    return blob[:end]
+
+
+# ---------------------------------------------------------------------------
+# socket listener (in_forward), with chunk acknowledgement
+# ---------------------------------------------------------------------------
+
+
+def forward_listen(spark, host: str = "127.0.0.1", port: int = 0,
+                   max_events: int | None = None, timeout_sec: float = 30.0,
+                   ready=None, schema=None):
+    """``in_forward``-style bounded TCP listener: accept connections,
+    decode forward frames, ACK chunked frames (option ``chunk`` =>
+    ``{"ack": chunk}`` response per the spec's at-least-once handshake),
+    and hand the events to Spark. Batch flavor like host.tcp_listen —
+    collect until ``max_events``/``timeout_sec``, then one
+    ``createDataFrame``; for a continuous feed, point the agent at chunk
+    files and use the streaming file source over :func:`read_forward`."""
+    import socket
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from tenzir_spark.sources.msgpack import _py_to_spark_type
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, port))
+    srv.listen(8)
+    srv.settimeout(timeout_sec)
+    if ready is not None:
+        ready(srv.getsockname()[1])
+    events: list[tuple[str, int, dict]] = []
+    deadline = _time.monotonic() + timeout_sec
+    try:
+        while (max_events is None or len(events) < max_events) \
+                and _time.monotonic() < deadline:
+            try:
+                conn, _addr = srv.accept()
+            except socket.timeout:
+                break
+            with conn:
+                conn.settimeout(timeout_sec)
+                buf = b""
+                while True:
+                    try:
+                        chunk = conn.recv(1 << 16)
+                    except socket.timeout:
+                        break
+                    if not chunk:
+                        break
+                    buf += chunk
+                    buf = _drain(buf, events, conn)
+                _drain(buf, events, conn, final=True)
+    finally:
+        srv.close()
+
+    if schema is None:
+        if not events:
+            schema = T.StructType([])
+        else:
+            rec = events[0][2]
+            schema = T.StructType([
+                T.StructField(k, _py_to_spark_type(v))
+                for k, v in rec.items()])
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    names = [f.name for f in schema.fields]
+    full = T.StructType(
+        [T.StructField("tag", T.StringType()),
+         T.StructField("time", T.TimestampType()), *schema.fields])
+    if not events:
+        return spark.createDataFrame([], full)
+    tags, ns, recs = zip(*events)
+    return spark.createDataFrame(_records_frame(tags, ns, recs, names), full)
+
+
+def _drain(buf: bytes, events: list, conn, final: bool = False) -> bytes:
+    """Decode complete frames from ``buf``; ACK chunked ones; return the
+    undecoded tail."""
+    pos = 0
+    while pos < len(buf):
+        try:
+            frame, end = unpack_from(buf, pos)
+        except MsgpackError:
+            if final:
+                raise
+            break  # partial frame — wait for more bytes
+        events.extend(decode_forward(buf[pos:end]))
+        if (isinstance(frame, list) and len(frame) > 2
+                and isinstance(frame[-1], dict) and "chunk" in frame[-1]):
+            try:
+                conn.sendall(pack({"ack": frame[-1]["chunk"]}))
+            except OSError:
+                pass
+        pos = end
+    return buf[pos:]
