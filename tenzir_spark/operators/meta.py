@@ -230,11 +230,13 @@ _PIPELINE_OPERATORS = [
     "decapsulate", "yara",
     "lookup", "sigma", "pseudonymize", "compress", "decompress", "publish",
     "chart", "shell", "version", "local", "remote", "unordered",
+    "every", "cron",
 ]
 _FORMATS = [
     "json", "ndjson", "csv", "tsv", "ssv", "xsv", "parquet", "feather",
     "lines", "kv", "grok", "syslog3164", "syslog5424", "cef", "leef",
     "zeek-tsv", "zeek-json", "yaml", "pcap", "bitz", "gelf", "suricata",
+    "msgpack", "fluentbit",
 ]
 _CONNECTORS = [
     # (name, loader?, saver?) — the byte-transport inventory; each maps to
@@ -245,6 +247,7 @@ _CONNECTORS = [
     ("email", False, True), ("kafka", True, False),
     ("sqs", True, False), ("amqp", True, False), ("zmq", True, True),
     ("s3", True, True), ("gcs", True, True), ("nic", True, False),
+    ("fluentbit", True, True),
 ]
 
 

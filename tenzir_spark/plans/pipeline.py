@@ -49,6 +49,8 @@ dedicated modules: sources/, streaming/, lake/):
     from -|stdin [read <fmt>]
     export <table_root>      | … | import <table_root>
     subscribe <warehouse>/<topic>  (publish is an operator stage)
+    every <interval> <pipeline>    cron "<expr>" <pipeline>
+      (run_tql_every — scheduled re-execution, injectable clock)
 
 (formats: parquet json csv/tsv/ssv lines zeek-tsv feather pcap bitz
  msgpack fluentbit/fwd — fluent forward-protocol chunk files)
@@ -731,6 +733,11 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                 n = int(args) if args.strip() else 1
                 rep = df.sparkSession.range(n).select(F.lit(1).alias("_rep"))
                 df = df.crossJoin(rep).drop("_rep")
+            elif name in ("every", "cron"):
+                # source modifiers, not stream stages (operator-modifiers.md)
+                raise TqlError(
+                    f"{name} is a source modifier — put it before the "
+                    "source stage and run via run_tql_every()")
             else:
                 raise TqlError(f"unknown operator {name!r}")
         except TqlError:
@@ -993,3 +1000,82 @@ def run_tql_source(spark, text: str, order_by: str | None = None,
         t = _lake_table(sink[1])
         t.append(df, t.snapshot().get("key", "doc_id"))
     return df
+
+
+# ---------------------------------------------------------------------------
+# `every <interval>` / `cron "<expr>"` scheduled pipelines
+# ---------------------------------------------------------------------------
+
+_DURATION_RE = re.compile(
+    r"(\d+(?:\.\d+)?)\s*(ms|us|s|sec|m|min|h|d)(?![A-Za-z])")
+
+_DUR_SECONDS = {"us": 1e-6, "ms": 1e-3, "s": 1, "sec": 1, "m": 60,
+                "min": 60, "h": 3600, "d": 86400}
+
+
+def parse_duration(text: str):
+    """``10s`` / ``1.5min`` / ``2h30m`` → timedelta (the reference's
+    duration literal grammar, e.g. every_cron.cpp's `every 10s`)."""
+    from datetime import timedelta
+
+    total, pos = 0.0, 0
+    t = text.strip()
+    while pos < len(t):
+        m2 = _DURATION_RE.match(t, pos)
+        if not m2:
+            raise TqlError(f"bad duration {text!r}")
+        total += float(m2.group(1)) * _DUR_SECONDS[m2.group(2)]
+        pos = m2.end()
+        while pos < len(t) and t[pos] == " ":
+            pos += 1
+    if total <= 0:
+        raise TqlError(f"duration must be positive: {text!r}")
+    return timedelta(seconds=total)
+
+
+_EVERY_RE = re.compile(r'(every)\s+(\S+)\s+(.*)$|(cron)\s+"([^"]+)"\s+(.*)$',
+                       re.DOTALL)
+
+
+def run_tql_every(spark, text: str, *, n_runs: int, order_by=None,
+                  source_df=None, now_fn=None, sleep_fn=None) -> list:
+    """Scheduled pipeline execution — the reference's `every`/`cron`
+    source modifiers (every_cron.cpp:265-360; operator-modifiers.md):
+
+        every 10s from http://feed read json | …
+        cron "0 */5 * * * *" from s3://bucket/file | …
+
+    Runs the remaining pipeline once per fire (every: immediate first
+    run; cron: waits for the first match, matching the reference), up to
+    ``n_runs`` times; returns the per-run result DataFrames.
+    ``now_fn``/``sleep_fn`` inject a fake clock for tests — the trigger
+    loop is streaming/schedule.run_scheduled."""
+    from datetime import datetime as _dt
+
+    from tenzir_spark.streaming.schedule import (
+        CronScheduler,
+        EveryScheduler,
+        run_scheduled,
+    )
+
+    m2 = _EVERY_RE.match(text.strip())
+    if not m2:
+        raise TqlError(
+            'expected `every <interval> <pipeline>` or `cron "<expr>" <pipeline>`')
+    if m2.group(1) == "every":
+        sched = EveryScheduler(parse_duration(m2.group(2)))
+        rest = m2.group(3)
+    else:
+        sched = CronScheduler.parse(m2.group(5))
+        rest = m2.group(6)
+
+    results = []
+
+    def fire():
+        results.append(run_tql_source(
+            spark, rest, order_by=order_by, source_df=source_df))
+
+    run_scheduled(fire, sched, n_runs=n_runs,
+                  now_fn=now_fn or _dt.now,
+                  sleep_fn=sleep_fn)
+    return results

@@ -350,3 +350,50 @@ def test_publish_subscribe_stages(spark, events, tmp_path):
     assert got[0]["n"] == n
     with pytest.raises(TqlError):
         run_tql_source(spark, "subscribe nopath")
+
+
+def test_run_tql_every_and_cron(spark, tmp_path):
+    """`every`/`cron` source modifiers in pipeline text: scheduled
+    re-execution of the remaining pipeline on a fake clock."""
+    import json
+    from datetime import datetime, timedelta
+
+    from tenzir_spark.plans.pipeline import (
+        TqlError,
+        parse_duration,
+        run_tql_every,
+    )
+
+    assert parse_duration("10s").total_seconds() == 10
+    assert parse_duration("1.5min").total_seconds() == 90
+    assert parse_duration("2h30m").total_seconds() == 9000
+    assert parse_duration("250ms").total_seconds() == 0.25
+    with pytest.raises(TqlError):
+        parse_duration("soon")
+
+    p = tmp_path / "ev.json"
+    p.write_text("\n".join(json.dumps({"k": i, "v": i * 10})
+                           for i in range(20)))
+    clock = {"now": datetime(2024, 1, 1, 0, 0, 0)}
+
+    def sleep_fn(s):
+        clock["now"] += timedelta(seconds=s)
+
+    results = run_tql_every(
+        spark, f"every 30s from {p} read json | where k >= 10 | select k, v",
+        n_runs=3, now_fn=lambda: clock["now"], sleep_fn=sleep_fn)
+    assert len(results) == 3
+    assert all(r.count() == 10 for r in results)
+    # every = immediate first run: clock advanced 2 intervals, not 3
+    assert clock["now"] == datetime(2024, 1, 1, 0, 1, 0)
+
+    clock["now"] = datetime(2024, 1, 1, 0, 0, 1)
+    results = run_tql_every(
+        spark, f'cron "0 */2 * * * *" from {p} read json | head 5',
+        n_runs=2, now_fn=lambda: clock["now"], sleep_fn=sleep_fn)
+    assert len(results) == 2 and all(r.count() == 5 for r in results)
+    # cron waits for the first match: fires at :02:00 and :04:00
+    assert clock["now"] == datetime(2024, 1, 1, 0, 4, 0)
+
+    with pytest.raises(TqlError):
+        run_tql_every(spark, "from x | pass", n_runs=1)
