@@ -46,9 +46,48 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+def _box_health() -> dict:
+    """~4 s calibration probe, reported alongside the numbers: this
+    sandbox VM's performance is NOT stable across boots or minutes —
+    measured on 2026-08-17: concurrent tmpfs write throughput oscillating
+    between 0.1 and 40 GB/s aggregate and anonymous first-touch faults
+    between 45 and 560 MB/s, with guest-side idle CPU, zero steal, zero
+    reclaim (host-side interference). These fields let a reader normalize
+    BENCH numbers across rounds instead of mis-reading host noise as a
+    code regression."""
+    import mmap
+    import multiprocessing as mp
+    import time
+
+    t0 = time.monotonic()
+    m = mmap.mmap(-1, 1 << 28)
+    m.write(b"\0" * (1 << 28))
+    fault_mbs = round(256 / (time.monotonic() - t0))
+    m.close()
+
+    tmpfs_gbs = None
+    if os.path.isdir("/dev/shm"):
+        with mp.Pool(16) as p:
+            tmpfs_gbs = round(sum(p.map(_probe_write, range(16))), 1)
+    return {"box_fault_mbs": fault_mbs, "box_tmpfs_gbs": tmpfs_gbs}
+
+
+def _probe_write(i: int) -> float:
+    import time
+
+    buf = b"x" * (1 << 20)
+    t0 = time.monotonic()
+    with open(f"/dev/shm/bench_probe_{i}", "wb") as f:
+        for _ in range(128):
+            f.write(buf)
+    os.unlink(f"/dev/shm/bench_probe_{i}")
+    return 0.125 / (time.monotonic() - t0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    health = _box_health()
 
     from tenzir_spark.session import get_spark
     from tenzir_spark.queries import queries
@@ -164,6 +203,14 @@ def main() -> None:
             ev = sum(b["events_in"] for b in steady)
             sec = sum(b["wall_ms"] for b in steady) / 1000
             extra["cdc_steady_events_per_sec"] = round(ev / sec, 1) if sec else None
+            # median-batch rate: robust to single host-interference stalls
+            # (see _box_health — batch walls vary 5-10x within one run on
+            # a noisy boot); the full walls list is still reported below
+            walls = sorted(b["wall_ms"] for b in steady)
+            med = walls[len(walls) // 2] / 1000
+            med_ev = ev / len(steady)
+            extra["cdc_steady_median_events_per_sec"] = (
+                round(med_ev / med, 1) if med else None)
         extra["cdc_batch_walls_ms"] = [b["wall_ms"] for b in stats["batch_stats"]]
         # the deferred fold, timed on its own (reported, not hidden): total
         # pipeline rate incl. compaction = cdc_events / (wall + compact)
@@ -209,6 +256,7 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_of(sf_dir),
         "cores": cores,
+        **health,
         **extra,
     }
     print(json.dumps(out))

@@ -54,6 +54,17 @@ def get_spark(
         # instead of OOMing the driver (the fallback ADVICE asked for)
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256m")
         .config("spark.sql.session.timeZone", "UTC")
+        # Python workers (mapInPandas/pandas UDFs) inherit the same glibc
+        # mmap-threshold fix as the driver (tenzir_spark.__init__._tune_malloc:
+        # slow first-touch faults on micro-VM kernels make large Arrow/numpy
+        # temporaries pathological without it)
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+        # NOTE: -XX:+UseTransparentHugePages was A/B-tested here and made
+        # everything 4x WORSE (507 s vs 132 s headline): THP defrag is
+        # `madvise` on this kernel, so each madvised huge-page allocation
+        # performs synchronous compaction — allocation paths stall for
+        # seconds. Leave THP to the kernel default.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
