@@ -230,7 +230,7 @@ _PIPELINE_OPERATORS = [
     "decapsulate", "yara",
     "lookup", "sigma", "pseudonymize", "compress", "decompress", "publish",
     "chart", "shell", "version", "local", "remote", "unordered",
-    "every", "cron",
+    "every", "cron", "python",
 ]
 _FORMATS = [
     "json", "ndjson", "csv", "tsv", "ssv", "xsv", "parquet", "feather",

@@ -39,6 +39,7 @@ dedicated modules: sources/, streaming/, lake/):
     chart <type> [--x <f>] [--y <f>]  shell <cmd>    version
     sigma <rules-file|dir>            pseudonymize [--seed <s>] <f>...
     compress <codec> [--field <f>]    decompress <codec> [--field <f>]
+    python "<code>" [--schema "<ddl>"]    python --file <path>.py
     publish <warehouse>/<topic>
     local <op …>    remote <op …>     unordered <op …>
 
@@ -722,6 +723,27 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                     raise TqlError("shell: expected a command")
                 df = meta.shell(df, args.strip())
                 order = None  # child output order is per-partition
+            elif name == "python":
+                # python "<code>" [--schema "<ddl>"] | python --file <path>
+                # (python.md; vectorized self-batch semantics, python_op.py)
+                from tenzir_spark.operators.python_op import python_transform
+
+                a = args.strip()
+                schema = None
+                sm_ = re.search(r'--schema\s+"((?:[^"\\]|\\.)*)"', a)
+                if sm_:
+                    schema = sm_.group(1)
+                    a = (a[:sm_.start()] + a[sm_.end():]).strip()
+                fm_ = re.match(r"--file\s+(\S+)\s*$", a)
+                if fm_:
+                    with open(fm_.group(1)) as fh:
+                        code = fh.read()
+                elif a.startswith('"') and a.endswith('"') and len(a) >= 2:
+                    code = a[1:-1].replace('\\"', '"').replace("\\n", "\n")
+                else:
+                    raise TqlError(
+                        'python: expected "<code>" or --file <path>')
+                df = python_transform(df, code, schema=schema)
             elif name == "version":
                 df = meta.version(df.sparkSession)
                 order = None

@@ -1694,6 +1694,38 @@ GROUP BY event_type
 """
 
 
+def q_python_transform(spark, sf):
+    """The ``python`` operator, oracle-exact: user code mutates the
+    vectorized ``self`` event batch (operators/python_op.py; reference
+    builtins/operators/python.cpp + python.md's ``self.field`` API —
+    there row-at-a-time, here one exec per Arrow batch). The oracle
+    recomputes the same transformation in SQL, so the add/modify/delete
+    field semantics are value-checked end to end."""
+    from tenzir_spark.operators.python_op import python_transform
+
+    ev = (load(spark, sf, "events").filter(F.col("event_id") < 20000)
+          .select("event_id", "event_type", "user_id", "value"))
+    code = (
+        "self.value_scaled = self.value * 2.0 + 1.0\n"
+        "self.tag = self.event_type.str.upper()\n"
+        "self.bucket = self.user_id % 16\n"
+        "del self.value\n"
+        "del self.event_type\n"
+    )
+    return python_transform(
+        ev, code,
+        schema="event_id long, user_id long, value_scaled double, "
+               "tag string, bucket long")
+
+SQL_PYTHON_TRANSFORM = """
+SELECT event_id, user_id,
+       value * 2.0 + 1.0 AS value_scaled,
+       upper(event_type) AS tag,
+       user_id % 16 AS bucket
+FROM events WHERE event_id < 20000
+"""
+
+
 def q_yara_text(spark, sf):
     """YARA-subset matching over documents (operators/yara.py — text +
     regex strings, condition algebra, N rules ONE scan). The compiled
@@ -1818,6 +1850,7 @@ REGISTRY: dict[str, tuple] = {
     "bitz_roundtrip": (q_bitz_roundtrip, SQL_BITZ_ROUNDTRIP),
     "parse_gelf": (q_parse_gelf, SQL_PARSE_GELF),
     "fluentbit_forward": (q_fluentbit_forward, SQL_FLUENTBIT_FORWARD),
+    "python_transform": (q_python_transform, SQL_PYTHON_TRANSFORM),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.
