@@ -113,3 +113,35 @@ def stream_rollup(
         F.col("w.start").alias("bucket"), *(by or []),
         *[k for k in aggs],
     )
+
+
+def stream_session_rollup(
+    events: DataFrame,
+    time_col: str,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    aggs: dict | None = None,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Streaming ``summarize … timeout <t>`` (summarize.md:72-80): a
+    group's lifetime is bounded by inactivity — after ``gap`` of
+    event-time silence for a key, its aggregate is finalized and a new
+    event for the same key opens a FRESH group. That is exactly Spark's
+    ``session_window(col, gap)``: windows extend while events keep
+    arriving within ``gap`` and close (subject to the lateness
+    ``watermark``) when the silence exceeds it. The reference implements
+    this with per-group deadline bookkeeping in its streaming hash
+    aggregation (summarize.cpp:357-475); here the engine's native
+    session windows carry the state in the checkpoint."""
+    aggs = aggs or {"n": F.count("*")}
+    w = events.withWatermark(time_col, watermark)
+    grouped = w.groupBy(
+        F.session_window(F.col(time_col), gap).alias("w"), *(by or [])
+    )
+    out = grouped.agg(*[v.alias(k) for k, v in aggs.items()])
+    return out.select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        *(by or []),
+        *[k for k in aggs],
+    )

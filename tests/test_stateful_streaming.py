@@ -162,3 +162,64 @@ def test_stream_rollup_watermark_drops_late_events(spark, tmp_path):
             "late-beyond-watermark event must not open a window")
     finally:
         q.stop()
+
+
+def test_stream_session_rollup_gap_closes_group(spark, tmp_path):
+    """`summarize … timeout <t>` streaming analogue: a key's group
+    closes after `gap` of event-time silence; a later event for the
+    SAME key opens a fresh session instead of extending the old one."""
+    from datetime import datetime
+
+    from tenzir_spark.streaming.stateful import stream_session_rollup
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    schema = "ts timestamp, k string, v double"
+
+    def ts(s_):
+        return datetime.fromisoformat("2024-01-01 " + s_)
+
+    # session 1 for key a: 10:00:00 + 10:00:30 (within 1-minute gap);
+    # then silence > gap; session 2 for key a: 10:05:00.
+    _write_batch(spark, d, 0, [(ts("10:00:00"), "a", 1.0),
+                               (ts("10:00:30"), "a", 2.0),
+                               (ts("10:05:00"), "a", 4.0)], schema)
+    # advance watermark far past both sessions so they finalize
+    _write_batch(spark, d, 1, [(ts("10:30:00"), "z", 0.0)], schema)
+    _write_batch(spark, d, 2, [(ts("10:40:00"), "z", 0.0)], schema)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = stream_session_rollup(
+        stream, "ts", gap="1 minute", watermark="1 minute",
+        aggs={"n": F.count("*"), "sum_v": F.sum("v")}, by=["k"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("session_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        def sessions():
+            return sorted(
+                (str(r["session_start"]), r["k"], r["n"], r["sum_v"])
+                for r in spark.sql(
+                    "SELECT * FROM session_out WHERE k = 'a'").collect())
+
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if len(sessions()) >= 2:
+                break
+            time.sleep(1)
+        got = sessions()
+        assert got == [
+            ("2024-01-01 10:00:00", "a", 2, 3.0),
+            ("2024-01-01 10:05:00", "a", 1, 4.0),
+        ]
+    finally:
+        q.stop()
