@@ -1726,6 +1726,92 @@ FROM events WHERE event_id < 20000
 """
 
 
+def _spool_ndjson(df, name: str, sf: str) -> str:
+    """Write a one-column DataFrame of JSON lines to a temp dir (the
+    synthesized agent log the read_* format sources consume)."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"tenzir_spark_{name}_{os.path.basename(sf.rstrip('/'))}")
+    df.write.mode("overwrite").text(path)
+    return path
+
+
+def q_parse_suricata(spark, sf):
+    """``read suricata`` (EVE JSON), oracle-exact: events become EVE
+    records (``json --ndjson --selector=event_type:suricata``,
+    suricata.md; sources/formats.py read_suricata derives the
+    ``_schema`` name from event_type), written as ndjson, read back
+    through the format source, and aggregated per derived schema."""
+    from tenzir_spark.sources.formats import read_suricata
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 20000)
+    lines = ev.select(F.concat(
+        F.lit('{"timestamp":"2024-01-01T00:00:00.000000+0000",'
+              '"flow_id":'), F.col("event_id").cast("string"),
+        F.lit(',"event_type":"'), F.col("event_type"),
+        F.lit('","src_port":'), (F.col("user_id") % 65536).cast("string"),
+        F.lit(',"proto":"TCP"}'),
+    ).alias("value"))
+    path = _spool_ndjson(lines, "suricata", sf)
+    df = read_suricata(spark, path)
+    return (
+        df.groupBy("_schema")
+        .agg(F.count("*").alias("n"),
+             F.sum("flow_id").alias("sum_flow"),
+             F.sum("src_port").alias("sum_port"))
+    )
+
+SQL_PARSE_SURICATA = """
+SELECT 'suricata.' || event_type AS _schema,
+       count(*) AS n,
+       sum(event_id) AS sum_flow,
+       sum(user_id % 65536) AS sum_port
+FROM events WHERE event_id < 20000
+GROUP BY 1
+"""
+
+
+def q_parse_zeek_json(spark, sf):
+    """``read zeek-json``, oracle-exact: dotted ``id.orig_p`` keys must
+    rebuild into a nested record via the shared unflatten operator and
+    ``_schema`` must carry ``zeek.<_path>`` (zeek-json.md = ``json
+    --ndjson --selector=_path:zeek --unnest-separator="."``); the
+    aggregate reads through the NESTED field, so a flattening bug breaks
+    the value hash."""
+    from tenzir_spark.sources.formats import read_zeek_json
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 20000)
+    lines = ev.select(F.concat(
+        F.lit('{"_path":"'),
+        F.when(F.col("event_id") % 2 == 0, F.lit("conn"))
+         .otherwise(F.lit("dns")),
+        F.lit('","uid":"C'), F.col("event_id").cast("string"),
+        F.lit('","id.orig_p":'), (F.col("user_id") % 65536).cast("string"),
+        F.lit(',"id.resp_p":443}'),
+    ).alias("value"))
+    path = _spool_ndjson(lines, "zeekjson", sf)
+    df = read_zeek_json(spark, path)
+    return (
+        df.groupBy("_schema")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("id.orig_p")).alias("sum_orig_p"),
+             F.sum(F.col("id.resp_p")).alias("sum_resp_p"))
+    )
+
+SQL_PARSE_ZEEK_JSON = """
+SELECT 'zeek.' || (CASE WHEN event_id % 2 = 0 THEN 'conn' ELSE 'dns' END)
+         AS _schema,
+       count(*) AS n,
+       sum(user_id % 65536) AS sum_orig_p,
+       443 * count(*) AS sum_resp_p
+FROM events WHERE event_id < 20000
+GROUP BY 1
+"""
+
+
 def q_yara_text(spark, sf):
     """YARA-subset matching over documents (operators/yara.py — text +
     regex strings, condition algebra, N rules ONE scan). The compiled
@@ -1851,6 +1937,8 @@ REGISTRY: dict[str, tuple] = {
     "parse_gelf": (q_parse_gelf, SQL_PARSE_GELF),
     "fluentbit_forward": (q_fluentbit_forward, SQL_FLUENTBIT_FORWARD),
     "python_transform": (q_python_transform, SQL_PYTHON_TRANSFORM),
+    "parse_suricata": (q_parse_suricata, SQL_PARSE_SURICATA),
+    "parse_zeek_json": (q_parse_zeek_json, SQL_PARSE_ZEEK_JSON),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.

@@ -100,3 +100,31 @@ def test_reorder_buffer_releases_identity_sequence(n, parts, seed, chunk):
             assert not rb.insert(p, l, {"lsn": l})
     assert released == list(range(n))
     assert rb.held_count() == 0
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(blacklist_characters='|"[]()', min_codepoint=32,
+                           max_codepoint=126),
+    min_size=1).map(str.strip).filter(bool), min_size=1, max_size=8))
+def test_split_pipeline_roundtrips_stage_list(stages):
+    """Joining arbitrary bracket/quote-free stages with `|` and
+    re-splitting yields the same stage list (whitespace-normalized)."""
+    from tenzir_spark.plans.pipeline import split_pipeline
+
+    text = " | ".join(stages)
+    assert split_pipeline(text) == stages
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(
+    st.floats(min_value=0.001, max_value=999, allow_nan=False),
+    st.sampled_from(["ms", "s", "sec", "m", "min", "h", "d"])),
+    min_size=1, max_size=4))
+def test_parse_duration_sums_components(parts):
+    from tenzir_spark.plans.pipeline import _DUR_SECONDS, parse_duration
+
+    text = " ".join(f"{v:.3f}{u}" for v, u in parts)
+    expect = sum(round(v, 3) * _DUR_SECONDS[u] for v, u in parts)
+    got = parse_duration(text).total_seconds()
+    assert got == pytest.approx(expect, rel=1e-9, abs=1e-6)
