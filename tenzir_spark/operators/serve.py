@@ -181,3 +181,45 @@ def openapi(spark) -> "DataFrame":
                          _json.dumps(OPENAPI_SPEC, sort_keys=True)))
     return spark.createDataFrame(
         rows, "path string, method string, summary string, spec string")
+
+
+def api(spark, base_url: str, endpoint: str, body: dict | None = None,
+        timeout_sec: float = 30.0) -> "DataFrame":
+    """The ``api`` operator (reference: builtins/operators/api.cpp — "use
+    the node's REST API directly from a pipeline": ``api <endpoint>
+    [<request-body>]``, POSTs the JSON body and emits the response).
+
+    Against OUR node surface that endpoint inventory is the ``/serve``
+    family (ServeHub.start); any compatible host:port works. A response
+    carrying an ``events`` list becomes one row per event (the shape the
+    /serve contract returns); any other JSON object becomes a single row
+    with the raw document in ``response`` plus a ``status`` column —
+    api.cpp's emit-one-event behavior."""
+    import json as _json
+    import urllib.request
+
+    req = urllib.request.Request(
+        base_url.rstrip("/") + endpoint,
+        data=_json.dumps(body or {}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_sec) as resp:
+            status = resp.status
+            doc = _json.loads(resp.read() or b"{}")
+    except urllib.error.HTTPError as e:
+        status = e.code
+        doc = {"error": e.read().decode("utf-8", "replace")}
+
+    if isinstance(doc, dict) and isinstance(doc.get("events"), list) \
+            and doc["events"]:
+        import pandas as pd
+
+        pdf = pd.DataFrame(doc["events"])
+        ntok = doc.get("next_continuation_token")
+        pdf["_continuation_token"] = "" if ntok is None else str(ntok)
+        return spark.createDataFrame(pdf)
+    return spark.createDataFrame(
+        [(int(status), _json.dumps(doc, sort_keys=True))],
+        "status int, response string")

@@ -96,3 +96,34 @@ def test_openapi_spec(spark):
 
     spec = json.loads(rows[0]["spec"])
     assert spec["openapi"].startswith("3.")
+
+
+def test_api_operator_against_serve_endpoint(spark):
+    """`api /serve {...}` — the REST-client operator drains a served
+    result set page by page through the real HTTP endpoint."""
+    from tenzir_spark.operators.serve import ServeHub, api
+
+    hub = ServeHub()
+    try:
+        port = hub.start()
+        base = f"http://127.0.0.1:{port}"
+        hub.serve(
+            spark.range(25).selectExpr("id", "id * 2 AS dbl"), "api-test")
+
+        page1 = api(spark, base, "/serve",
+                    {"serve_id": "api-test", "max_events": 10})
+        assert page1.count() == 10
+        tok = page1.select("_continuation_token").first()[0]
+        assert tok
+        page2 = api(spark, base, "/serve",
+                    {"serve_id": "api-test", "max_events": 100,
+                     "continuation_token": tok})
+        assert page2.count() == 15
+        ids = {r["id"] for r in page2.collect()}
+        assert ids == set(range(10, 25))
+
+        # non-events response: one row with status + raw document
+        err = api(spark, base, "/serve", {"serve_id": "missing"})
+        assert err.first()["status"] in (200, 400, 404, 410)
+    finally:
+        hub.stop()
