@@ -1444,6 +1444,27 @@ ORDER BY event_id LIMIT 100
 """
 
 
+def q_tql_python(spark, sf):
+    """python stage inside a text pipeline: user code between where and
+    select, value-checked end to end (python.md example shape)."""
+    ev = load(spark, sf, "events")
+    return run_tql(
+        ev,
+        "where event_id < 20000"
+        ' | python "self.score = self.value * self.user_id'
+        "\\nself.kind = self.event_type.str.slice(0, 2)\" "
+        '--schema "event_id long, kind string, score double"'
+        " | select event_id, kind, score",
+    )
+
+SQL_TQL_PYTHON = """
+SELECT event_id,
+       substr(event_type, 1, 2) AS kind,
+       value * user_id AS score
+FROM events WHERE event_id < 20000
+"""
+
+
 def q_tql_top(spark, sf):
     """where | top --count-field (top.md: summarize count | sort desc)."""
     ev = load(spark, sf, "events")
@@ -1939,6 +1960,7 @@ REGISTRY: dict[str, tuple] = {
     "python_transform": (q_python_transform, SQL_PYTHON_TRANSFORM),
     "parse_suricata": (q_parse_suricata, SQL_PARSE_SURICATA),
     "parse_zeek_json": (q_parse_zeek_json, SQL_PARSE_ZEEK_JSON),
+    "tql_python": (q_tql_python, SQL_TQL_PYTHON),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.
