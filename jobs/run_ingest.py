@@ -79,6 +79,11 @@ def main() -> None:
                    help="fold merge-on-read debt in a background thread "
                         "(commit rebase keeps newer deltas); hides the "
                         "compaction spikes from ingest wall time")
+    p.add_argument("--retain-snapshots", type=int, default=None,
+                   help="expire snapshot manifests beyond the newest N after "
+                        "each fold and GC the files only they referenced "
+                        "(Iceberg expire_snapshots). Default: retain all "
+                        "(full time travel; storage grows with history)")
     p.add_argument("--local-dir", default=None,
                    help="spark.local.dir (shuffle spill). In local mode every "
                         "'executor' thread shares ONE disk — an artifact a real "
@@ -122,6 +127,7 @@ def main() -> None:
         async_compact=args.async_compact, stats_mode=args.stats_mode,
         collapse_mode=args.collapse_mode,
         exact_watermarks=args.exact_watermarks,
+        retain_snapshots=args.retain_snapshots,
     )
     stats = runner.run(args.changes, start_batch=args.start_batch)
     for st in stats["batch_stats"]:

@@ -141,6 +141,7 @@ class IngestRunner:
         stats_mode: str = "full",
         delta_codec: str = "zstd",
         exact_watermarks: bool = False,
+        retain_snapshots: int | None = None,
     ):
         self.spark = spark
         self.warehouse = warehouse
@@ -161,6 +162,12 @@ class IngestRunner:
         # snapshot counts in tests.
         self.async_compact = async_compact
         self._compact_thread = None
+        # snapshot retention: after each completed fold, expire manifests
+        # beyond the newest N and GC the files only they referenced
+        # (LakeTable.expire_snapshots). None = retain everything (full
+        # time travel). The expire runs strictly AFTER a fold completes —
+        # never concurrently (the lake layer refuses mid-fold anyway).
+        self.retain_snapshots = retain_snapshots
         # "maxby" (algebraic partial-agg; default) or "semijoin" (payload
         # never shuffles; needs file-backed input for _metadata row ids and
         # a broadcastable winner set — see collapse.py for the trade-off)
@@ -228,6 +235,7 @@ class IngestRunner:
         if p["delta_rows"] >= threshold or p["delta_commits"] >= self.compact_max_commits:
             if not self.async_compact:
                 self.table.compact(self.spark)
+                self._maybe_expire()
                 return
             if self._compact_thread is not None and self._compact_thread.is_alive():
                 return  # one background fold at a time; debt retried next batch
@@ -236,12 +244,20 @@ class IngestRunner:
             def _fold():
                 try:
                     self.table.compact(self.spark)
+                    self._maybe_expire()
                 except Exception as e:  # noqa: BLE001 - surfaced at join
                     self._compact_error = e
 
             self._compact_error = None
             self._compact_thread = threading.Thread(target=_fold, daemon=True)
             self._compact_thread.start()
+
+    def _maybe_expire(self) -> None:
+        """Retention GC after a completed fold: a fold is the moment old
+        delta files fall out of HEAD's manifest, so it is the moment
+        expiry actually frees space. No-op when retention is unset."""
+        if self.retain_snapshots is not None:
+            self.table.expire_snapshots(keep_last=self.retain_snapshots)
 
     def finish_compaction(self) -> None:
         """Wait for any background fold to complete (call at end of run).

@@ -78,6 +78,9 @@ class LakeTable:
         # compaction thread overlaps the ingest thread (single process)
         self._lock = threading.RLock()
         self._next_cid: int | None = None
+        # True while a fold is reading a pinned snapshot outside the lock;
+        # expire_snapshots refuses to delete files under a live fold
+        self._compacting = False
 
     def _alloc_commit_id(self) -> int:
         """Commit ids name data directories (``_commit=<id>``) and define
@@ -129,6 +132,33 @@ class LakeTable:
         v = self.current_version() if version is None else version
         with open(os.path.join(self.meta_dir, f"v{v:08d}.json")) as f:
             return json.load(f)
+
+    def versions(self) -> list[int]:
+        """Snapshot versions still retained on disk, ascending."""
+        out = []
+        for fn in os.listdir(self.meta_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                out.append(int(fn[1:9]))
+        return sorted(out)
+
+    def history(self) -> list[dict]:
+        """One summary row per retained snapshot (Iceberg `history` /
+        the reference's partition-version listing, `show partitions`)."""
+        rows = []
+        for v in self.versions():
+            snap = self.snapshot(v)
+            base, deltas = self._split_entries(snap["files"])
+            rows.append({
+                "version": v,
+                "parent": snap.get("parent"),
+                "base_files": len(base),
+                "delta_files": len(deltas),
+                "rows": sum(e.get("rows", 0) for e in snap["files"]),
+                "watermarks": dict(
+                    snap.get("properties", {}).get("watermarks", {})
+                ),
+            })
+        return rows
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self.snapshot()["schema"])
@@ -308,11 +338,21 @@ class LakeTable:
         )
 
     # --------------------------------------------------------------- write
-    def write_commit_files(self, df: DataFrame, commit_version: int) -> list[dict]:
+    def write_commit_files(
+        self, df: DataFrame, commit_version: int, sort_col: str | None = None
+    ) -> list[dict]:
         """Write ``df`` (must carry ``_bucket``) as the data files of commit
         ``commit_version``; returns manifest entries. The repartition on
         ``_bucket`` clusters each bucket into one task so the writer emits
         ~one file per bucket (bounded file counts at scale).
+
+        ``sort_col`` (compaction passes the primary key) sorts rows WITHIN
+        each bucket file — Iceberg sort-order analog. Point lookups push an
+        equality filter to the scan; with key-sorted row groups the
+        parquet min/max statistics prune every non-matching row group, so
+        a lookup reads ~one row group instead of the whole bucket file.
+        The dynamic-partition writer's required ordering (``_bucket``) is a
+        prefix of ours, so Spark keeps the key order instead of re-sorting.
 
         ``_commit`` is a PHYSICAL column in base files (directory is the
         non-partition name ``commit-<id>``): a compaction fold preserves
@@ -327,11 +367,15 @@ class LakeTable:
         if COMMIT_COL not in df.columns:
             df = df.withColumn(COMMIT_COL, F.lit(commit_version).cast("long"))
         n_parts = max(1, min(self.n_buckets(), int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))))
-        (
+        out = (
             df.select(*[c for c in df.columns if c != BUCKET_COL], BUCKET_COL)
             .withColumn(COMMIT_COL, F.col(COMMIT_COL).cast("long"))
             .repartition(n_parts, BUCKET_COL)
-            .write.mode("overwrite")
+        )
+        if sort_col is not None:
+            out = out.sortWithinPartitions(BUCKET_COL, sort_col)
+        (
+            out.write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(commit_dir)
         )
@@ -511,31 +555,157 @@ class LakeTable:
         scheme livelocks under continuous ingest, where some delta is
         almost always in flight)."""
         with self._lock:
+            if self._compacting:
+                raise RuntimeError("a compaction is already in flight")
+            self._compacting = True
             snap = self.snapshot()
             cid = self._alloc_commit_id()
-        schema = T.StructType.fromJson(snap["schema"])
-        base, deltas = self._split_entries(snap["files"])
-        if not deltas:
-            return None
-        key = snap.get("key", "doc_id")
-        hot = set()
-        for e in deltas:
-            hot.update(e["buckets"])
-        cold_base = [e for e in base if e["bucket"] not in hot]
-        hot_base = [e for e in base if e["bucket"] in hot]
-        resolved = self._resolve(spark, hot_base, deltas, schema, key)
-        new_files = self.write_commit_files(
-            resolved.select(*[f.name for f in schema.fields], BUCKET_COL, COMMIT_COL),
-            cid,
-        )
+        try:
+            schema = T.StructType.fromJson(snap["schema"])
+            base, deltas = self._split_entries(snap["files"])
+            if not deltas:
+                return None
+            key = snap.get("key", "doc_id")
+            hot = set()
+            for e in deltas:
+                hot.update(e["buckets"])
+            cold_base = [e for e in base if e["bucket"] not in hot]
+            hot_base = [e for e in base if e["bucket"] in hot]
+            resolved = self._resolve(spark, hot_base, deltas, schema, key)
+            new_files = self.write_commit_files(
+                resolved.select(*[f.name for f in schema.fields], BUCKET_COL, COMMIT_COL),
+                cid,
+                sort_col=key,
+            )
+            with self._lock:
+                head = self.snapshot()
+                pinned = {e["path"] for e in snap["files"]}
+                added_since = [e for e in head["files"] if e["path"] not in pinned]
+                return self.commit(
+                    cold_base + new_files + added_since,
+                    T.StructType.fromJson(head["schema"]),  # may have evolved
+                    head.get("properties", {}),
+                )
+        finally:
+            with self._lock:
+                self._compacting = False
+
+    # --------------------------------------------------------- maintenance
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg ``expire_snapshots`` analog: drop all but the newest
+        ``keep_last`` snapshot manifests, then delete the data files that
+        were referenced ONLY by the dropped snapshots. This is what bounds
+        storage at 10^10 events — without it every superseded delta file
+        and every pre-compaction base file lives forever (each retained
+        snapshot pins its full file list for time travel).
+
+        Concurrency: runs entirely under the table lock and REFUSES while
+        a fold is in flight (the fold reads a pinned snapshot's files
+        outside the lock; deleting them mid-fold would fail the fold).
+        Callers with background compaction expire after ``finish`` /
+        between folds — the ingest runner does exactly that. Time-travel
+        reads of expired versions become impossible, as in Iceberg.
+
+        Returns ``{"expired_versions": [...], "deleted_files": n,
+        "deleted_bytes": b}``.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
         with self._lock:
-            head = self.snapshot()
-            pinned = {e["path"] for e in snap["files"]}
-            added_since = [e for e in head["files"] if e["path"] not in pinned]
+            if self._compacting:
+                raise RuntimeError(
+                    "refusing to expire snapshots during an in-flight "
+                    "compaction; retry after the fold completes"
+                )
+            vs = self.versions()
+            keep = set(vs[-keep_last:])
+            keep.add(self.current_version())
+            dropped = [v for v in vs if v not in keep]
+            if not dropped:
+                return {"expired_versions": [], "deleted_files": 0,
+                        "deleted_bytes": 0}
+            live: set[str] = set()
+            for v in keep:
+                live.update(e["path"] for e in self.snapshot(v)["files"])
+            dead: set[str] = set()
+            for v in dropped:
+                dead.update(e["path"] for e in self.snapshot(v)["files"])
+            dead -= live
+            n_bytes = 0
+            for rel in sorted(dead):
+                full = os.path.join(self.root, rel)
+                try:
+                    n_bytes += os.path.getsize(full)
+                    os.remove(full)
+                except FileNotFoundError:
+                    pass
+            self._prune_empty_data_dirs()
+            for v in dropped:
+                os.remove(os.path.join(self.meta_dir, f"v{v:08d}.json"))
+            return {"expired_versions": dropped, "deleted_files": len(dead),
+                    "deleted_bytes": n_bytes}
+
+    def _prune_empty_data_dirs(self) -> None:
+        for dirpath, dirnames, filenames in os.walk(self.data_dir, topdown=False):
+            if dirpath != self.data_dir and not dirnames and not filenames:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+
+    def remove_orphan_files(self, older_than_s: float = 3600.0) -> dict:
+        """Iceberg ``remove_orphan_files`` analog: delete data files that
+        no RETAINED snapshot references — the leftovers of a crash between
+        the data write and the manifest swap (the documented crash window:
+        "a crash mid-commit leaves orphan data files but the table state
+        is untouched"). The age threshold keeps an IN-FLIGHT commit's
+        files safe: they exist on disk before their manifest does, so only
+        files older than ``older_than_s`` are eligible — the same guard
+        Iceberg's procedure uses (``older_than``)."""
+        import time
+
+        with self._lock:
+            live: set[str] = set()
+            for v in self.versions():
+                live.update(e["path"] for e in self.snapshot(v)["files"])
+            cutoff = time.time() - older_than_s
+            removed, n_bytes = 0, 0
+            for dirpath, _dirnames, filenames in os.walk(self.data_dir):
+                for fn in filenames:
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, self.root)
+                    if rel in live:
+                        continue
+                    try:
+                        st = os.stat(full)
+                        if st.st_mtime >= cutoff:
+                            continue
+                        n_bytes += st.st_size
+                        os.remove(full)
+                        removed += 1
+                    except FileNotFoundError:
+                        pass
+            self._prune_empty_data_dirs()
+            return {"deleted_files": removed, "deleted_bytes": n_bytes}
+
+    def rollback(self, version: int) -> int:
+        """Iceberg ``rollback_to_snapshot`` analog: publish a NEW snapshot
+        whose files, schema, and properties duplicate ``version``. History
+        stays linear (HEAD only ever advances) and commit-id monotonicity
+        is preserved, so ingest continues safely after a rollback. Because
+        the replay watermarks live in snapshot properties, they roll back
+        WITH the data — re-polling the source after the rollback point
+        redelivers and re-applies exactly the undone events (the
+        exactly-once contract survives the rewind)."""
+        with self._lock:
+            if version not in self.versions():
+                raise ValueError(f"snapshot v{version} is expired or unknown")
+            snap = self.snapshot(version)
             return self.commit(
-                cold_base + new_files + added_since,
-                T.StructType.fromJson(head["schema"]),  # may have evolved
-                head.get("properties", {}),
+                list(snap["files"]),
+                T.StructType.fromJson(snap["schema"]),
+                dict(snap.get("properties", {})),
+                n_buckets=snap["n_buckets"],
             )
 
     def append(self, df: DataFrame, key_col: str, properties: dict | None = None) -> int:

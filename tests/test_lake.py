@@ -111,8 +111,8 @@ def test_concurrent_fold_preserves_lower_cid_delta(spark, tmp_path):
     orig_write = t.write_commit_files
     raced = {}
 
-    def write_then_publish(df, commit_version):
-        out = orig_write(df, commit_version)
+    def write_then_publish(df, commit_version, **kw):
+        out = orig_write(df, commit_version, **kw)
         # a delta that allocated earlier (lower cid than the fold's)
         # publishes while the fold is between write and swap
         raced["v"], _ = LakeTable.delta_commit(
@@ -217,3 +217,178 @@ def test_bucket_pruned_point_lookup(spark, tmp_path):
     assert t.lookup(spark, "d41").count() == 0
     # time-travel lookup still sees the pre-delete row
     assert t.lookup(spark, "d41", version=1).first()["tokens"] == [41]
+
+
+# ----------------------------------------------------------- maintenance
+
+
+def _walk_data_files(t):
+    import os
+
+    out = set()
+    for dirpath, _d, files in os.walk(t.data_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                out.add(os.path.relpath(os.path.join(dirpath, fn), t.root))
+    return out
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    """expire_snapshots drops old manifests and deletes exactly the data
+    files no retained snapshot references; the current table state and
+    retained time travel are untouched (Iceberg expire_snapshots)."""
+    t = LakeTable(str(tmp_path), "t_exp")
+    t.create(SCHEMA, n_buckets=4)
+    t.delta_commit(_delta_df(spark, t, [("a", [1], 1, "web"), ("b", [2], 1, "web")]),
+                   schema=SCHEMA, properties={"watermarks": {"0": 1}})
+    t.delta_commit(_delta_df(spark, t, [("a", [9], 1, "wiki")]),
+                   schema=SCHEMA, properties={"watermarks": {"0": 2}})
+    t.compact(spark)  # supersedes both delta files
+    t.delta_commit(_delta_df(spark, t, [("c", [3], 1, "web")]),
+                   schema=SCHEMA, properties={"watermarks": {"0": 3}})
+    before = {r["doc_id"]: r["tokens"] for r in t.read(spark).collect()}
+    n_versions = len(t.versions())
+    assert n_versions == 5  # create + 2 deltas + fold + delta
+
+    st = t.expire_snapshots(keep_last=2)
+    assert st["expired_versions"] == [0, 1, 2]
+    assert st["deleted_files"] >= 2  # the two folded delta files
+    assert t.versions() == [3, 4]
+    # current state identical, retained time travel works, expired raises
+    assert {r["doc_id"]: r["tokens"] for r in t.read(spark).collect()} == before
+    assert {r["doc_id"] for r in t.read(spark, version=3).collect()} == {"a", "b"}
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.snapshot(1)
+    # disk files == union of retained manifests (no dead files remain)
+    live = set()
+    for v in t.versions():
+        live.update(e["path"] for e in t.snapshot(v)["files"])
+    assert _walk_data_files(t) == live
+    # idempotent / no-op second call
+    assert t.expire_snapshots(keep_last=2)["expired_versions"] == []
+
+
+def test_expire_refuses_mid_fold(tmp_path):
+    t = LakeTable(str(tmp_path), "t_exp2")
+    t.create(SCHEMA, n_buckets=4)
+    t._compacting = True
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="in-flight"):
+        t.expire_snapshots(keep_last=1)
+    t._compacting = False
+    assert t.expire_snapshots(keep_last=1)["expired_versions"] == []
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Crash leftovers (files in no retained manifest) are GC'd only once
+    older than the safety threshold — an in-flight commit's files are
+    always younger and never touched."""
+    import os
+    import time
+
+    t = LakeTable(str(tmp_path), "t_orph")
+    t.create(SCHEMA, n_buckets=4)
+    t.delta_commit(_delta_df(spark, t, [("a", [1], 1, "web")]),
+                   schema=SCHEMA, properties={})
+    stray_dir = os.path.join(t.data_dir, "_commit=999")
+    os.makedirs(stray_dir)
+    stray = os.path.join(stray_dir, "part-crash.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"not really parquet")
+    # too young: kept
+    assert t.remove_orphan_files(older_than_s=3600)["deleted_files"] == 0
+    assert os.path.exists(stray)
+    # age it past the threshold: removed, dir pruned, table intact
+    old = time.time() - 7200
+    os.utime(stray, (old, old))
+    st = t.remove_orphan_files(older_than_s=3600)
+    assert st["deleted_files"] == 1
+    assert not os.path.exists(stray_dir)
+    assert t.read(spark).count() == 1
+
+
+def test_rollback_restores_state_and_watermarks(spark, tmp_path):
+    """rollback publishes a NEW snapshot duplicating an old one: data AND
+    replay watermarks rewind together, so re-ingesting the undone events
+    re-applies them (the exactly-once contract survives the rewind)."""
+    t = LakeTable(str(tmp_path), "t_rb")
+    t.create(SCHEMA, n_buckets=4)
+    v1 = t.delta_commit(_delta_df(spark, t, [("a", [1], 1, "web")]),
+                        schema=SCHEMA, properties={"watermarks": {"0": 10}})[0]
+    t.delta_commit(_delta_df(spark, t, [("a", [2], 1, "web"), ("b", [5], 1, "web")]),
+                   schema=SCHEMA, properties={"watermarks": {"0": 20}})
+    v3 = t.rollback(v1)
+    assert v3 == 3 and t.current_version() == 3
+    rows = {r["doc_id"]: r["tokens"] for r in t.read(spark).collect()}
+    assert rows == {"a": [1]}
+    assert t.properties()["watermarks"] == {"0": 10}
+    # history stays linear: ingest continues on top of the rollback
+    t.delta_commit(_delta_df(spark, t, [("b", [7], 1, "web")]),
+                   schema=SCHEMA, properties={"watermarks": {"0": 21}})
+    rows = {r["doc_id"]: r["tokens"] for r in t.read(spark).collect()}
+    assert rows == {"a": [1], "b": [7]}
+    # the rolled-back-over snapshot is still there for forensic time travel
+    assert {r["doc_id"] for r in t.read(spark, version=2).collect()} == {"a", "b"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expired or unknown"):
+        t.rollback(99)
+
+
+def test_sorted_compaction_row_groups(spark, tmp_path):
+    """Compaction writes each bucket file sorted by the primary key
+    (Iceberg sort-order analog): parquet row-group min/max stats then
+    prune point lookups to ~one row group."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = LakeTable(str(tmp_path), "t_sort")
+    t.create(SCHEMA, n_buckets=2)
+    rows = [(f"d{i:04d}", [i], 1, "web") for i in range(500)]
+    t.delta_commit(_delta_df(spark, t, rows), schema=SCHEMA, properties={})
+    t.compact(spark)
+    base = [e for e in t.snapshot()["files"] if e.get("kind", "base") == "base"]
+    assert base
+    for e in base:
+        col = pq.read_table(os.path.join(t.root, e["path"]),
+                            columns=["doc_id"])["doc_id"].to_pylist()
+        assert col == sorted(col), f"bucket file {e['path']} not key-sorted"
+    # and the fold changed nothing semantically
+    got = {r["doc_id"]: r["tokens"] for r in t.read(spark).collect()}
+    assert got == {f"d{i:04d}": [i] for i in range(500)}
+
+
+def test_runner_retention_bounds_history(spark, tmp_path):
+    """IngestRunner(retain_snapshots=N) expires after each fold: the
+    manifest count stays bounded while ingest marches on."""
+    import pyspark.sql.types as T2
+
+    from tenzir_spark.cdc.runner import IngestRunner
+
+    runner = IngestRunner(
+        spark, str(tmp_path / "wh"), n_buckets=4,
+        compact_min_rows=1, compact_max_commits=1,  # fold every batch
+        retain_snapshots=2,
+    )
+    runner.ensure_table()
+    ev_schema = T2.StructType([
+        T2.StructField("doc_id", T2.StringType()),
+        T2.StructField("tokens", T2.ArrayType(T2.IntegerType())),
+        T2.StructField("n_tok", T2.IntegerType()),
+        T2.StructField("source", T2.StringType()),
+        T2.StructField("op", T2.StringType()),
+        T2.StructField("part_id", T2.IntegerType()),
+        T2.StructField("lsn", T2.LongType()),
+    ])
+    for b in range(4):
+        df = spark.createDataFrame(
+            [(f"d{i}", [b, i], 2, "web", "upsert", 0, b * 10 + i)
+             for i in range(8)], ev_schema)
+        runner.apply_batch_df(df, batch_id=b)
+    assert len(runner.table.versions()) <= 4  # bounded, not one-per-commit
+    rows = {r["doc_id"]: r["tokens"] for r in runner.table.read(spark).collect()}
+    assert rows == {f"d{i}": [3, i] for i in range(8)}
