@@ -688,6 +688,74 @@ class LakeTable:
             self._prune_empty_data_dirs()
             return {"deleted_files": removed, "deleted_bytes": n_bytes}
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        since_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """CDC *out* — Iceberg incremental-read analog, and the lake-side
+        twin of the engine's ingest contract: the NET change per key
+        between two snapshots, shaped exactly like a change batch
+        (payload columns + ``op`` ∈ {upsert, delete}), so a downstream
+        table can apply the result with the same merge the engine uses
+        (reference analog: ``export --live`` feeds downstream pipelines,
+        libtenzir/builtins/operators/export.cpp).
+
+        Works off the manifests: every delta file first referenced by a
+        snapshot in ``(since, to]`` holds exactly the rows that batch
+        changed — no table diff job, cost ∝ changed rows, never table
+        size. A fold inside the window is transparent (the folded delta
+        files are still listed by the intermediate manifests and still on
+        disk until expired). Multiple changes to one key collapse to the
+        latest (LWW on ``_commit``).
+
+        The changelog horizon is bounded by snapshot retention: if an
+        intermediate manifest was expired, raises — same contract as
+        Iceberg's incremental read off expired snapshots. Bulk
+        ``append``/copy-on-write bootstrap commits write base files and
+        are OUTSIDE the changelog (consumers start tailing after
+        bootstrap); only the merge-on-read path (the engine's production
+        write path) emits changes."""
+        to_v = self.current_version() if to_version is None else to_version
+        if since_version > to_v:
+            raise ValueError(f"since v{since_version} > to v{to_v}")
+        retained = set(self.versions())
+        missing = [v for v in range(since_version, to_v + 1)
+                   if v not in retained]
+        if missing:
+            raise ValueError(
+                f"changelog horizon expired: snapshots {missing} were "
+                "removed by expire_snapshots; re-bootstrap the consumer"
+            )
+        schema = T.StructType.fromJson(self.snapshot(to_v)["schema"])
+        key = self.snapshot(to_v).get("key", "doc_id")
+        prior = {e["path"] for e in self.snapshot(since_version)["files"]}
+        new_deltas: dict[str, dict] = {}
+        for v in range(since_version + 1, to_v + 1):
+            for e in self.snapshot(v)["files"]:
+                if e.get("kind") == "delta" and e["path"] not in prior:
+                    new_deltas.setdefault(e["path"], e)
+        out_fields = [f.name for f in schema.fields]
+        if not new_deltas:
+            empty = T.StructType(
+                list(schema.fields) + [T.StructField("op", T.StringType())]
+            )
+            return spark.createDataFrame([], empty)
+        df = self.read_files(spark, list(new_deltas.values()), schema,
+                             with_deleted=True)
+        cols = df.columns
+        winner = (
+            df.groupBy(F.col(key).alias("_k"))
+            .agg(F.max_by(F.struct(*cols), F.col(COMMIT_COL)).alias("_w"))
+            .select("_w.*")
+        )
+        return winner.select(
+            *out_fields,
+            F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), "delete")
+            .otherwise("upsert").alias("op"),
+        )
+
     def rollback(self, version: int) -> int:
         """Iceberg ``rollback_to_snapshot`` analog: publish a NEW snapshot
         whose files, schema, and properties duplicate ``version``. History

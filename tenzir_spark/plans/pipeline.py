@@ -48,7 +48,8 @@ dedicated modules: sources/, streaming/, lake/):
     from <path> [read <fmt>] | … | to <path> [write <fmt>]
     from http(s)://… [read <fmt>]    | … | to http(s)://…
     from -|stdin [read <fmt>]
-    export <table_root>      | … | import <table_root>
+    export <table_root> [--changes-since <v> [--to <v>]]
+                             | … | import <table_root>
     subscribe <warehouse>/<topic>  (publish is an operator stage)
     every <interval> <pipeline>    cron "<expr>" <pipeline>
       (run_tql_every — scheduled re-execution, injectable clock)
@@ -916,7 +917,9 @@ def _write_sink(df: DataFrame, path: str, fmt: str | None) -> None:
 _FROM_RE = re.compile(r"from\s+(\S+)(?:\s+read\s+(\S+))?\s*$")
 _TO_RE = re.compile(
     r"(?:to\s+(\S+)(?:\s+write\s+(\S+))?|write\s+(\S+)\s+to\s+(\S+))\s*$")
-_EXPORT_RE = re.compile(r"export\s+(\S+)\s*$")
+_EXPORT_RE = re.compile(
+    r"export\s+(\S+)"
+    r"(?:\s+--changes-since\s+(\d+))?(?:\s+--to\s+(\d+))?\s*$")
 _IMPORT_RE = re.compile(r"import\s+(\S+)\s*$")
 _SUBSCRIBE_RE = re.compile(r"subscribe\s+(\S+)\s*$")
 
@@ -990,10 +993,18 @@ def run_tql_source(spark, text: str, order_by: str | None = None,
     elif em:
         # `export <table_root>` — read the lake table's current state
         # (export.md: events from the node's storage; internal bucket/
-        # commit columns are implementation detail, dropped)
+        # commit columns are implementation detail, dropped).
+        # `--changes-since <v> [--to <v>]`: incremental changelog read —
+        # NET change per key between two snapshots, shaped as a change
+        # batch (payload + op), LakeTable.read_changes.
         from tenzir_spark.lake.table import BUCKET_COL, COMMIT_COL
 
-        df = _lake_table(em.group(1)).read(spark).drop(BUCKET_COL, COMMIT_COL)
+        if em.group(2) is not None:
+            df = _lake_table(em.group(1)).read_changes(
+                spark, int(em.group(2)),
+                int(em.group(3)) if em.group(3) else None)
+        else:
+            df = _lake_table(em.group(1)).read(spark).drop(BUCKET_COL, COMMIT_COL)
     else:
         raise TqlError(
             "pipeline must start with `from <path> [read <format>]` or "

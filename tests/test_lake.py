@@ -392,3 +392,84 @@ def test_runner_retention_bounds_history(spark, tmp_path):
     assert len(runner.table.versions()) <= 4  # bounded, not one-per-commit
     rows = {r["doc_id"]: r["tokens"] for r in runner.table.read(spark).collect()}
     assert rows == {f"d{i}": [3, i] for i in range(8)}
+
+
+# ------------------------------------------------------ incremental read
+
+
+def test_read_changes_net_per_key(spark, tmp_path):
+    """read_changes emits the NET change per key between two snapshots,
+    shaped as a change batch (payload + op) — cost ∝ changed rows."""
+    t = LakeTable(str(tmp_path), "t_ch")
+    t.create(SCHEMA, n_buckets=4)
+    t.delta_commit(_delta_df(spark, t, [("a", [1], 1, "web"), ("b", [2], 1, "web")]),
+                   schema=SCHEMA, properties={})     # v1
+    t.delta_commit(_delta_df(spark, t, [("a", [9], 1, "wiki")]),
+                   schema=SCHEMA, properties={})     # v2
+    tomb = _delta_df(spark, t, [("b", None, None, None)]).withColumn(
+        "_deleted", F.lit(True))
+    t.delta_commit(tomb, schema=SCHEMA, properties={})  # v3
+
+    ch = {r["doc_id"]: r for r in t.read_changes(spark, 0).collect()}
+    assert set(ch) == {"a", "b"}
+    assert ch["a"]["op"] == "upsert" and ch["a"]["tokens"] == [9]  # net of 2 changes
+    assert ch["b"]["op"] == "delete"
+    # windowed: only the middle commit
+    ch12 = {r["doc_id"]: r for r in t.read_changes(spark, 1, 2).collect()}
+    assert set(ch12) == {"a"} and ch12["a"]["tokens"] == [9]
+    # empty window
+    assert t.read_changes(spark, 3).count() == 0
+    assert "op" in t.read_changes(spark, 3).columns
+
+
+def test_read_changes_fold_transparent_and_horizon(spark, tmp_path):
+    """A fold inside the window is invisible to the changelog (the folded
+    delta files are still listed by intermediate manifests); expiring
+    those manifests bounds the horizon with a clear error."""
+    import pytest as _pytest
+
+    t = LakeTable(str(tmp_path), "t_ch2")
+    t.create(SCHEMA, n_buckets=4)
+    t.delta_commit(_delta_df(spark, t, [("a", [1], 1, "web")]),
+                   schema=SCHEMA, properties={})     # v1
+    t.compact(spark)                                 # v2 (folds v1's delta)
+    t.delta_commit(_delta_df(spark, t, [("b", [2], 1, "web")]),
+                   schema=SCHEMA, properties={})     # v3
+    ch = {r["doc_id"]: r["op"] for r in t.read_changes(spark, 0).collect()}
+    assert ch == {"a": "upsert", "b": "upsert"}  # fold didn't hide a's change
+    # the fold itself adds no changes
+    assert t.read_changes(spark, 1, 2).count() == 0
+    t.expire_snapshots(keep_last=2)  # drops v0/v1 manifests
+    with _pytest.raises(ValueError, match="changelog horizon expired"):
+        t.read_changes(spark, 0)
+    # horizon inside retention still fine
+    assert t.read_changes(spark, 2).count() == 1
+
+
+def test_read_changes_downstream_apply_roundtrip(spark, tmp_path):
+    """The changelog IS a valid change batch: applying it to a second
+    table with the engine's own merge reproduces the source state —
+    lake-to-lake incremental replication."""
+    src = LakeTable(str(tmp_path), "src")
+    src.create(SCHEMA, n_buckets=4)
+    src.delta_commit(_delta_df(spark, src, [("a", [1], 1, "web"),
+                                            ("b", [2], 1, "web"),
+                                            ("c", [3], 1, "web")]),
+                     schema=SCHEMA, properties={})
+    dst = LakeTable(str(tmp_path), "dst")
+    dst.create(SCHEMA, n_buckets=4)
+    merge_batch(spark, dst, src.read_changes(spark, 0), key="doc_id")
+    sync_point = src.current_version()
+
+    src.delta_commit(_delta_df(spark, src, [("a", [7], 1, "code")]),
+                     schema=SCHEMA, properties={})
+    tomb = _delta_df(spark, src, [("c", None, None, None)]).withColumn(
+        "_deleted", F.lit(True))
+    src.delta_commit(tomb, schema=SCHEMA, properties={})
+    merge_batch(spark, dst, src.read_changes(spark, sync_point), key="doc_id")
+
+    want = {(r["doc_id"], tuple(r["tokens"] or []))
+            for r in src.read(spark).collect()}
+    got = {(r["doc_id"], tuple(r["tokens"] or []))
+           for r in dst.read(spark).collect()}
+    assert got == want == {("a", (7,)), ("b", (2,))}

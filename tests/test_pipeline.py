@@ -245,6 +245,41 @@ def test_export_import_lake_stages(spark, tmp_path):
     assert got == {f"d{i}" for i in range(10, 20)}
 
 
+def test_export_changes_since_stage(spark, tmp_path):
+    """`export <table> --changes-since <v>` streams the incremental
+    changelog (net change per key, op column) through the pipeline."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from tenzir_spark.lake.table import DELETED_COL, LakeTable
+    from tenzir_spark.plans.pipeline import run_tql_source
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("n_tok", T.IntegerType(), True),
+    ])
+    t = LakeTable(str(tmp_path), "ch_t")
+    t.create(schema, n_buckets=4)
+
+    def delta(rows, deleted=False):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "_bucket", t.bucket_expr("doc_id")).withColumn(
+            DELETED_COL, F.lit(deleted))
+        t.delta_commit(df, schema=schema, properties={})
+
+    delta([("a", 1), ("b", 2)])          # v1
+    delta([("a", 9)])                    # v2 (supersedes a)
+    delta([("b", None)], deleted=True)   # v3
+
+    out = run_tql_source(
+        spark, f"export {tmp_path}/ch_t --changes-since 1 | sort doc_id")
+    rows = [(r["doc_id"], r["op"]) for r in out.collect()]
+    assert rows == [("a", "upsert"), ("b", "delete")]
+    # plain export still works and has no op column
+    full = run_tql_source(spark, f"export {tmp_path}/ch_t")
+    assert "op" not in full.columns and full.count() == 1
+
+
 def test_compile_value_arithmetic(events):
     c = compile_value('round(value / 2, 1) + length("ab")', events.schema)
     row = events.select(F.col("value").alias("value"), c.alias("out")).first()
