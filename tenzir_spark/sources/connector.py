@@ -389,6 +389,73 @@ def kafka_change_stream(spark: SparkSession, bootstrap_servers: str,
     )
 
 
+class LakeChangeConnector(ChangeConnector):
+    """Tail ANOTHER lake table's incremental changelog through the
+    connector protocol — lake-to-lake continuous replication, the lake
+    acting as its own WAL (reference analog: a node's export feeding a
+    second node's import, export.cpp → import.cpp).
+
+    Offset mapping: one logical source partition (0); ``lsn`` = the
+    UPSTREAM SNAPSHOT VERSION whose window produced the change. Each
+    poll() emits the net change batch for the next window of
+    ``versions_per_poll`` upstream versions (LakeTable.read_changes), in
+    envelope shape (lsn, epoch, part_id, op, payload…). Replayable by
+    construction: manifests are immutable, so a fresh connector seeking
+    from the downstream's committed watermark redelivers exactly the
+    unacknowledged versions, and the watermark filter absorbs overlap.
+
+    The upstream's ``expire_snapshots`` bounds the replay horizon:
+    seeking below it raises (read_changes' contract) — the consumer must
+    re-bootstrap, as with any log whose tail was truncated. Empty
+    windows (folds, property-only commits) produce empty batches the
+    runner noop-aborts; they advance no watermark and re-polling them
+    after a restart is idempotent."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, table_name: str,
+                 versions_per_poll: int = 1):
+        from tenzir_spark.lake.table import LakeTable
+
+        self.spark = spark
+        self.upstream = LakeTable(warehouse, table_name)
+        self.versions_per_poll = max(1, int(versions_per_poll))
+        self._pos = 0  # last consumed upstream snapshot version
+        self._batch_no = 0
+        self.acked: dict[int, int] = {}
+
+    def seek(self, offsets: dict[int, int]) -> None:
+        self._pos = max(
+            [int(v) for k, v in offsets.items() if int(k) == 0] + [0]
+        )
+
+    def lag(self) -> int:
+        """Upstream versions not yet consumed (replication lag)."""
+        return max(0, self.upstream.current_version() - self._pos)
+
+    def poll(self) -> SourceBatch | None:
+        from pyspark.sql import functions as F
+
+        head = self.upstream.current_version()
+        if self._pos >= head:
+            return None
+        end = min(self._pos + self.versions_per_poll, head)
+        changes = self.upstream.read_changes(self.spark, self._pos, end)
+        payload = [c for c in changes.columns if c != "op"]
+        df = changes.select(
+            F.lit(end).cast("long").alias("lsn"),
+            F.lit(0).alias("epoch"),
+            F.lit(0).alias("part_id"),
+            F.col("op"),
+            *payload,
+        )
+        self._pos = end
+        self._batch_no += 1
+        return SourceBatch(df=df, end_offsets={0: end},
+                           batch_id=self._batch_no - 1)
+
+    def ack(self, offsets: dict[int, int]) -> None:
+        self.acked = {int(k): int(v) for k, v in offsets.items()}
+
+
 def run_connector(runner, connector: ChangeConnector,
                   max_batches: int | None = None) -> dict:
     """Drive a connector through the idempotent micro-batch body. The
