@@ -1465,6 +1465,66 @@ FROM events WHERE event_id < 20000
 """
 
 
+def q_lake_changelog(spark, sf):
+    """CDC *out*, value-checked end to end: build a lake table from
+    `documents` (batch 1 = every doc inserted), apply a second change
+    batch (text rewritten + source bumped for doc_id%3==0; doc_id%7==0
+    deleted, deletes winning the overlap), then read the incremental
+    changelog between the two snapshots (LakeTable.read_changes —
+    Iceberg incremental-read analog; reference: export feeding a
+    downstream pipeline, builtins/operators/export.cpp). The oracle
+    recomputes the net change relationally — the whole
+    write→snapshot→changelog path must be value-exact."""
+    import shutil
+    import tempfile
+
+    from tenzir_spark.lake.table import DELETED_COL, LakeTable
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="tzs_changelog_")
+    try:
+        t = LakeTable(tmp, "docs")
+        t.create(docs.schema, n_buckets=8, key="doc_id")
+        b1 = docs.withColumn("_bucket", t.bucket_expr("doc_id")).withColumn(
+            DELETED_COL, F.lit(False))
+        v1, _ = t.delta_commit(b1, schema=docs.schema, properties={})
+        upd = (
+            docs.filter((F.col("doc_id") % 3 == 0) & ~(F.col("doc_id") % 7 == 0))
+            .select("doc_id", F.upper("text").alias("text"), "lang",
+                    F.lit("rev2").alias("source"), "n_chars")
+            .withColumn(DELETED_COL, F.lit(False))
+        )
+        dels = (
+            docs.filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id",
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit(None).cast("string").alias("lang"),
+                    F.lit(None).cast("string").alias("source"),
+                    F.lit(None).cast("long").alias("n_chars"))
+            .withColumn(DELETED_COL, F.lit(True))
+        )
+        b2 = upd.unionByName(dels).withColumn("_bucket", t.bucket_expr("doc_id"))
+        t.delta_commit(b2, schema=docs.schema, properties={})
+        changes = t.read_changes(spark, v1)
+        # materialize before the temp warehouse disappears (small: only
+        # the touched keys, never the table)
+        return spark.createDataFrame(changes.collect(), changes.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+SQL_LAKE_CHANGELOG = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE upper(text) END AS text,
+       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 'rev2' END AS source,
+       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS n_chars,
+       CASE WHEN doc_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op
+FROM documents
+WHERE doc_id % 3 = 0 OR doc_id % 7 = 0
+"""
+
+
 def q_tql_top(spark, sf):
     """where | top --count-field (top.md: summarize count | sort desc)."""
     ev = load(spark, sf, "events")
@@ -1961,6 +2021,7 @@ REGISTRY: dict[str, tuple] = {
     "parse_suricata": (q_parse_suricata, SQL_PARSE_SURICATA),
     "parse_zeek_json": (q_parse_zeek_json, SQL_PARSE_ZEEK_JSON),
     "tql_python": (q_tql_python, SQL_TQL_PYTHON),
+    "lake_changelog": (q_lake_changelog, SQL_LAKE_CHANGELOG),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.
