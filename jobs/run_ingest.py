@@ -79,6 +79,9 @@ def main() -> None:
                    help="fold merge-on-read debt in a background thread "
                         "(commit rebase keeps newer deltas); hides the "
                         "compaction spikes from ingest wall time")
+    p.add_argument("--sorted-compaction", action="store_true",
+                   help="key-sort each bucket file during folds (row-group-"
+                        "pruned point lookups; ~25%% extra fold time)")
     p.add_argument("--retain-snapshots", type=int, default=None,
                    help="expire snapshot manifests beyond the newest N after "
                         "each fold and GC the files only they referenced "
@@ -128,6 +131,7 @@ def main() -> None:
         collapse_mode=args.collapse_mode,
         exact_watermarks=args.exact_watermarks,
         retain_snapshots=args.retain_snapshots,
+        sorted_compaction=args.sorted_compaction,
     )
     stats = runner.run(args.changes, start_batch=args.start_batch)
     for st in stats["batch_stats"]:

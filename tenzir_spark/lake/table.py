@@ -532,13 +532,21 @@ class LakeTable:
             "base_rows": sum(e.get("rows", 0) for e in base),
         }
 
-    def compact(self, spark: SparkSession) -> int | None:
+    def compact(self, spark: SparkSession, sort_by_key: bool = False) -> int | None:
         """Fold the CURRENT delta files into the base (Iceberg
         `rewrite_data_files` analog): resolve LWW winners for the touched
         buckets, write them as new bucket-partitioned base files, drop
         tombstones, carry cold base files over as metadata. Amortized:
         cost ∝ hot-bucket data, runs only when `delta_pressure` crosses the
         caller's policy.
+
+        ``sort_by_key=True`` additionally key-sorts each bucket file
+        (Iceberg sort-order analog): parquet row-group min/max stats then
+        prune point lookups to ~one row group. OPT-IN because the sort
+        costs ~25% extra fold time (interleaved A/B, 1M x 160-token rows:
+        4.3 s sorted vs 3.4 s unsorted steady) and full scans — the
+        dominant access in a training-data lake — don't benefit; enable
+        for lookup-heavy tables.
 
         Safe to run CONCURRENTLY with delta commits (background-compaction
         mode): the heavy resolve+write works against a pinned snapshot
@@ -575,7 +583,7 @@ class LakeTable:
             new_files = self.write_commit_files(
                 resolved.select(*[f.name for f in schema.fields], BUCKET_COL, COMMIT_COL),
                 cid,
-                sort_col=key,
+                sort_col=key if sort_by_key else None,
             )
             with self._lock:
                 head = self.snapshot()

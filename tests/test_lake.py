@@ -350,7 +350,7 @@ def test_sorted_compaction_row_groups(spark, tmp_path):
     t.create(SCHEMA, n_buckets=2)
     rows = [(f"d{i:04d}", [i], 1, "web") for i in range(500)]
     t.delta_commit(_delta_df(spark, t, rows), schema=SCHEMA, properties={})
-    t.compact(spark)
+    t.compact(spark, sort_by_key=True)
     base = [e for e in t.snapshot()["files"] if e.get("kind", "base") == "base"]
     assert base
     for e in base:
