@@ -82,6 +82,10 @@ def main() -> None:
     p.add_argument("--sorted-compaction", action="store_true",
                    help="key-sort each bucket file during folds (row-group-"
                         "pruned point lookups; ~25%% extra fold time)")
+    p.add_argument("--dlq", action="store_true",
+                   help="quarantine fresh null-key events to "
+                        "<warehouse>/<table>_dlq/batch=<id>/ instead of "
+                        "dropping them (one extra filtered write per batch)")
     p.add_argument("--retain-snapshots", type=int, default=None,
                    help="expire snapshot manifests beyond the newest N after "
                         "each fold and GC the files only they referenced "
@@ -132,6 +136,7 @@ def main() -> None:
         exact_watermarks=args.exact_watermarks,
         retain_snapshots=args.retain_snapshots,
         sorted_compaction=args.sorted_compaction,
+        dlq=args.dlq,
     )
     stats = runner.run(args.changes, start_batch=args.start_batch)
     for st in stats["batch_stats"]:

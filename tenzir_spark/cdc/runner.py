@@ -143,9 +143,11 @@ class IngestRunner:
         exact_watermarks: bool = False,
         retain_snapshots: int | None = None,
         sorted_compaction: bool = False,
+        dlq: bool = False,
     ):
         self.spark = spark
         self.warehouse = warehouse
+        self.table_name = table_name
         self.table = LakeTable(warehouse, table_name, delta_codec=delta_codec)
         self.metrics_dir = os.path.join(warehouse, "ingest_metrics")
         self.n_buckets = n_buckets
@@ -172,6 +174,11 @@ class IngestRunner:
         # opt-in key-sorted folds (row-group-pruned point lookups; ~25%
         # extra fold time — see LakeTable.compact)
         self.sorted_compaction = sorted_compaction
+        # opt-in dead-letter quarantine for fresh null-key events (see
+        # apply_batch_df); count of the last batch's rejects in
+        # _last_dlq_count and in the batch stats dict
+        self.dlq = dlq
+        self._last_dlq_count = 0
         # "maxby" (algebraic partial-agg; default) or "semijoin" (payload
         # never shuffles; needs file-backed input for _metadata row ids and
         # a broadcastable winner set — see collapse.py for the trade-off)
@@ -465,6 +472,35 @@ class IngestRunner:
             else table_schema
         )
 
+        if self.dlq:
+            # dead-letter quarantine: a FRESH data event without a primary
+            # key can't be applied (no LWW identity) — instead of vanishing
+            # silently it lands in <warehouse>/<table>_dlq/batch=<id>/ with
+            # its full envelope for operator replay after repair (repaired
+            # rows must be re-injected with NEW lsns — their original lsns
+            # are already below the committed watermark). Opt-in:
+            # one extra filtered write job per batch, and only rejected
+            # rows shuffle (reference analog: diagnostics/warnings surface
+            # dropped events, builtins/operators/diagnostics.cpp).
+            rejected = raw.filter(
+                is_fresh & (F.col("op") != "schema_change")
+                & F.col(self.key).isNull()
+            ).drop("_wm")
+            dlq_dir = os.path.join(self.warehouse,
+                                   f"{self.table_name}_dlq",
+                                   f"batch={batch_id}")
+            rejected.write.mode("overwrite").parquet(dlq_dir)
+            import pyarrow.parquet as pq2
+
+            n_rej = sum(
+                pq2.read_metadata(os.path.join(dlq_dir, fn)).num_rows
+                for fn in os.listdir(dlq_dir) if fn.endswith(".parquet")
+            )
+            if n_rej == 0:
+                import shutil as _sh
+
+                _sh.rmtree(dlq_dir, ignore_errors=True)
+            self._last_dlq_count = n_rej
         data = raw.filter(
             is_fresh & (F.col("op") != "schema_change") & F.col(self.key).isNotNull()
         ).drop("_wm")
@@ -609,6 +645,7 @@ class IngestRunner:
             "applied_keys": n_keys,
             "wall_ms": wall_ms,
             "version": self.table.current_version(),
+            "dlq_rejected": self._last_dlq_count if self.dlq else 0,
         }
 
     def _winner_stats(self, entries: list[dict]) -> dict:

@@ -460,3 +460,51 @@ def test_randomized_nonkeyed_stream_matches_oracle(spark, tmp_path):
             got = {row["doc_id"]: row["n_tok"]
                    for row in r.final_state().collect()}
             assert got == oracle_state, (seed, mode_kw)
+
+
+def test_dlq_quarantines_null_key_events(spark, tmp_path):
+    """With dlq=True a fresh data event without a primary key lands in
+    <warehouse>/<table>_dlq/batch=<id>/ (full envelope, operator-replayable
+    after repair) instead of vanishing; clean batches leave no directory,
+    and redelivered stale null-key events are NOT re-quarantined."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from tenzir_spark.cdc.runner import IngestRunner
+
+    runner = IngestRunner(spark, str(tmp_path / "wh"), n_buckets=4, dlq=True)
+    runner.ensure_table()
+    ev_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("lsn", T.LongType()),
+    ])
+    rows = [("d1", [1], 1, "web", "insert", 0, 0),
+            (None, [2], 1, "web", "insert", 0, 1),
+            (None, None, None, None, "delete", 0, 2),
+            ("d2", [3], 1, "web", "insert", 0, 3)]
+    st = runner.apply_batch_df(spark.createDataFrame(rows, ev_schema), 0)
+    assert st["dlq_rejected"] == 2
+    dlq_dir = str(tmp_path / "wh" / "corpus_dlq" / "batch=0")
+    got = spark.read.parquet(dlq_dir)
+    assert got.count() == 2
+    assert {r["lsn"] for r in got.collect()} == {1, 2}
+    assert "op" in got.columns  # full envelope kept for replay
+    # applied table has only the keyed rows
+    assert {r["doc_id"] for r in runner.table.read(spark).collect()} == {"d1", "d2"}
+
+    # clean batch: no quarantine dir
+    st2 = runner.apply_batch_df(spark.createDataFrame(
+        [("d3", [4], 1, "web", "insert", 0, 4)], ev_schema), 1)
+    assert st2["dlq_rejected"] == 0
+    assert not os.path.exists(str(tmp_path / "wh" / "corpus_dlq" / "batch=1"))
+
+    # pure redelivery of batch 0: stale null-key events are below the
+    # watermark (not fresh) and must not be re-quarantined
+    runner.apply_batch_df(spark.createDataFrame(rows, ev_schema), 0)
+    assert runner._last_dlq_count == 0
