@@ -179,6 +179,9 @@ class IngestRunner:
         # _last_dlq_count and in the batch stats dict
         self.dlq = dlq
         self._last_dlq_count = 0
+        # fold per-batch metric files into one once this many accumulate
+        # (_rollup_metrics); observability must not cost O(batches) files
+        self.metrics_rollup_files = 512
         # "maxby" (algebraic partial-agg; default) or "semijoin" (payload
         # never shuffles; needs file-backed input for _metadata row ids and
         # a broadcastable winner set — see collapse.py for the trade-off)
@@ -701,6 +704,44 @@ class IngestRunner:
              for n, c in zip(names, cols)}
         )
         pq.write_table(tbl, os.path.join(self.metrics_dir, f"batch-{batch_id:06d}.parquet"))
+        try:
+            entries = [f for f in os.listdir(self.metrics_dir)
+                       if f.endswith(".parquet")]
+        except OSError:
+            return
+        if len(entries) > self.metrics_rollup_files:
+            self._rollup_metrics(entries)
+
+    def _rollup_metrics(self, entries: list[str]) -> None:
+        """Bound the metrics table's FILE COUNT (10^6 batches must not mean
+        10^6 parquet files — listing alone would dominate): fold all metric
+        files into one, driver-side pyarrow. Duplicate (batch_id, part_id)
+        rows — a batch redelivered after an earlier fold — resolve
+        keep-last (newest attempt), matching the per-batch overwrite
+        semantics of the un-folded layout; between folds both attempts are
+        transiently visible (observability rows, not engine state).
+        Crash-safe in the duplicates-over-loss direction: the folded file
+        is published (atomic rename) BEFORE the originals are removed."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        paths = [os.path.join(self.metrics_dir, f) for f in sorted(entries)]
+        merged = pa.concat_tables([pq.read_table(p) for p in paths])
+        df = merged.to_pandas().drop_duplicates(
+            ["batch_id", "part_id"], keep="last")
+        hi = int(df["batch_id"].max()) if len(df) else 0
+        out = os.path.join(self.metrics_dir, f"agg-{hi:09d}.parquet")
+        tmp = out + ".inprogress"
+        pq.write_table(
+            pa.Table.from_pandas(df, schema=merged.schema,
+                                 preserve_index=False), tmp)
+        os.replace(tmp, out)
+        for p in paths:
+            if p != out:
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
 
     def run(self, changes_dir: str, start_batch: int = 0, max_batches: int | None = None) -> dict:
         """Consume the change log; resumable — re-running from ANY

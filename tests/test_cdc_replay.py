@@ -508,3 +508,48 @@ def test_dlq_quarantines_null_key_events(spark, tmp_path):
     # watermark (not fresh) and must not be re-quarantined
     runner.apply_batch_df(spark.createDataFrame(rows, ev_schema), 0)
     assert runner._last_dlq_count == 0
+
+
+def test_metrics_rollup_bounds_file_count(spark, tmp_path):
+    """Per-batch metric files fold into one once the count crosses the
+    threshold — file count stays O(1) with batch count, rows intact;
+    a batch redelivered after a fold resolves keep-last at the next fold
+    (same replace semantics as the un-folded layout)."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from tenzir_spark.cdc.runner import IngestRunner
+
+    runner = IngestRunner(spark, str(tmp_path / "wh"), n_buckets=4)
+    runner.ensure_table()
+    runner.metrics_rollup_files = 3
+    ev_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("lsn", T.LongType()),
+    ])
+    for b in range(6):
+        runner.apply_batch_df(spark.createDataFrame(
+            [(f"d{b}", [b], 1, "web", "insert", 0, b)], ev_schema), b)
+    files = [f for f in os.listdir(runner.metrics_dir) if f.endswith(".parquet")]
+    assert len(files) <= 4, files  # folded, not one per batch
+    m = runner.read_metrics()
+    assert m.count() == 6  # one (batch, part) row per batch, none lost
+    assert {r["batch_id"] for r in m.collect()} == set(range(6))
+    assert all(r["events_in"] == 1 for r in m.collect())
+
+    # redeliver batch 0 (stale) -> overwrites/duplicates transiently;
+    # after the next fold the newest attempt wins and the count is stable
+    runner.apply_batch_df(spark.createDataFrame(
+        [(f"d0", [0], 1, "web", "insert", 0, 0)], ev_schema), 0)
+    runner._rollup_metrics(
+        [f for f in os.listdir(runner.metrics_dir) if f.endswith(".parquet")])
+    m2 = runner.read_metrics()
+    assert m2.count() == 6
+    redel = m2.filter("batch_id = 0").first()
+    assert redel["events_applied"] == 0  # the redelivery attempt's row won
