@@ -82,6 +82,9 @@ def main() -> None:
     p.add_argument("--sorted-compaction", action="store_true",
                    help="key-sort each bucket file during folds (row-group-"
                         "pruned point lookups; ~25%% extra fold time)")
+    p.add_argument("--no-writer-lease", action="store_true",
+                   help="skip the cross-process single-writer flock on the "
+                        "table (on by default for the one-shot CLI)")
     p.add_argument("--dlq", action="store_true",
                    help="quarantine fresh null-key events to "
                         "<warehouse>/<table>_dlq/batch=<id>/ instead of "
@@ -137,6 +140,7 @@ def main() -> None:
         retain_snapshots=args.retain_snapshots,
         sorted_compaction=args.sorted_compaction,
         dlq=args.dlq,
+        writer_lease=not args.no_writer_lease,
     )
     stats = runner.run(args.changes, start_batch=args.start_batch)
     for st in stats["batch_stats"]:

@@ -144,6 +144,7 @@ class IngestRunner:
         retain_snapshots: int | None = None,
         sorted_compaction: bool = False,
         dlq: bool = False,
+        writer_lease: bool = False,
     ):
         self.spark = spark
         self.warehouse = warehouse
@@ -182,6 +183,11 @@ class IngestRunner:
         # fold per-batch metric files into one once this many accumulate
         # (_rollup_metrics); observability must not cost O(batches) files
         self.metrics_rollup_files = 512
+        # cross-process single-writer guard (LakeTable.acquire_writer_lease),
+        # taken at ensure_table. Off by default so sequential runners over
+        # one warehouse in a long-lived process (tests, notebooks) don't
+        # need explicit releases; the one-shot CLI turns it ON.
+        self.writer_lease = writer_lease
         # "maxby" (algebraic partial-agg; default) or "semijoin" (payload
         # never shuffles; needs file-backed input for _metadata row ids and
         # a broadcastable winner set — see collapse.py for the trade-off)
@@ -217,6 +223,8 @@ class IngestRunner:
 
     # ------------------------------------------------------------- helpers
     def ensure_table(self, payload_schema: T.StructType = BASE_PAYLOAD_SCHEMA) -> None:
+        if self.writer_lease:
+            self.table.acquire_writer_lease()
         if not self.table.exists():
             self.table.create(payload_schema, n_buckets=self.n_buckets, key=self.key,
                               properties={"watermarks": {}, "last_batch_id": -1})

@@ -81,6 +81,7 @@ class LakeTable:
         # True while a fold is reading a pinned snapshot outside the lock;
         # expire_snapshots refuses to delete files under a live fold
         self._compacting = False
+        self._lease_fd: int | None = None
 
     def _alloc_commit_id(self) -> int:
         """Commit ids name data directories (``_commit=<id>``) and define
@@ -191,6 +192,40 @@ class LakeTable:
         _atomic_write(os.path.join(self.meta_dir, f"v{version:08d}.json"), json.dumps(snap))
         _atomic_write(self.head_path, str(version))
         return version
+
+    # --------------------------------------------------------------- lease
+    def acquire_writer_lease(self) -> None:
+        """Single-writer enforcement across PROCESSES (within one process
+        the table lock already serializes): an OS advisory ``flock`` on
+        ``_snapshots/WRITER_LOCK`` held for this instance's lifetime. A
+        second writer fails fast with a clear message instead of
+        corrupting commit-id allocation (two processes would hand out the
+        same cid). Released automatically when the process dies — flock
+        semantics, so there is no stale-lease recovery problem. Readers
+        never take the lease (snapshot isolation needs no lock)."""
+        import fcntl
+
+        if self._lease_fd is not None:
+            return
+        os.makedirs(self.meta_dir, exist_ok=True)
+        fd = os.open(os.path.join(self.meta_dir, "WRITER_LOCK"),
+                     os.O_RDWR | os.O_CREAT, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            os.close(fd)
+            raise RuntimeError(
+                f"another process holds the writer lease on {self.root}; "
+                "this table is single-writer (concurrent readers are fine)"
+            ) from None
+        os.ftruncate(fd, 0)
+        os.write(fd, str(os.getpid()).encode())
+        self._lease_fd = fd
+
+    def release_writer_lease(self) -> None:
+        if self._lease_fd is not None:
+            os.close(self._lease_fd)  # closing the fd drops the flock
+            self._lease_fd = None
 
     # ---------------------------------------------------------------- expr
     def bucket_expr(self, key_col: str) -> F.Column:

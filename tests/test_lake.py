@@ -473,3 +473,76 @@ def test_read_changes_downstream_apply_roundtrip(spark, tmp_path):
     got = {(r["doc_id"], tuple(r["tokens"] or []))
            for r in dst.read(spark).collect()}
     assert got == want == {("a", (7,)), ("b", (2,))}
+
+
+def test_writer_lease_single_writer(spark, tmp_path):
+    """Cross-process single-writer guard: a second table handle cannot
+    take the lease while the first holds it; release (or process death —
+    flock) frees it. Readers are unaffected."""
+    import pytest as _pytest
+
+    t1 = LakeTable(str(tmp_path), "t_lease")
+    t1.create(SCHEMA, n_buckets=4)
+    t1.acquire_writer_lease()
+    t1.acquire_writer_lease()  # idempotent for the holder
+
+    t2 = LakeTable(str(tmp_path), "t_lease")
+    with _pytest.raises(RuntimeError, match="writer lease"):
+        t2.acquire_writer_lease()
+    # reading needs no lease
+    t1.append(_mk(spark, [("a", [1], 1, "web")]), "doc_id")
+    assert t2.read(spark).count() == 1
+
+    t1.release_writer_lease()
+    t2.acquire_writer_lease()
+    t2.release_writer_lease()
+
+
+def test_read_changes_random_invariant(spark, tmp_path):
+    """Changelog completeness, randomized: for EVERY snapshot pair
+    (v_i < v_j) of a random op history (upserts/deletes/a mid-history
+    fold), applying read_changes(v_i, v_j) on top of state(v_i)
+    reproduces state(v_j) exactly."""
+    import random
+
+    rng = random.Random(7)
+    t = LakeTable(str(tmp_path), "t_rand")
+    t.create(SCHEMA, n_buckets=4)
+    keys = [f"k{i}" for i in range(12)]
+    versions = [0]
+    for b in range(5):
+        chosen = rng.sample(keys, rng.randint(2, 6))
+        live = [(k, [b, rng.randint(0, 99)], 2, "web")
+                for k in chosen if rng.random() >= 0.3]
+        dead = [k for k in chosen if k not in {r[0] for r in live}]
+        parts = []
+        if live:
+            parts.append(_delta_df(spark, t, live))
+        if dead:
+            parts.append(_delta_df(
+                spark, t, [(k, None, None, None) for k in dead]
+            ).withColumn("_deleted", F.lit(True)))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        t.delta_commit(df, schema=SCHEMA, properties={})
+        versions.append(t.current_version())
+        if b == 2:
+            t.compact(spark)
+            versions.append(t.current_version())
+
+    state = {
+        v: {r["doc_id"]: tuple(r["tokens"]) for r in
+            t.read(spark, version=v).collect()}
+        for v in versions
+    }
+    for i in range(len(versions)):
+        for j in range(i + 1, len(versions)):
+            vi, vj = versions[i], versions[j]
+            replayed = dict(state[vi])
+            for r in t.read_changes(spark, vi, vj).collect():
+                if r["op"] == "delete":
+                    replayed.pop(r["doc_id"], None)
+                else:
+                    replayed[r["doc_id"]] = tuple(r["tokens"])
+            assert replayed == state[vj], (vi, vj)
