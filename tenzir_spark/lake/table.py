@@ -776,6 +776,15 @@ class LakeTable:
         prior = {e["path"] for e in self.snapshot(since_version)["files"]}
         new_deltas: dict[str, dict] = {}
         for v in range(since_version + 1, to_v + 1):
+            if self.snapshot(v).get("rollback_of") is not None:
+                # the reversion of keys touched after the rollback target
+                # has no delta-file representation — an incremental window
+                # crossing it would silently MISS changes
+                raise ValueError(
+                    f"changelog window ({since_version}, {to_v}] crosses a "
+                    f"rollback at v{v}; re-bootstrap the consumer from a "
+                    "full read"
+                )
             for e in self.snapshot(v)["files"]:
                 if e.get("kind") == "delta" and e["path"] not in prior:
                     new_deltas.setdefault(e["path"], e)
@@ -812,12 +821,22 @@ class LakeTable:
             if version not in self.versions():
                 raise ValueError(f"snapshot v{version} is expired or unknown")
             snap = self.snapshot(version)
-            return self.commit(
+            v = self.commit(
                 list(snap["files"]),
                 T.StructType.fromJson(snap["schema"]),
                 dict(snap.get("properties", {})),
                 n_buckets=snap["n_buckets"],
             )
+            # mark the published manifest as a rollback: read_changes must
+            # refuse to cross it (the reversion of keys touched after the
+            # rollback target is NOT representable by the window's delta
+            # files — downstream changelog consumers re-bootstrap instead)
+            path = os.path.join(self.meta_dir, f"v{v:08d}.json")
+            with open(path) as f:
+                published = json.load(f)
+            published["rollback_of"] = version
+            _atomic_write(path, json.dumps(published))
+            return v
 
     def append(self, df: DataFrame, key_col: str, properties: dict | None = None) -> int:
         """Append-only commit (no merge)."""

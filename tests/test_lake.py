@@ -546,3 +546,28 @@ def test_read_changes_random_invariant(spark, tmp_path):
                 else:
                     replayed[r["doc_id"]] = tuple(r["tokens"])
             assert replayed == state[vj], (vi, vj)
+
+
+def test_read_changes_refuses_rollback_window(spark, tmp_path):
+    """A changelog window crossing a rollback raises: the reversion of
+    keys touched after the rollback target has no delta-file
+    representation, so an incremental read would silently miss changes.
+    Windows strictly after the rollback work again."""
+    import pytest as _pytest
+
+    t = LakeTable(str(tmp_path), "t_rbch")
+    t.create(SCHEMA, n_buckets=4)
+    v1 = t.delta_commit(_delta_df(spark, t, [("a", [1], 1, "web")]),
+                        schema=SCHEMA, properties={})[0]
+    t.delta_commit(_delta_df(spark, t, [("b", [2], 1, "web")]),
+                   schema=SCHEMA, properties={})
+    v_rb = t.rollback(v1)  # v3: state back to {a}
+    with _pytest.raises(ValueError, match="crosses a rollback"):
+        t.read_changes(spark, v1)
+    with _pytest.raises(ValueError, match="crosses a rollback"):
+        t.read_changes(spark, 0, v_rb)
+    # fresh consumer after re-bootstrap: windows past the rollback work
+    t.delta_commit(_delta_df(spark, t, [("c", [3], 1, "web")]),
+                   schema=SCHEMA, properties={})
+    ch = {r["doc_id"]: r["op"] for r in t.read_changes(spark, v_rb).collect()}
+    assert ch == {"c": "upsert"}
