@@ -1525,6 +1525,52 @@ WHERE doc_id % 3 = 0 OR doc_id % 7 = 0
 """
 
 
+def q_cdc_dlq(spark, sf):
+    """Dead-letter quarantine, value-checked end to end: a change batch
+    derived from `events` where every 11th event has a NULL primary key
+    runs through the ENGINE's micro-batch body (IngestRunner.apply_batch_df
+    with dlq=True); the quarantined envelopes — and only they — must
+    equal the relational definition of the malformed subset. Applied rows
+    land in the table; rejected rows land in <warehouse>/corpus_dlq
+    (reference analog: diagnostics surface dropped events,
+    builtins/operators/diagnostics.cpp)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from tenzir_spark.cdc.runner import IngestRunner
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 5000)
+    batch = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.lit(0).alias("part_id"),
+        F.lit("insert").alias("op"),
+        F.when(F.col("event_id") % 11 != 0,
+               F.concat(F.lit("d"), F.col("user_id"))).alias("doc_id"),
+        F.col("value").alias("val"),
+    )
+    tmp = tempfile.mkdtemp(prefix="tzs_dlq_")
+    try:
+        runner = IngestRunner(spark, tmp, n_buckets=8, dlq=True)
+        runner.ensure_table(T.StructType([
+            T.StructField("doc_id", T.StringType(), True),
+            T.StructField("val", T.DoubleType(), True),
+        ]))
+        runner.apply_batch_df(batch, 0)
+        dlq = spark.read.parquet(os.path.join(tmp, "corpus_dlq", "batch=0"))
+        out = dlq.select(F.col("lsn").alias("event_id"), "val")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+SQL_CDC_DLQ = """
+SELECT event_id, value AS val FROM events
+WHERE event_id < 5000 AND event_id % 11 = 0
+"""
+
+
 def q_tql_top(spark, sf):
     """where | top --count-field (top.md: summarize count | sort desc)."""
     ev = load(spark, sf, "events")
@@ -2022,6 +2068,7 @@ REGISTRY: dict[str, tuple] = {
     "parse_zeek_json": (q_parse_zeek_json, SQL_PARSE_ZEEK_JSON),
     "tql_python": (q_tql_python, SQL_TQL_PYTHON),
     "lake_changelog": (q_lake_changelog, SQL_LAKE_CHANGELOG),
+    "cdc_dlq": (q_cdc_dlq, SQL_CDC_DLQ),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.
