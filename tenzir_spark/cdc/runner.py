@@ -508,9 +508,12 @@ class IngestRunner:
                 for fn in os.listdir(dlq_dir) if fn.endswith(".parquet")
             )
             if n_rej == 0:
+                import contextlib
                 import shutil as _sh
 
                 _sh.rmtree(dlq_dir, ignore_errors=True)
+                with contextlib.suppress(OSError):  # parent only if empty
+                    os.rmdir(os.path.dirname(dlq_dir))
             self._last_dlq_count = n_rej
         data = raw.filter(
             is_fresh & (F.col("op") != "schema_change") & F.col(self.key).isNotNull()

@@ -553,3 +553,46 @@ def test_metrics_rollup_bounds_file_count(spark, tmp_path):
     assert m2.count() == 6
     redel = m2.filter("batch_id = 0").first()
     assert redel["events_applied"] == 0  # the redelivery attempt's row won
+
+
+def test_maintenance_features_are_semantics_neutral(spark, tmp_path):
+    """Integration soak: the SAME change log ingested (a) with engine
+    defaults and (b) with every maintenance feature on — snapshot
+    retention, DLQ, async compaction, key-sorted folds, low fold
+    thresholds — must produce the IDENTICAL final table (row-level,
+    token-array equality). Maintenance is operability machinery; it may
+    never touch the exactly-once result. Also proves retention actually
+    bounds the manifest count under real ingest."""
+    from tenzir_spark.cdc.changegen import generate_changes
+    from tenzir_spark.cdc.runner import IngestRunner
+
+    chg = str(tmp_path / "chg")
+    generate_changes(chg, n_events=60_000, n_docs=4_000, n_parts=4,
+                     n_batches=6, schema_change_batch=3)
+
+    plain = IngestRunner(spark, str(tmp_path / "wh_plain"), n_buckets=8)
+    plain.run(chg)
+
+    maxed = IngestRunner(
+        spark, str(tmp_path / "wh_maxed"), n_buckets=8,
+        compact_min_rows=5_000, compact_max_commits=2,
+        async_compact=True, retain_snapshots=2, sorted_compaction=True,
+        dlq=True, stats_mode="winners",
+    )
+    maxed.run(chg)
+    maxed.finish_compaction()
+
+    def fingerprint(runner):
+        df = runner.table.read(spark)
+        cols = sorted(c for c in df.columns if not c.startswith("_"))
+        return sorted(tuple(r[c] if not isinstance(r[c], list) else tuple(r[c])
+                            for c in cols)
+                      for r in df.collect())
+
+    assert fingerprint(plain) == fingerprint(maxed)
+    # retention really bounded history (plain retains one per commit)
+    assert len(maxed.table.versions()) < len(plain.table.versions())
+    # clean generated log: nothing quarantined
+    import os
+
+    assert not os.path.exists(str(tmp_path / "wh_maxed" / "corpus_dlq"))
