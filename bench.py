@@ -123,6 +123,25 @@ def main() -> None:
     )
     shutil.rmtree(warm_dir, ignore_errors=True)
 
+    # fixed-cost probe: median wall of 15 trivial 32-task jobs AFTER
+    # warmup. Pure scheduler/JVM round-trips — no data, no shuffle of
+    # substance. Good box: ~30-60 ms; the degraded host states measured
+    # on 2026-08-17/18 push this to 200-1000+ ms, which multiplies into
+    # every micro-batch's ~10-job chain. Read cdc_* numbers through this
+    # field: it moves with the HOST, never with engine changes.
+    import statistics as _stats
+
+    job_walls = []
+    for _ in range(15):
+        t0 = time.monotonic()
+        spark.range(32 * 1000, numPartitions=32).selectExpr(
+            "sum(id) AS s").collect()
+        job_walls.append((time.monotonic() - t0) * 1000)
+    health["box_spark_job_ms"] = round(_stats.median(job_walls), 1)
+    # the degraded states stall INTERMITTENTLY (multi-second freezes
+    # between fast jobs) — the max catches what the median hides
+    health["box_spark_job_max_ms"] = round(max(job_walls), 1)
+
     # per-query codegen warmup: run the SAME query at sf0.001 first. The
     # generated-code cache keys on source text, which depends on the plan
     # shape, not the data — so the sf0.1 run then measures the QUERY, not
