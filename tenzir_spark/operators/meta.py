@@ -195,9 +195,11 @@ def show(spark: SparkSession, aspect: str, table=None) -> DataFrame:
         rows = [Row(key=k, value=json.dumps(v, sort_keys=True)) for k, v in sorted(props.items())]
         return spark.createDataFrame(rows, "key string, value string")
     if aspect == "snapshots":
+        # RETAINED versions only (expire_snapshots removes manifests —
+        # a dense range() would crash on the expired holes); rollbacks
+        # carry their marker so the history reads honestly
         rows = []
-        v = table.current_version()
-        for ver in range(v + 1):
+        for ver in table.versions():
             s = table.snapshot(ver)
             base = [e for e in s["files"] if e.get("kind", "base") == "base"]
             deltas = [e for e in s["files"] if e.get("kind") == "delta"]
@@ -207,10 +209,12 @@ def show(spark: SparkSession, aspect: str, table=None) -> DataFrame:
                 n_base_files=len(base),
                 n_delta_files=len(deltas),
                 total_rows=sum(int(e.get("rows", 0)) for e in s["files"]),
+                rollback_of=s.get("rollback_of"),
             ))
         return spark.createDataFrame(
             rows,
-            "version long, parent long, n_base_files long, n_delta_files long, total_rows long",
+            "version long, parent long, n_base_files long, "
+            "n_delta_files long, total_rows long, rollback_of long",
         )
     raise ValueError(f"unknown aspect {aspect!r} "
                      "(partitions|fields|properties|snapshots|version|"

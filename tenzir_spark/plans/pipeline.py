@@ -51,6 +51,7 @@ dedicated modules: sources/, streaming/, lake/):
     export <table_root> [--changes-since <v> [--to <v>]]
                              | … | import <table_root>
     subscribe <warehouse>/<topic>  (publish is an operator stage)
+    metrics <warehouse>      (ingest telemetry as a source)
     every <interval> <pipeline>    cron "<expr>" <pipeline>
       (run_tql_every — scheduled re-execution, injectable clock)
 
@@ -922,6 +923,7 @@ _EXPORT_RE = re.compile(
     r"(?:\s+--changes-since\s+(\d+))?(?:\s+--to\s+(\d+))?\s*$")
 _IMPORT_RE = re.compile(r"import\s+(\S+)\s*$")
 _SUBSCRIBE_RE = re.compile(r"subscribe\s+(\S+)\s*$")
+_METRICS_RE = re.compile(r"metrics\s+(\S+)\s*$")
 
 
 def _lake_table(root: str):
@@ -950,10 +952,21 @@ def run_tql_source(spark, text: str, order_by: str | None = None,
     m = _FROM_RE.fullmatch(head)
     em = _EXPORT_RE.fullmatch(head)
     sm = _SUBSCRIBE_RE.fullmatch(head)
-    if source_df is not None and not (m or em or sm):
+    km = _METRICS_RE.fullmatch(head)
+    if source_df is not None and not (m or em or sm or km):
         df = source_df
         stages = ["__source__", *stages]  # operator stages start at [1]
-        m = em = sm = None
+        m = em = sm = km = None
+    elif km:
+        # `metrics <warehouse>` — the engine's own ingest telemetry as a
+        # pipeline source (reference: operators/metrics.cpp feeds node
+        # metrics into a pipeline); one row per (batch, source partition)
+        import os as _os
+
+        from tenzir_spark.cdc.runner import METRICS_SCHEMA
+
+        df = spark.read.schema(METRICS_SCHEMA).parquet(
+            _os.path.join(km.group(1).rstrip("/"), "ingest_metrics"))
     elif sm:
         # `subscribe <warehouse>/<topic>` — batch read of everything the
         # topic holds so far (publish.md's counterpart; operators/topics)

@@ -432,3 +432,45 @@ def test_run_tql_every_and_cron(spark, tmp_path):
 
     with pytest.raises(TqlError):
         run_tql_every(spark, "from x | pass", n_runs=1)
+
+
+def test_metrics_source_stage(spark, tmp_path):
+    """`metrics <warehouse>` feeds the engine's ingest telemetry into a
+    pipeline (reference operators/metrics.cpp); `show snapshots` stays
+    usable after expiry and carries the rollback marker."""
+    import pyspark.sql.types as T
+
+    from tenzir_spark.cdc.runner import IngestRunner
+    from tenzir_spark.operators.meta import show
+    from tenzir_spark.plans.pipeline import run_tql_source
+
+    runner = IngestRunner(spark, str(tmp_path / "wh"), n_buckets=4)
+    runner.ensure_table()
+    ev_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("lsn", T.LongType()),
+    ])
+    for b in range(3):
+        runner.apply_batch_df(spark.createDataFrame(
+            [(f"d{i}", [b], 1, "web", "insert", 0, b * 10 + i)
+             for i in range(5)], ev_schema), b)
+
+    out = run_tql_source(
+        spark,
+        f"metrics {tmp_path}/wh | where events_applied > 0 "
+        "| summarize applied=sum(events_applied) by part_id")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["applied"] == 15
+
+    # snapshots aspect after rollback + expiry: no crash, marker present
+    v = runner.table.rollback(1)
+    runner.table.expire_snapshots(keep_last=3)
+    snaps = {r["version"]: r for r in
+             show(spark, "snapshots", runner.table).collect()}
+    assert set(snaps) == set(runner.table.versions())
+    assert snaps[v]["rollback_of"] == 1
