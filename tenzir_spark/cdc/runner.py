@@ -493,9 +493,19 @@ class IngestRunner:
             # one extra filtered write job per batch, and only rejected
             # rows shuffle (reference analog: diagnostics/warnings surface
             # dropped events, builtins/operators/diagnostics.cpp).
+            # quarantine = fresh AND not-applicable AND not a control
+            # event. Null-safe on BOTH op and key: a null-op event fails
+            # the apply filter below (NULL != 'schema_change' is NULL),
+            # so it must land here too — anything fresh the engine won't
+            # apply either quarantines or is a control event, never a
+            # silent drop.
+            applicable = (
+                (F.col("op") != "schema_change") & F.col(self.key).isNotNull()
+            )
             rejected = raw.filter(
-                is_fresh & (F.col("op") != "schema_change")
-                & F.col(self.key).isNull()
+                is_fresh
+                & ~F.coalesce(applicable, F.lit(False))
+                & ~F.col("op").eqNullSafe("schema_change")
             ).drop("_wm")
             dlq_dir = os.path.join(self.warehouse,
                                    f"{self.table_name}_dlq",
@@ -742,7 +752,10 @@ class IngestRunner:
             ["batch_id", "part_id"], keep="last")
         hi = int(df["batch_id"].max()) if len(df) else 0
         out = os.path.join(self.metrics_dir, f"agg-{hi:09d}.parquet")
-        tmp = out + ".inprogress"
+        # dot-prefixed temp: Spark's directory listing skips dotfiles, so
+        # a crash mid-write can never leave a truncated file that breaks
+        # (or a complete one that double-counts) every later metrics read
+        tmp = os.path.join(self.metrics_dir, f".agg-{hi:09d}.inprogress")
         pq.write_table(
             pa.Table.from_pandas(df, schema=merged.schema,
                                  preserve_index=False), tmp)

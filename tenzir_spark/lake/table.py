@@ -90,7 +90,15 @@ class LakeTable:
         commit can both write files concurrently without colliding."""
         with self._lock:
             if self._next_cid is None:
-                entries = self.snapshot()["files"]
+                # seed from EVERY retained manifest, not just HEAD: after a
+                # rollback, HEAD's file cids rewind while higher-cid base
+                # dirs are still referenced by retained snapshots (and
+                # no-op compacts burn cids past the version counter) — a
+                # HEAD-only seed could reallocate such a cid after restart
+                # and mode("overwrite") the still-referenced directory
+                entries = []
+                for v in self.versions():
+                    entries.extend(self.snapshot(v)["files"])
                 self._next_cid = max(
                     [e["commit"] for e in entries] + [self.current_version()]
                 ) + 1
@@ -143,8 +151,9 @@ class LakeTable:
         return sorted(out)
 
     def history(self) -> list[dict]:
-        """One summary row per retained snapshot (Iceberg `history` /
-        the reference's partition-version listing, `show partitions`)."""
+        """One summary row per RETAINED snapshot (Iceberg `history`; the
+        single source of truth for `show snapshots` in operators/meta.py).
+        ``rollback_of`` is the rollback marker (None for normal commits)."""
         rows = []
         for v in self.versions():
             snap = self.snapshot(v)
@@ -155,6 +164,7 @@ class LakeTable:
                 "base_files": len(base),
                 "delta_files": len(deltas),
                 "rows": sum(e.get("rows", 0) for e in snap["files"]),
+                "rollback_of": snap.get("rollback_of"),
                 "watermarks": dict(
                     snap.get("properties", {}).get("watermarks", {})
                 ),
@@ -176,8 +186,12 @@ class LakeTable:
         schema: T.StructType,
         properties: dict,
         n_buckets: int | None = None,
+        extra: dict | None = None,
     ) -> int:
-        """Atomically publish a new snapshot. ``files`` is the FULL new list."""
+        """Atomically publish a new snapshot. ``files`` is the FULL new
+        list. ``extra`` fields (e.g. the rollback marker) are part of the
+        SAME atomic manifest write — never patched in afterwards, so a
+        crash can't publish a snapshot missing its marker."""
         parent = self.current_version()
         version = parent + 1
         snap = {
@@ -188,6 +202,7 @@ class LakeTable:
             "key": self.snapshot().get("key", "doc_id"),
             "files": files,
             "properties": properties,
+            **(extra or {}),
         }
         _atomic_write(os.path.join(self.meta_dir, f"v{version:08d}.json"), json.dumps(snap))
         _atomic_write(self.head_path, str(version))
@@ -601,13 +616,14 @@ class LakeTable:
             if self._compacting:
                 raise RuntimeError("a compaction is already in flight")
             self._compacting = True
-            snap = self.snapshot()
-            cid = self._alloc_commit_id()
         try:
+            with self._lock:
+                snap = self.snapshot()
             schema = T.StructType.fromJson(snap["schema"])
             base, deltas = self._split_entries(snap["files"])
             if not deltas:
-                return None
+                return None  # no cid burned on a no-op fold
+            cid = self._alloc_commit_id()
             key = snap.get("key", "doc_id")
             hot = set()
             for e in deltas:
@@ -821,22 +837,19 @@ class LakeTable:
             if version not in self.versions():
                 raise ValueError(f"snapshot v{version} is expired or unknown")
             snap = self.snapshot(version)
-            v = self.commit(
+            # the rollback marker rides the SAME atomic manifest write:
+            # read_changes must refuse to cross it (the reversion of keys
+            # touched after the rollback target is NOT representable by
+            # the window's delta files — downstream changelog consumers
+            # re-bootstrap instead), and a crash mid-rollback must never
+            # publish an unmarked rollback the changelog silently crosses
+            return self.commit(
                 list(snap["files"]),
                 T.StructType.fromJson(snap["schema"]),
                 dict(snap.get("properties", {})),
                 n_buckets=snap["n_buckets"],
+                extra={"rollback_of": version},
             )
-            # mark the published manifest as a rollback: read_changes must
-            # refuse to cross it (the reversion of keys touched after the
-            # rollback target is NOT representable by the window's delta
-            # files — downstream changelog consumers re-bootstrap instead)
-            path = os.path.join(self.meta_dir, f"v{v:08d}.json")
-            with open(path) as f:
-                published = json.load(f)
-            published["rollback_of"] = version
-            _atomic_write(path, json.dumps(published))
-            return v
 
     def append(self, df: DataFrame, key_col: str, properties: dict | None = None) -> int:
         """Append-only commit (no merge)."""

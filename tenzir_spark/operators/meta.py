@@ -195,22 +195,20 @@ def show(spark: SparkSession, aspect: str, table=None) -> DataFrame:
         rows = [Row(key=k, value=json.dumps(v, sort_keys=True)) for k, v in sorted(props.items())]
         return spark.createDataFrame(rows, "key string, value string")
     if aspect == "snapshots":
-        # RETAINED versions only (expire_snapshots removes manifests —
-        # a dense range() would crash on the expired holes); rollbacks
-        # carry their marker so the history reads honestly
-        rows = []
-        for ver in table.versions():
-            s = table.snapshot(ver)
-            base = [e for e in s["files"] if e.get("kind", "base") == "base"]
-            deltas = [e for e in s["files"] if e.get("kind") == "delta"]
-            rows.append(Row(
-                version=ver,
-                parent=s.get("parent"),
-                n_base_files=len(base),
-                n_delta_files=len(deltas),
-                total_rows=sum(int(e.get("rows", 0)) for e in s["files"]),
-                rollback_of=s.get("rollback_of"),
-            ))
+        # LakeTable.history() is the single source of truth: RETAINED
+        # versions only (a dense range() would crash on expired holes),
+        # rollbacks carrying their marker so the history reads honestly
+        rows = [
+            Row(
+                version=h["version"],
+                parent=h["parent"],
+                n_base_files=h["base_files"],
+                n_delta_files=h["delta_files"],
+                total_rows=h["rows"],
+                rollback_of=h["rollback_of"],
+            )
+            for h in table.history()
+        ]
         return spark.createDataFrame(
             rows,
             "version long, parent long, n_base_files long, "

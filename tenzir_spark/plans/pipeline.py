@@ -1016,6 +1016,11 @@ def run_tql_source(spark, text: str, order_by: str | None = None,
             df = _lake_table(em.group(1)).read_changes(
                 spark, int(em.group(2)),
                 int(em.group(3)) if em.group(3) else None)
+        elif em.group(3) is not None:
+            raise TqlError(
+                "export: --to requires --changes-since (a full read has "
+                "no window; use --changes-since 0 --to <v> for a bounded "
+                "changelog)")
         else:
             df = _lake_table(em.group(1)).read(spark).drop(BUCKET_COL, COMMIT_COL)
     else:

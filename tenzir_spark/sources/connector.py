@@ -449,8 +449,11 @@ class LakeChangeConnector(ChangeConnector):
         )
         self._pos = end
         self._batch_no += 1
-        return SourceBatch(df=df, end_offsets={0: end},
-                           batch_id=self._batch_no - 1)
+        # batch_id = the durable window-end upstream version, NOT a
+        # per-instance counter: every incremental run constructs a fresh
+        # connector, and a counter restarting at 0 would overwrite the
+        # downstream's earlier DLQ quarantine dirs and metrics rows
+        return SourceBatch(df=df, end_offsets={0: end}, batch_id=end)
 
     def ack(self, offsets: dict[int, int]) -> None:
         self.acked = {int(k): int(v) for k, v in offsets.items()}

@@ -487,13 +487,14 @@ def test_dlq_quarantines_null_key_events(spark, tmp_path):
     rows = [("d1", [1], 1, "web", "insert", 0, 0),
             (None, [2], 1, "web", "insert", 0, 1),
             (None, None, None, None, "delete", 0, 2),
+            ("d9", [9], 1, "web", None, 0, 5),  # null OP, keyed: un-appliable
             ("d2", [3], 1, "web", "insert", 0, 3)]
     st = runner.apply_batch_df(spark.createDataFrame(rows, ev_schema), 0)
-    assert st["dlq_rejected"] == 2
+    assert st["dlq_rejected"] == 3
     dlq_dir = str(tmp_path / "wh" / "corpus_dlq" / "batch=0")
     got = spark.read.parquet(dlq_dir)
-    assert got.count() == 2
-    assert {r["lsn"] for r in got.collect()} == {1, 2}
+    assert got.count() == 3
+    assert {r["lsn"] for r in got.collect()} == {1, 2, 5}
     assert "op" in got.columns  # full envelope kept for replay
     # applied table has only the keyed rows
     assert {r["doc_id"] for r in runner.table.read(spark).collect()} == {"d1", "d2"}
