@@ -339,12 +339,16 @@ class LakeTable:
         cold = self.read_files(spark, cold_base, schema)
         return cold.unionByName(resolved)
 
-    def bucket_of(self, spark: SparkSession, value) -> int:
+    def bucket_of(self, spark: SparkSession, value, version: int | None = None) -> int:
         """The bucket a key value hashes to — computed with the SAME JVM
         expression the writer uses (a 1-row job; reimplementing xxhash64
-        driver-side would be a second source of truth)."""
+        driver-side would be a second source of truth). ``version`` uses
+        THAT snapshot's bucket count: after a rebucket, time-travel
+        lookups must hash with the spec the old files were written
+        under, not the current one."""
+        n = int(self.snapshot(version)["n_buckets"])
         row = spark.range(1).select(
-            F.pmod(F.xxhash64(F.lit(value)), F.lit(self.n_buckets()))
+            F.pmod(F.xxhash64(F.lit(value)), F.lit(n))
             .cast("int").alias("b")
         ).first()
         return int(row["b"])
@@ -357,7 +361,7 @@ class LakeTable:
         instead of all of it (the reference's catalog-pruned point query,
         catalog.cpp:119-171; Iceberg bucket-transform partition pruning)."""
         key = self.snapshot(version).get("key", "doc_id")
-        b = self.bucket_of(spark, value)
+        b = self.bucket_of(spark, value, version)
         return self.read(spark, buckets=[b], version=version).filter(
             F.col(key) == F.lit(value)
         )
@@ -823,6 +827,63 @@ class LakeTable:
             F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), "delete")
             .otherwise("upsert").alias("op"),
         )
+
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> int:
+        """Bucket-spec evolution (Iceberg partition-spec evolution
+        analog): rewrite every base file under a new bucket count and
+        publish atomically. The escape hatch for a table that outgrew its
+        layout — at 10^10 keys, 32 buckets mean ~300M keys per merge task;
+        widening to 256/1024 restores bounded task sizes and file counts.
+
+        One full-table rewrite (like Iceberg's rewrite after a spec
+        change), amortized over the table's lifetime. Per-row ORIGINAL
+        ``_commit`` is preserved, so LWW order — and every later fold's
+        rebase soundness — survives the move. Watermarks/properties carry
+        over untouched; old snapshots keep their own ``n_buckets``
+        (time-travel lookups hash with the spec their files were written
+        under — see bucket_of).
+
+        Single-writer maintenance op, enforced two ways: REFUSES if delta
+        files exist (their physical ``_bucket`` column predates the new
+        spec — run compact() first), and refuses at the swap if ANY commit
+        landed mid-rewrite (retry while ingest is paused). Crash
+        mid-rewrite leaves only orphan files for remove_orphan_files."""
+        if new_n_buckets < 1:
+            raise ValueError("new_n_buckets must be >= 1")
+        with self._lock:
+            if self._compacting:
+                raise RuntimeError("cannot rebucket during a compaction")
+            snap = self.snapshot()
+            base, deltas = self._split_entries(snap["files"])
+            if deltas:
+                raise RuntimeError(
+                    "rebucket requires a fully folded table (delta files "
+                    "carry the old bucket spec physically); run compact() "
+                    "first")
+            cid = self._alloc_commit_id()
+        schema = T.StructType.fromJson(snap["schema"])
+        key = snap.get("key", "doc_id")
+        df = self.read_files(spark, base, schema)
+        df = df.drop(BUCKET_COL).withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(F.col(key)), F.lit(new_n_buckets)).cast("int"),
+        )
+        new_files = self.write_commit_files(
+            df.select(*[f.name for f in schema.fields], BUCKET_COL, COMMIT_COL),
+            cid,
+        )
+        with self._lock:
+            head = self.snapshot()
+            if {e["path"] for e in head["files"]} != {e["path"] for e in snap["files"]}:
+                raise RuntimeError(
+                    "table changed during rebucket; retry while ingest "
+                    "is paused")
+            return self.commit(
+                new_files,
+                T.StructType.fromJson(head["schema"]),
+                head.get("properties", {}),
+                n_buckets=new_n_buckets,
+            )
 
     def rollback(self, version: int) -> int:
         """Iceberg ``rollback_to_snapshot`` analog: publish a NEW snapshot

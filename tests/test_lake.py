@@ -571,3 +571,59 @@ def test_read_changes_refuses_rollback_window(spark, tmp_path):
                    schema=SCHEMA, properties={})
     ch = {r["doc_id"]: r["op"] for r in t.read_changes(spark, v_rb).collect()}
     assert ch == {"c": "upsert"}
+
+
+def test_rebucket_spec_evolution(spark, tmp_path):
+    """Bucket-spec evolution: the table rewrites under a new bucket
+    count with identical content; ingest continues under the new spec;
+    time-travel lookups hash with the OLD spec for old versions; deltas
+    present or a mid-rewrite commit make it refuse."""
+    import pytest as _pytest
+
+    t = LakeTable(str(tmp_path), "t_rbk")
+    t.create(SCHEMA, n_buckets=4)
+    rows = [(f"k{i}", [i], 1, "web") for i in range(100)]
+    t.delta_commit(_delta_df(spark, t, rows), schema=SCHEMA, properties={})
+
+    with _pytest.raises(RuntimeError, match="fully folded"):
+        t.rebucket(spark, 16)
+    t.compact(spark)
+    v_old = t.current_version()
+    before = {r["doc_id"]: r["tokens"] for r in t.read(spark).collect()}
+
+    v_new = t.rebucket(spark, 16)
+    assert t.n_buckets() == 16 and v_new == t.current_version()
+    assert {r["doc_id"]: r["tokens"] for r in t.read(spark).collect()} == before
+    # every base file sits in a NEW bucket numbering, one file per bucket
+    base = [e for e in t.snapshot()["files"]]
+    assert {e["bucket"] for e in base} <= set(range(16))
+    assert len({e["bucket"] for e in base}) > 4  # actually spread wider
+
+    # lookups: current spec and time-travel against the old spec
+    assert t.lookup(spark, "k7").first()["tokens"] == [7]
+    assert t.lookup(spark, "k7", version=v_old).first()["tokens"] == [7]
+
+    # ingest continues under the new spec and folds cleanly
+    t.delta_commit(_delta_df(spark, t, [("k7", [99], 1, "wiki")]),
+                   schema=SCHEMA, properties={})
+    assert t.lookup(spark, "k7").first()["tokens"] == [99]
+    assert t.compact(spark) is not None
+    assert t.lookup(spark, "k7").first()["tokens"] == [99]
+    assert t.read(spark).count() == 100
+
+    # a commit landing mid-rewrite is refused at the swap
+    orig_write = t.write_commit_files
+
+    def write_then_sneak(df, cid, **kw):
+        out = orig_write(df, cid, **kw)
+        t.delta_commit(_delta_df(spark, t, [("zz", [1], 1, "web")]),
+                       schema=SCHEMA, properties={})
+        return out
+
+    t.compact(spark)
+    t.write_commit_files = write_then_sneak
+    try:
+        with _pytest.raises(RuntimeError, match="changed during rebucket"):
+            t.rebucket(spark, 8)
+    finally:
+        t.write_commit_files = orig_write
