@@ -1525,6 +1525,51 @@ WHERE doc_id % 3 = 0 OR doc_id % 7 = 0
 """
 
 
+def q_tql_changelog(spark, sf):
+    """The incremental changelog through the TEXT front door:
+    `export <root> --changes-since <v> | where … | select … | sort …` —
+    the same lake build as q_lake_changelog, but parsed and planned from
+    pipeline text (run_tql_source), value-checked end to end."""
+    import shutil
+    import tempfile
+
+    from tenzir_spark.lake.table import DELETED_COL, LakeTable
+    from tenzir_spark.plans.pipeline import run_tql_source
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="tzs_tqlchg_")
+    try:
+        t = LakeTable(tmp, "docs")
+        t.create(docs.schema, n_buckets=8, key="doc_id")
+        b1 = docs.withColumn("_bucket", t.bucket_expr("doc_id")).withColumn(
+            DELETED_COL, F.lit(False))
+        v1, _ = t.delta_commit(b1, schema=docs.schema, properties={})
+        upd = (
+            docs.filter(F.col("doc_id") % 4 == 0)
+            .select("doc_id", "text", "lang",
+                    F.lit("curated").alias("source"), "n_chars")
+            .withColumn("_bucket", t.bucket_expr("doc_id"))
+            .withColumn(DELETED_COL, F.lit(False))
+        )
+        t.delta_commit(upd, schema=docs.schema, properties={})
+        out = run_tql_source(
+            spark,
+            f"export {tmp}/docs --changes-since {v1}"
+            " | where op == \"upsert\" && n_chars > 200"
+            " | select doc_id, source, n_chars"
+            " | sort doc_id",
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+SQL_TQL_CHANGELOG = """
+SELECT doc_id, 'curated' AS source, n_chars FROM documents
+WHERE doc_id % 4 = 0 AND n_chars > 200 ORDER BY doc_id
+"""
+
+
 def q_cdc_dlq(spark, sf):
     """Dead-letter quarantine, value-checked end to end: a change batch
     derived from `events` where every 11th event has a NULL primary key
@@ -2069,6 +2114,7 @@ REGISTRY: dict[str, tuple] = {
     "tql_python": (q_tql_python, SQL_TQL_PYTHON),
     "lake_changelog": (q_lake_changelog, SQL_LAKE_CHANGELOG),
     "cdc_dlq": (q_cdc_dlq, SQL_CDC_DLQ),
+    "tql_changelog": (q_tql_changelog, SQL_TQL_CHANGELOG),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.
