@@ -274,6 +274,47 @@ class IngestRunner:
             self._compact_thread = threading.Thread(target=_fold, daemon=True)
             self._compact_thread.start()
 
+    def _quarantine(self, rejected: DataFrame, batch_id) -> None:
+        """Write a batch's dead letters REPLAY-SAFELY: the rejected rows
+        land in a temp attempt dir first; only a non-empty attempt's
+        files move into ``<table>_dlq/batch=<id>/`` (uuid-prefixed, so an
+        earlier attempt's files are preserved, never overwritten). A
+        replay of an already-applied batch produces an EMPTY rejected set
+        (everything is below the watermark) — it must not destroy the
+        quarantine the original attempt wrote; dead letters survive until
+        the operator deletes them."""
+        import shutil as _sh
+        import uuid as _uuid
+
+        import pyarrow.parquet as pq2
+
+        dlq_dir = os.path.join(self.warehouse, f"{self.table_name}_dlq",
+                               f"batch={batch_id}")
+        tmp_dir = os.path.join(self.warehouse, f"{self.table_name}_dlq",
+                               f".attempt-{_uuid.uuid4().hex}")
+        rejected.write.mode("overwrite").parquet(tmp_dir)
+        n_rej = 0
+        files = []
+        for fn in os.listdir(tmp_dir):
+            if fn.endswith(".parquet"):
+                n = pq2.read_metadata(os.path.join(tmp_dir, fn)).num_rows
+                if n:
+                    files.append(fn)
+                    n_rej += n
+        if n_rej:
+            os.makedirs(dlq_dir, exist_ok=True)
+            tag = _uuid.uuid4().hex[:8]
+            for fn in files:
+                os.replace(os.path.join(tmp_dir, fn),
+                           os.path.join(dlq_dir, f"{tag}-{fn}"))
+        _sh.rmtree(tmp_dir, ignore_errors=True)
+        if n_rej == 0:
+            import contextlib
+
+            with contextlib.suppress(OSError):  # parent only if empty
+                os.rmdir(os.path.dirname(dlq_dir))
+        self._last_dlq_count = n_rej
+
     def _maybe_expire(self) -> None:
         """Retention GC after a completed fold: a fold is the moment old
         delta files fall out of HEAD's manifest, so it is the moment
@@ -483,51 +524,33 @@ class IngestRunner:
             else table_schema
         )
 
+        # SHARED apply predicate: the DLQ's quarantine-completeness
+        # invariant ("anything fresh the engine won't apply either
+        # quarantines or is a control event") depends on the quarantine
+        # filter being the exact complement of THIS expression — one
+        # definition, both consumers
+        applicable = (
+            (F.col("op") != "schema_change") & F.col(self.key).isNotNull()
+        )
         if self.dlq:
-            # dead-letter quarantine: a FRESH data event without a primary
-            # key can't be applied (no LWW identity) — instead of vanishing
-            # silently it lands in <warehouse>/<table>_dlq/batch=<id>/ with
-            # its full envelope for operator replay after repair (repaired
-            # rows must be re-injected with NEW lsns — their original lsns
-            # are already below the committed watermark). Opt-in:
-            # one extra filtered write job per batch, and only rejected
-            # rows shuffle (reference analog: diagnostics/warnings surface
-            # dropped events, builtins/operators/diagnostics.cpp).
-            # quarantine = fresh AND not-applicable AND not a control
-            # event. Null-safe on BOTH op and key: a null-op event fails
-            # the apply filter below (NULL != 'schema_change' is NULL),
-            # so it must land here too — anything fresh the engine won't
-            # apply either quarantines or is a control event, never a
-            # silent drop.
-            applicable = (
-                (F.col("op") != "schema_change") & F.col(self.key).isNotNull()
+            # dead-letter quarantine: a FRESH data event the engine won't
+            # apply (null key → no LWW identity; null op → fails the apply
+            # filter, null-safely) lands in <warehouse>/<table>_dlq/
+            # batch=<id>/ with its full envelope for operator replay after
+            # repair (repaired rows re-inject with NEW lsns — their
+            # originals are already below the committed watermark).
+            # Opt-in: one extra filtered write job per batch, only
+            # rejected rows shuffle (reference analog: diagnostics
+            # surface dropped events, builtins/operators/diagnostics.cpp).
+            self._quarantine(
+                raw.filter(
+                    is_fresh
+                    & ~F.coalesce(applicable, F.lit(False))
+                    & ~F.col("op").eqNullSafe("schema_change")
+                ).drop("_wm"),
+                batch_id,
             )
-            rejected = raw.filter(
-                is_fresh
-                & ~F.coalesce(applicable, F.lit(False))
-                & ~F.col("op").eqNullSafe("schema_change")
-            ).drop("_wm")
-            dlq_dir = os.path.join(self.warehouse,
-                                   f"{self.table_name}_dlq",
-                                   f"batch={batch_id}")
-            rejected.write.mode("overwrite").parquet(dlq_dir)
-            import pyarrow.parquet as pq2
-
-            n_rej = sum(
-                pq2.read_metadata(os.path.join(dlq_dir, fn)).num_rows
-                for fn in os.listdir(dlq_dir) if fn.endswith(".parquet")
-            )
-            if n_rej == 0:
-                import contextlib
-                import shutil as _sh
-
-                _sh.rmtree(dlq_dir, ignore_errors=True)
-                with contextlib.suppress(OSError):  # parent only if empty
-                    os.rmdir(os.path.dirname(dlq_dir))
-            self._last_dlq_count = n_rej
-        data = raw.filter(
-            is_fresh & (F.col("op") != "schema_change") & F.col(self.key).isNotNull()
-        ).drop("_wm")
+        data = raw.filter(is_fresh & applicable).drop("_wm")
         if self.collapse_mode == "semijoin":
             from tenzir_spark.cdc.collapse import collapse_lww_semijoin
 

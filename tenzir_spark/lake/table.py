@@ -90,18 +90,25 @@ class LakeTable:
         commit can both write files concurrently without colliding."""
         with self._lock:
             if self._next_cid is None:
-                # seed from EVERY retained manifest, not just HEAD: after a
-                # rollback, HEAD's file cids rewind while higher-cid base
-                # dirs are still referenced by retained snapshots (and
-                # no-op compacts burn cids past the version counter) — a
-                # HEAD-only seed could reallocate such a cid after restart
-                # and mode("overwrite") the still-referenced directory
-                entries = []
-                for v in self.versions():
-                    entries.extend(self.snapshot(v)["files"])
-                self._next_cid = max(
-                    [e["commit"] for e in entries] + [self.current_version()]
-                ) + 1
+                # cold seed must never reallocate a cid any RETAINED
+                # manifest references (after a rollback, HEAD's file cids
+                # rewind while higher-cid dirs stay referenced by older
+                # snapshots). Fast path: the allocator high-water mark
+                # (``max_cid``) every commit persists — HEAD alone seeds
+                # in O(1). Tables written before the field existed fall
+                # back to scanning every retained manifest once.
+                head = self.snapshot()
+                if "max_cid" in head:
+                    self._next_cid = max(
+                        int(head["max_cid"]), self.current_version()
+                    ) + 1
+                else:
+                    entries = []
+                    for v in self.versions():
+                        entries.extend(self.snapshot(v)["files"])
+                    self._next_cid = max(
+                        [e["commit"] for e in entries] + [self.current_version()]
+                    ) + 1
             cid = self._next_cid
             self._next_cid += 1
             return cid
@@ -156,7 +163,10 @@ class LakeTable:
         ``rollback_of`` is the rollback marker (None for normal commits)."""
         rows = []
         for v in self.versions():
-            snap = self.snapshot(v)
+            try:
+                snap = self.snapshot(v)
+            except FileNotFoundError:
+                continue  # expired between the listing and the read
             base, deltas = self._split_entries(snap["files"])
             rows.append({
                 "version": v,
@@ -194,14 +204,23 @@ class LakeTable:
         crash can't publish a snapshot missing its marker."""
         parent = self.current_version()
         version = parent + 1
+        prev = self.snapshot()
+        # allocator high-water mark: monotone across rollbacks and no-op
+        # folds, so a fresh process seeds commit ids from HEAD alone
+        hwm = max(
+            [int(prev.get("max_cid", 0))]
+            + [int(e["commit"]) for e in files]
+            + ([self._next_cid - 1] if self._next_cid is not None else [])
+        )
         snap = {
             "version": version,
             "parent": parent,
             "schema": schema.jsonValue(),
             "n_buckets": n_buckets or self.n_buckets(),
-            "key": self.snapshot().get("key", "doc_id"),
+            "key": prev.get("key", "doc_id"),
             "files": files,
             "properties": properties,
+            "max_cid": hwm,
             **(extra or {}),
         }
         _atomic_write(os.path.join(self.meta_dir, f"v{version:08d}.json"), json.dumps(snap))
@@ -360,9 +379,14 @@ class LakeTable:
         touching it — at 10^9 keys this scans 1/n_buckets of the table
         instead of all of it (the reference's catalog-pruned point query,
         catalog.cpp:119-171; Iceberg bucket-transform partition pruning)."""
-        key = self.snapshot(version).get("key", "doc_id")
-        b = self.bucket_of(spark, value, version)
-        return self.read(spark, buckets=[b], version=version).filter(
+        # pin the version ONCE: with version=None, resolving HEAD inside
+        # bucket_of and again inside read races a concurrent rebucket —
+        # the hash would use one spec and the manifest pruning another,
+        # silently missing a present key
+        v = self.current_version() if version is None else version
+        key = self.snapshot(v).get("key", "doc_id")
+        b = self.bucket_of(spark, value, v)
+        return self.read(spark, buckets=[b], version=v).filter(
             F.col(key) == F.lit(value)
         )
 
@@ -694,6 +718,11 @@ class LakeTable:
             for v in dropped:
                 dead.update(e["path"] for e in self.snapshot(v)["files"])
             dead -= live
+            # manifests FIRST, then data files: a crash in between leaves
+            # harmless orphan files (remove_orphan_files' job), never a
+            # retained-looking manifest whose data is already gone
+            for v in dropped:
+                os.remove(os.path.join(self.meta_dir, f"v{v:08d}.json"))
             n_bytes = 0
             for rel in sorted(dead):
                 full = os.path.join(self.root, rel)
@@ -703,8 +732,6 @@ class LakeTable:
                 except FileNotFoundError:
                     pass
             self._prune_empty_data_dirs()
-            for v in dropped:
-                os.remove(os.path.join(self.meta_dir, f"v{v:08d}.json"))
             return {"expired_versions": dropped, "deleted_files": len(dead),
                     "deleted_bytes": n_bytes}
 
@@ -724,10 +751,21 @@ class LakeTable:
         is untouched"). The age threshold keeps an IN-FLIGHT commit's
         files safe: they exist on disk before their manifest does, so only
         files older than ``older_than_s`` are eligible — the same guard
-        Iceberg's procedure uses (``older_than``)."""
+        Iceberg's procedure uses (``older_than``). Floor: 60 s (a shorter
+        window could eat a slow in-flight write; cross-process the writer
+        lease is the stronger guard — a running ingest holds it and this
+        table's mutators refuse). Refuses during an in-flight fold for
+        the same reason expire does."""
         import time
 
+        if older_than_s < 60:
+            raise ValueError("older_than_s < 60s could delete an "
+                             "in-flight commit's files; refusing")
         with self._lock:
+            if self._compacting:
+                raise RuntimeError(
+                    "refusing to remove orphans during an in-flight "
+                    "compaction; retry after the fold completes")
             live: set[str] = set()
             for v in self.versions():
                 live.update(e["path"] for e in self.snapshot(v)["files"])
@@ -791,12 +829,27 @@ class LakeTable:
                 f"changelog horizon expired: snapshots {missing} were "
                 "removed by expire_snapshots; re-bootstrap the consumer"
             )
-        schema = T.StructType.fromJson(self.snapshot(to_v)["schema"])
-        key = self.snapshot(to_v).get("key", "doc_id")
-        prior = {e["path"] for e in self.snapshot(since_version)["files"]}
+        def _snap(v: int) -> dict:
+            # a manifest can expire between the horizon check above and
+            # this read (async fold thread / upstream process): surface
+            # the contractual horizon error, not a raw FileNotFoundError
+            try:
+                return self.snapshot(v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"changelog horizon expired: snapshot v{v} was "
+                    "removed by expire_snapshots; re-bootstrap the "
+                    "consumer"
+                ) from None
+
+        to_snap = _snap(to_v)
+        schema = T.StructType.fromJson(to_snap["schema"])
+        key = to_snap.get("key", "doc_id")
+        prior = {e["path"] for e in _snap(since_version)["files"]}
         new_deltas: dict[str, dict] = {}
         for v in range(since_version + 1, to_v + 1):
-            if self.snapshot(v).get("rollback_of") is not None:
+            sv = _snap(v)
+            if sv.get("rollback_of") is not None:
                 # the reversion of keys touched after the rollback target
                 # has no delta-file representation — an incremental window
                 # crossing it would silently MISS changes
@@ -805,7 +858,7 @@ class LakeTable:
                     f"rollback at v{v}; re-bootstrap the consumer from a "
                     "full read"
                 )
-            for e in self.snapshot(v)["files"]:
+            for e in sv["files"]:
                 if e.get("kind") == "delta" and e["path"] not in prior:
                     new_deltas.setdefault(e["path"], e)
         out_fields = [f.name for f in schema.fields]

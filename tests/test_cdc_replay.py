@@ -509,6 +509,8 @@ def test_dlq_quarantines_null_key_events(spark, tmp_path):
     # watermark (not fresh) and must not be re-quarantined
     runner.apply_batch_df(spark.createDataFrame(rows, ev_schema), 0)
     assert runner._last_dlq_count == 0
+    # ... and the replay did NOT destroy the original quarantine
+    assert spark.read.parquet(dlq_dir).count() == 3
 
 
 def test_metrics_rollup_bounds_file_count(spark, tmp_path):

@@ -652,10 +652,12 @@ def test_maintain_cli_commands(spark, tmp_path, capsys):
     assert out["version"] == 3
     out = maintain(base + ["expire", "--keep", "1"])
     assert out["expired_versions"] == [0, 1, 2]
-    out = maintain(base + ["orphans", "--older-than", "0"])
-    # only Spark marker files (_SUCCESS/.crc) are unreferenced — data
-    # integrity is asserted by the content check at the end
-    assert out["deleted_files"] >= 0
+    out = maintain(base + ["orphans", "--older-than", "3600"])
+    assert out["deleted_files"] == 0  # everything here is younger than 1h
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="in-flight"):
+        maintain(base + ["orphans", "--older-than", "5"])
     out = maintain(base + ["rebucket", "--buckets", "8"])
     assert out["n_buckets"] == 8
     out = maintain(base + ["rollback", "--to", "3"])
