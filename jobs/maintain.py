@@ -41,6 +41,9 @@ def main(argv: list[str] | None = None) -> dict:
                         "~25%% extra fold time)")
     e = sub.add_parser("expire")
     e.add_argument("--keep", type=int, required=True)
+    e.add_argument("--older-than", type=float, default=None,
+                   help="also KEEP snapshots younger than this many "
+                        "seconds (Iceberg older_than)")
     o = sub.add_parser("orphans")
     o.add_argument("--older-than", type=float, default=3600.0)
     r = sub.add_parser("rollback")
@@ -57,7 +60,7 @@ def main(argv: list[str] | None = None) -> dict:
             out = {"history": t.history()}
         elif args.cmd == "expire":
             t.acquire_writer_lease()
-            out = t.expire_snapshots(keep_last=args.keep)
+            out = t.expire_snapshots(keep_last=args.keep, older_than_s=args.older_than)
         elif args.cmd == "orphans":
             t.acquire_writer_lease()
             out = t.remove_orphan_files(older_than_s=args.older_than)

@@ -171,6 +171,7 @@ class LakeTable:
             rows.append({
                 "version": v,
                 "parent": snap.get("parent"),
+                "ts": snap.get("ts"),
                 "base_files": len(base),
                 "delta_files": len(deltas),
                 "rows": sum(e.get("rows", 0) for e in snap["files"]),
@@ -212,9 +213,13 @@ class LakeTable:
             + [int(e["commit"]) for e in files]
             + ([self._next_cid - 1] if self._next_cid is not None else [])
         )
+        import time
+
         snap = {
             "version": version,
             "parent": parent,
+            "ts": time.time(),  # wall-clock commit time: age-based
+            #                     retention + operator-facing history
             "schema": schema.jsonValue(),
             "n_buckets": n_buckets or self.n_buckets(),
             "key": prev.get("key", "doc_id"),
@@ -678,7 +683,8 @@ class LakeTable:
                 self._compacting = False
 
     # --------------------------------------------------------- maintenance
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(self, keep_last: int = 2,
+                         older_than_s: float | None = None) -> dict:
         """Iceberg ``expire_snapshots`` analog: drop all but the newest
         ``keep_last`` snapshot manifests, then delete the data files that
         were referenced ONLY by the dropped snapshots. This is what bounds
@@ -693,9 +699,17 @@ class LakeTable:
         between folds — the ingest runner does exactly that. Time-travel
         reads of expired versions become impossible, as in Iceberg.
 
+        ``older_than_s`` additionally KEEPS any snapshot younger than the
+        age (Iceberg's ``older_than``): retention then bounds history by
+        count AND protects a recent time-travel window — both conditions
+        must hold for a snapshot to drop. Snapshots written before the
+        ``ts`` field existed count as infinitely old.
+
         Returns ``{"expired_versions": [...], "deleted_files": n,
         "deleted_bytes": b}``.
         """
+        import time
+
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         with self._lock:
@@ -707,6 +721,11 @@ class LakeTable:
             vs = self.versions()
             keep = set(vs[-keep_last:])
             keep.add(self.current_version())
+            if older_than_s is not None:
+                cutoff = time.time() - older_than_s
+                for v in vs:
+                    if float(self.snapshot(v).get("ts", 0)) >= cutoff:
+                        keep.add(v)
             dropped = [v for v in vs if v not in keep]
             if not dropped:
                 return {"expired_versions": [], "deleted_files": 0,

@@ -673,3 +673,32 @@ def test_maintain_cli_commands(spark, tmp_path, capsys):
     printed = [l for l in capsys.readouterr().out.strip().splitlines()
                if l.startswith("{")]
     assert all(_json.loads(l) is not None for l in printed)
+
+
+def test_expire_age_window(spark, tmp_path):
+    """expire_snapshots(older_than_s=...) keeps snapshots younger than
+    the window even past keep_last — count AND age must both allow a
+    drop (Iceberg older_than semantics)."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    t = LakeTable(str(tmp_path), "t_age")
+    t.create(SCHEMA, n_buckets=4)
+    for i in range(4):
+        t.delta_commit(_delta_df(spark, t, [(f"k{i}", [i], 1, "web")]),
+                       schema=SCHEMA, properties={})
+    # age v1/v2 artificially (rewrite their manifests with an old ts)
+    for v in (1, 2):
+        p = _os.path.join(t.meta_dir, f"v{v:08d}.json")
+        snap = _json.load(open(p))
+        snap["ts"] = _time.time() - 7200
+        open(p, "w").write(_json.dumps(snap))
+    st = t.expire_snapshots(keep_last=1, older_than_s=3600)
+    # v3/v4 are young (kept by age), v0 has no ts (infinitely old),
+    # v1/v2 aged out; v4 also kept as head
+    assert st["expired_versions"] == [0, 1, 2]
+    assert t.versions() == [3, 4]
+    assert {r["doc_id"] for r in t.read(spark).collect()} == {"k0", "k1", "k2", "k3"}
+    # history surfaces the commit timestamp
+    assert all(h["ts"] is not None for h in t.history())
