@@ -72,6 +72,8 @@ def main() -> None:
     p.add_argument("--parts", type=int, default=32)
     p.add_argument("--changes", default="/dev/shm/chg_heavy16")
     p.add_argument("--cores", default="8,32")
+    p.add_argument("--out", default="scaling_report.json",
+                   help="output filename under the repo root")
     args = p.parse_args()
 
     if not os.path.exists(os.path.join(args.changes, "manifest.json")):
@@ -103,7 +105,7 @@ def main() -> None:
                 f"events_per_sec_{m}": results[m][key],
                 "efficiency": round(eff, 3),
             }), flush=True)
-    with open(os.path.join(ROOT, "scaling_report.json"), "w") as f:
+    with open(os.path.join(ROOT, args.out), "w") as f:
         json.dump(results, f, indent=1)
 
 
