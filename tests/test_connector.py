@@ -328,3 +328,45 @@ def test_lake_tail_expired_horizon_raises(spark, tmp_path):
     conn.seek({})  # fresh consumer needs the expired tail
     with pytest.raises(ValueError, match="changelog horizon expired"):
         conn.poll()
+
+
+def test_lake_to_lake_carries_new_columns(spark, tmp_path):
+    """Replication across schema evolution: the upstream gains a NEW
+    payload column mid-stream; the changelog emits it under the evolved
+    schema and the downstream's own reconciliation adds the column —
+    lake-to-lake stays faithful through schema change."""
+    import pyspark.sql.types as T
+
+    from tenzir_spark.sources.connector import LakeChangeConnector
+
+    base_fields = [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ]
+    env_fields = [
+        T.StructField("op", T.StringType()),
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("lsn", T.LongType()),
+    ]
+    up = IngestRunner(spark, str(tmp_path / "up"), table_name="up", n_buckets=4)
+    up.ensure_table()
+    up.apply_batch_df(spark.createDataFrame(
+        [("a", [1], 1, "web", "insert", 0, 1)],
+        T.StructType(base_fields + env_fields)), 0)
+    # batch 2 carries a brand-new column `meta`
+    up.apply_batch_df(spark.createDataFrame(
+        [("b", [2], 1, "web", "m1", "insert", 0, 2)],
+        T.StructType(base_fields
+                     + [T.StructField("meta", T.StringType())]
+                     + env_fields)), 1)
+
+    down = IngestRunner(spark, str(tmp_path / "dn"), table_name="dn",
+                        n_buckets=4)
+    run_connector(down, LakeChangeConnector(spark, str(tmp_path / "up"), "up",
+                                            versions_per_poll=1))
+    rows = {r["doc_id"]: r for r in down.table.read(spark).collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["b"]["meta"] == "m1" and rows["a"]["meta"] is None
+    assert "meta" in [f.name for f in down.table.schema().fields]
