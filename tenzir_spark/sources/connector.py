@@ -412,20 +412,31 @@ class LakeChangeConnector(ChangeConnector):
     after a restart is idempotent."""
 
     def __init__(self, spark: SparkSession, warehouse: str, table_name: str,
-                 versions_per_poll: int = 1):
+                 versions_per_poll: int = 1, start_at: int | None = None):
         from tenzir_spark.lake.table import LakeTable
 
         self.spark = spark
         self.upstream = LakeTable(warehouse, table_name)
         self.versions_per_poll = max(1, int(versions_per_poll))
+        # start_at: where a FRESH consumer (no committed offsets) begins
+        # tailing — the re-bootstrap contract the horizon error points
+        # to: full-read the upstream at version V out of band (e.g.
+        # merge_batch(upstream.read(version=V))), then tail with
+        # start_at=V. Explicit opt-in, because starting past 0 skips
+        # history by design. Committed offsets always win over it.
+        self.start_at = start_at
         self._pos = 0  # last consumed upstream snapshot version
         self._batch_no = 0
         self.acked: dict[int, int] = {}
 
     def seek(self, offsets: dict[int, int]) -> None:
-        self._pos = max(
-            [int(v) for k, v in offsets.items() if int(k) == 0] + [0]
-        )
+        committed = [int(v) for k, v in offsets.items() if int(k) == 0]
+        if committed:
+            self._pos = max(committed + [0])
+        elif self.start_at is not None:
+            self._pos = int(self.start_at)
+        else:
+            self._pos = 0
 
     def lag(self) -> int:
         """Upstream versions not yet consumed (replication lag)."""

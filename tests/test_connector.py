@@ -370,3 +370,59 @@ def test_lake_to_lake_carries_new_columns(spark, tmp_path):
     assert set(rows) == {"a", "b"}
     assert rows["b"]["meta"] == "m1" and rows["a"]["meta"] is None
     assert "meta" in [f.name for f in down.table.schema().fields]
+
+
+def test_lake_tail_bootstrap_start_at(spark, tmp_path):
+    """The re-bootstrap contract end to end: upstream expired its early
+    history; a fresh consumer full-reads the current state out of band,
+    then tails with start_at=<that version> — converges, and committed
+    offsets override start_at on later runs."""
+    import pyspark.sql.types as T
+
+    from tenzir_spark.lake.table import LakeTable
+    from tenzir_spark.lake.merge import merge_batch
+    from tenzir_spark.sources.connector import LakeChangeConnector
+
+    up = _upstream_with_changes(spark, tmp_path)
+    up.table.compact(spark)
+    up.table.expire_snapshots(keep_last=1)  # tail truncated
+    v_boot = up.table.current_version()
+
+    # out-of-band bootstrap: full read -> downstream merge
+    down = IngestRunner(spark, str(tmp_path / "dn"), table_name="dn",
+                        n_buckets=4)
+    down.ensure_table()
+    from pyspark.sql import functions as F
+
+    state = up.table.read(spark).select(
+        "doc_id", "tokens", "n_tok", "source").withColumn(
+        "op", F.lit("insert"))
+    merge_batch(spark, down.table, state, key="doc_id")
+
+    # tail from the bootstrap point; one more upstream change replicates
+    ev_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("lsn", T.LongType()),
+    ])
+    up.apply_batch_df(spark.createDataFrame(
+        [("d1", [5, 5], 2, "code", "update", 0, 300)], ev_schema), 9)
+    st = run_connector(down, LakeChangeConnector(
+        spark, str(tmp_path / "up_wh"), "up", start_at=v_boot))
+    assert st["batches"] >= 1
+
+    def state_of(t: LakeTable):
+        return {(r["doc_id"], tuple(r["tokens"] or []))
+                for r in t.read(spark).collect()}
+
+    assert state_of(down.table) == state_of(up.table)
+    # a second fresh connector with a stale start_at must NOT rewind:
+    # committed offsets win
+    v_now = down.table.current_version()
+    run_connector(down, LakeChangeConnector(
+        spark, str(tmp_path / "up_wh"), "up", start_at=0))
+    assert down.table.current_version() == v_now  # pure replay, no-op
