@@ -282,10 +282,18 @@ class IngestRunner:
         replay of an already-applied batch produces an EMPTY rejected set
         (everything is below the watermark) — it must not destroy the
         quarantine the original attempt wrote; dead letters survive until
-        the operator deletes them."""
+        the operator deletes them.
+
+        Rejected events can be REDELIVERED fresh (winners-mode watermarks
+        track winner LSNs only, and a crash before the snapshot commit
+        replays the batch in any mode), so new rows dedupe against the
+        batch's existing quarantine by (part_id, lsn) — each dead letter
+        is kept exactly once no matter how many delivery attempts carry
+        it."""
         import shutil as _sh
         import uuid as _uuid
 
+        import pyarrow as pa2
         import pyarrow.parquet as pq2
 
         dlq_dir = os.path.join(self.warehouse, f"{self.table_name}_dlq",
@@ -293,20 +301,34 @@ class IngestRunner:
         tmp_dir = os.path.join(self.warehouse, f"{self.table_name}_dlq",
                                f".attempt-{_uuid.uuid4().hex}")
         rejected.write.mode("overwrite").parquet(tmp_dir)
+        seen = set()
+        if os.path.isdir(dlq_dir):
+            for fn in os.listdir(dlq_dir):
+                if fn.endswith(".parquet"):
+                    t = pq2.read_table(os.path.join(dlq_dir, fn),
+                                       columns=["part_id", "lsn"])
+                    seen.update(zip(t["part_id"].to_pylist(),
+                                    t["lsn"].to_pylist()))
         n_rej = 0
-        files = []
-        for fn in os.listdir(tmp_dir):
-            if fn.endswith(".parquet"):
-                n = pq2.read_metadata(os.path.join(tmp_dir, fn)).num_rows
-                if n:
-                    files.append(fn)
-                    n_rej += n
-        if n_rej:
+        tag = _uuid.uuid4().hex[:8]
+        for fn in sorted(os.listdir(tmp_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            t = pq2.read_table(os.path.join(tmp_dir, fn))
+            if t.num_rows == 0:
+                continue
+            if seen:
+                keep = [i for i, pl in enumerate(
+                    zip(t["part_id"].to_pylist(), t["lsn"].to_pylist()))
+                    if pl not in seen]
+                if not keep:
+                    continue
+                t = t.take(pa2.array(keep, type=pa2.int64()))
             os.makedirs(dlq_dir, exist_ok=True)
-            tag = _uuid.uuid4().hex[:8]
-            for fn in files:
-                os.replace(os.path.join(tmp_dir, fn),
-                           os.path.join(dlq_dir, f"{tag}-{fn}"))
+            out = os.path.join(dlq_dir, f"{tag}-{fn}")
+            pq2.write_table(t, out + ".inprogress")
+            os.replace(out + ".inprogress", out)
+            n_rej += t.num_rows
         _sh.rmtree(tmp_dir, ignore_errors=True)
         if n_rej == 0:
             import contextlib

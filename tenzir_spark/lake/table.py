@@ -89,29 +89,36 @@ class LakeTable:
         snapshot versions so a background compaction and a foreground delta
         commit can both write files concurrently without colliding."""
         with self._lock:
-            if self._next_cid is None:
-                # cold seed must never reallocate a cid any RETAINED
-                # manifest references (after a rollback, HEAD's file cids
-                # rewind while higher-cid dirs stay referenced by older
-                # snapshots). Fast path: the allocator high-water mark
-                # (``max_cid``) every commit persists — HEAD alone seeds
-                # in O(1). Tables written before the field existed fall
-                # back to scanning every retained manifest once.
-                head = self.snapshot()
-                if "max_cid" in head:
-                    self._next_cid = max(
-                        int(head["max_cid"]), self.current_version()
-                    ) + 1
-                else:
-                    entries = []
-                    for v in self.versions():
-                        entries.extend(self.snapshot(v)["files"])
-                    self._next_cid = max(
-                        [e["commit"] for e in entries] + [self.current_version()]
-                    ) + 1
+            self._ensure_cid_seed()
             cid = self._next_cid
             self._next_cid += 1
             return cid
+
+    def _ensure_cid_seed(self) -> None:
+        """Cold-seed the commit-id allocator. Must never land on a cid
+        any RETAINED manifest references (after a rollback, HEAD's file
+        cids rewind while higher-cid dirs stay referenced by older
+        snapshots). Fast path: the allocator high-water mark
+        (``max_cid``) every commit persists — HEAD alone seeds in O(1).
+        Tables written before the field existed fall back to scanning
+        every retained manifest once. Commit paths that allocate nothing
+        themselves (rollback) call this too, so the ``max_cid`` they
+        persist can never UNDERSTATE the watermark on a legacy table."""
+        with self._lock:
+            if self._next_cid is not None:
+                return
+            head = self.snapshot()
+            if "max_cid" in head:
+                self._next_cid = max(
+                    int(head["max_cid"]), self.current_version()
+                ) + 1
+            else:
+                entries = []
+                for v in self.versions():
+                    entries.extend(self.snapshot(v)["files"])
+                self._next_cid = max(
+                    [e["commit"] for e in entries] + [self.current_version()]
+                ) + 1
 
     # ---------------------------------------------------------------- meta
     def exists(self) -> bool:
@@ -422,7 +429,8 @@ class LakeTable:
 
     # --------------------------------------------------------------- write
     def write_commit_files(
-        self, df: DataFrame, commit_version: int, sort_col: str | None = None
+        self, df: DataFrame, commit_version: int, sort_col: str | None = None,
+        n_buckets_hint: int | None = None,
     ) -> list[dict]:
         """Write ``df`` (must carry ``_bucket``) as the data files of commit
         ``commit_version``; returns manifest entries. The repartition on
@@ -449,7 +457,11 @@ class LakeTable:
         commit_dir = os.path.join(self.data_dir, f"base={commit_version}")
         if COMMIT_COL not in df.columns:
             df = df.withColumn(COMMIT_COL, F.lit(commit_version).cast("long"))
-        n_parts = max(1, min(self.n_buckets(), int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))))
+        # n_buckets_hint: the TARGET spec's bucket count when it differs
+        # from HEAD's (rebucket) — sizing the rewrite's parallelism by the
+        # old spec would cap a 32→1024 widening at 32 tasks
+        n_parts = max(1, min(n_buckets_hint or self.n_buckets(),
+                             int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))))
         out = (
             df.select(*[c for c in df.columns if c != BUCKET_COL], BUCKET_COL)
             .withColumn(COMMIT_COL, F.col(COMMIT_COL).cast("long"))
@@ -943,6 +955,7 @@ class LakeTable:
         new_files = self.write_commit_files(
             df.select(*[f.name for f in schema.fields], BUCKET_COL, COMMIT_COL),
             cid,
+            n_buckets_hint=new_n_buckets,
         )
         with self._lock:
             head = self.snapshot()
@@ -970,6 +983,12 @@ class LakeTable:
             if version not in self.versions():
                 raise ValueError(f"snapshot v{version} is expired or unknown")
             snap = self.snapshot(version)
+            # seed the allocator BEFORE committing: rollback allocates no
+            # cid itself, and on a legacy (pre-max_cid) table an unseeded
+            # commit would persist an understated high-water mark that a
+            # later process' fast-path seed would trust — reallocating
+            # cids still referenced by retained snapshots
+            self._ensure_cid_seed()
             # the rollback marker rides the SAME atomic manifest write:
             # read_changes must refuse to cross it (the reversion of keys
             # touched after the rollback target is NOT representable by

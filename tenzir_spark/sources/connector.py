@@ -418,12 +418,15 @@ class LakeChangeConnector(ChangeConnector):
         self.spark = spark
         self.upstream = LakeTable(warehouse, table_name)
         self.versions_per_poll = max(1, int(versions_per_poll))
-        # start_at: where a FRESH consumer (no committed offsets) begins
-        # tailing — the re-bootstrap contract the horizon error points
-        # to: full-read the upstream at version V out of band (e.g.
-        # merge_batch(upstream.read(version=V))), then tail with
-        # start_at=V. Explicit opt-in, because starting past 0 skips
-        # history by design. Committed offsets always win over it.
+        # start_at: a FLOOR on where tailing begins — the re-bootstrap
+        # contract the horizon error points to: full-read the upstream at
+        # version V out of band (e.g. merge_batch(upstream.read())), then
+        # tail with start_at=V. Explicit opt-in, because starting past 0
+        # skips history by design. seek() takes max(committed, start_at):
+        # a STALE start_at can never rewind an established consumer, and
+        # a consumer whose committed watermark fell below the expired
+        # horizon is un-wedged by the bootstrap (committed-only semantics
+        # would ignore start_at and loop on the horizon error forever).
         self.start_at = start_at
         self._pos = 0  # last consumed upstream snapshot version
         self._batch_no = 0
@@ -431,12 +434,8 @@ class LakeChangeConnector(ChangeConnector):
 
     def seek(self, offsets: dict[int, int]) -> None:
         committed = [int(v) for k, v in offsets.items() if int(k) == 0]
-        if committed:
-            self._pos = max(committed + [0])
-        elif self.start_at is not None:
-            self._pos = int(self.start_at)
-        else:
-            self._pos = 0
+        floor = int(self.start_at) if self.start_at is not None else 0
+        self._pos = max(committed + [floor, 0])
 
     def lag(self) -> int:
         """Upstream versions not yet consumed (replication lag)."""

@@ -599,3 +599,38 @@ def test_maintenance_features_are_semantics_neutral(spark, tmp_path):
     import os
 
     assert not os.path.exists(str(tmp_path / "wh_maxed" / "corpus_dlq"))
+
+
+def test_dlq_dedupes_redelivered_rejects(spark, tmp_path):
+    """Winners-mode watermarks track winner LSNs only, so a rejected
+    event holding a partition's max LSN is redelivered FRESH every time —
+    the quarantine dedupes by (part_id, lsn): one copy, however many
+    delivery attempts carry it."""
+    import pyspark.sql.types as T
+
+    from tenzir_spark.cdc.runner import IngestRunner
+
+    runner = IngestRunner(spark, str(tmp_path / "wh"), n_buckets=4,
+                          dlq=True, stats_mode="winners")
+    runner.ensure_table()
+    ev_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("lsn", T.LongType()),
+    ])
+    rows = [("d1", [1], 1, "web", "insert", 0, 0),
+            (None, [9], 1, "web", "insert", 0, 5)]  # max LSN, null key
+    df = spark.createDataFrame(rows, ev_schema)
+    runner.apply_batch_df(df, 0)
+    assert runner._last_dlq_count == 1
+    # watermark covers only the winner (lsn 0) -> redelivery finds the
+    # reject fresh again; the quarantine must not grow
+    assert runner.watermarks() == {"0": 0}
+    runner.apply_batch_df(df, 0)
+    assert runner._last_dlq_count == 0  # nothing NEW quarantined
+    dlq = spark.read.parquet(str(tmp_path / "wh" / "corpus_dlq" / "batch=0"))
+    assert dlq.count() == 1 and dlq.first()["lsn"] == 5
