@@ -890,6 +890,70 @@ def q_token_fingerprint(spark, sf):
     )
 
 
+def q_token_fingerprint_oracle(spark, sf):
+    """The uint64 polynomial token fingerprint — the engine's per-row
+    token-array-equality invariant checker — VALUE-CHECKED against an
+    independent engine: DuckDB emulates the wraparound arithmetic in
+    HUGEINT (mod 2^64 per step, signed-bit-pattern xor), proving the
+    vectorized numpy UDF's math, not just its row count. Tokens derive
+    from document words via an engine-portable expression
+    ((length*31 + ascii(first char)) % 50000)."""
+    from tenzir_spark.functions.tokens import tokens_fingerprint
+
+    docs = load(spark, sf, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0)
+    toks = docs.select(
+        "doc_id",
+        F.transform(
+            F.split(F.trim(F.col("text")), r"\s+"),
+            lambda w: ((F.length(w) * 31 + F.ascii(w)) % 50000).cast("int"),
+        ).alias("tokens"),
+    )
+    return toks.select(
+        "doc_id", tokens_fingerprint(F.col("tokens")).alias("fp"))
+
+SQL_TOKEN_FINGERPRINT = r"""
+WITH RECURSIVE pow(i, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT i + 1, (p * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+  FROM pow WHERE i < 2000
+),
+docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents WHERE length(trim(text)) > 0
+),
+tok AS (
+  SELECT doc_id,
+         len(words) AS n,
+         unnest(list_transform(words, (w, i) -> i - 1)) AS idx,
+         unnest(list_transform(words, w -> (length(w) * 31 + ascii(w)) % 50000)) AS tk
+  FROM docs
+),
+terms AS (
+  SELECT t.doc_id, t.n,
+         (CAST(xor(CAST(t.tk AS BIGINT), 1469598103934665603) AS HUGEINT) * p.p)
+           % CAST(18446744073709551616 AS HUGEINT) AS term
+  FROM tok t JOIN pow p ON p.i = t.idx
+),
+sums AS (
+  SELECT doc_id,
+         SUM(term) % CAST(18446744073709551616 AS HUGEINT) AS s,
+         (CAST(any_value(n) AS HUGEINT) * 1099511628211)
+           % CAST(18446744073709551616 AS HUGEINT) AS lp
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id,
+  xor(
+    CAST(CASE WHEN s  >= CAST(9223372036854775808 AS HUGEINT)
+         THEN s  - CAST(18446744073709551616 AS HUGEINT) ELSE s  END AS BIGINT),
+    CAST(CASE WHEN lp >= CAST(9223372036854775808 AS HUGEINT)
+         THEN lp - CAST(18446744073709551616 AS HUGEINT) ELSE lp END AS BIGINT)
+  ) AS fp
+FROM sums
+"""
+
+
 def q_ngram_jaccard(spark, sf):
     docs = load(spark, sf, "documents").filter(
         (F.col("doc_id") < 100) & (F.length(F.trim(F.col("text"))) > 0))
@@ -2115,6 +2179,7 @@ REGISTRY: dict[str, tuple] = {
     "lake_changelog": (q_lake_changelog, SQL_LAKE_CHANGELOG),
     "cdc_dlq": (q_cdc_dlq, SQL_CDC_DLQ),
     "tql_changelog": (q_tql_changelog, SQL_TQL_CHANGELOG),
+    "token_fingerprint_exact": (q_token_fingerprint_oracle, SQL_TOKEN_FINGERPRINT),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.
