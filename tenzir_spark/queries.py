@@ -868,7 +868,10 @@ def q_token_fingerprint(spark, sf):
     """Vectorized pandas-UDF token fingerprints over synthetic token arrays
     derived from document words (the corpus-table invariant checker). The
     minhash signature is serialized to CSV — the driver's canonicalizer
-    cannot sort cells holding arrays."""
+    cannot sort cells holding arrays. Rows-only because the tokens here
+    derive from Spark's crc32 (no DuckDB equivalent); the UDFs' uint64
+    MATH is value-checked by the oracle-exact twin
+    ``token_fingerprint_exact`` (DuckDB HUGEINT mod-2^64 emulation)."""
     from tenzir_spark.functions.tokens import tokens_fingerprint, token_minhash_8
 
     docs = load(spark, sf, "documents")
@@ -909,8 +912,15 @@ def q_token_fingerprint_oracle(spark, sf):
             lambda w: ((F.length(w) * 31 + F.ascii(w)) % 50000).cast("int"),
         ).alias("tokens"),
     )
+    from tenzir_spark.functions.tokens import token_minhash_8
+
     return toks.select(
-        "doc_id", tokens_fingerprint(F.col("tokens")).alias("fp"))
+        "doc_id",
+        tokens_fingerprint(F.col("tokens")).alias("fp"),
+        F.array_join(
+            F.transform(token_minhash_8(F.col("tokens")),
+                        lambda x: x.cast("string")), ",").alias("minhash_csv"),
+    )
 
 SQL_TOKEN_FINGERPRINT = r"""
 WITH RECURSIVE pow(i, p) AS (
@@ -942,15 +952,64 @@ sums AS (
          (CAST(any_value(n) AS HUGEINT) * 1099511628211)
            % CAST(18446744073709551616 AS HUGEINT) AS lp
   FROM terms GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id,
+    xor(
+      CAST(CASE WHEN s  >= CAST(9223372036854775808 AS HUGEINT)
+           THEN s  - CAST(18446744073709551616 AS HUGEINT) ELSE s  END AS BIGINT),
+      CAST(CASE WHEN lp >= CAST(9223372036854775808 AS HUGEINT)
+           THEN lp - CAST(18446744073709551616 AS HUGEINT) ELSE lp END AS BIGINT)
+    ) AS fp
+  FROM sums
+),
+tkl AS (
+  SELECT doc_id,
+         list_transform(words, w -> (length(w) * 31 + ascii(w)) % 50000) AS tks
+  FROM docs
+),
+seeds AS (
+  SELECT se, (CAST(se AS HUGEINT) * 11400714819323198485)
+               % CAST(18446744073709551616 AS HUGEINT) AS seed
+  FROM (SELECT unnest(range(1, 9)) AS se)
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(tks) - 2, 0)), i ->
+           (CAST(tks[i+1] AS HUGEINT) * 2654435761
+            + CAST(tks[i+2] AS HUGEINT) * 40503
+            + CAST(tks[i+3] AS HUGEINT) * 2246822519)
+           % CAST(18446744073709551616 AS HUGEINT))) AS base
+  FROM tkl
+),
+hx AS (
+  SELECT sh.doc_id, seeds.se,
+    xor(
+      CAST(CASE WHEN h1 >= CAST(9223372036854775808 AS HUGEINT)
+           THEN h1 - CAST(18446744073709551616 AS HUGEINT) ELSE h1 END AS BIGINT),
+      CAST(h1 // CAST(8589934592 AS HUGEINT) AS BIGINT)
+    ) AS hfin
+  FROM (
+    SELECT sh.doc_id, sh.base FROM sh
+  ) sh CROSS JOIN seeds,
+  LATERAL (SELECT ((sh.base * 1099511628211 + seeds.seed)
+            % CAST(18446744073709551616 AS HUGEINT)) AS h1)
+),
+sigs AS (
+  -- min in UNSIGNED uint64 order: flip the sign bit, take signed min,
+  -- flip back (the UDF's minimum.reduceat runs on uint64)
+  SELECT doc_id, se, min(xor(hfin, -9223372036854775808)) AS m_flip
+  FROM hx GROUP BY doc_id, se
+),
+mh AS (
+  SELECT doc_id,
+         string_agg(CAST(xor(m_flip, -9223372036854775808) AS VARCHAR),
+                    ',' ORDER BY se) AS minhash_csv
+  FROM sigs GROUP BY doc_id
 )
-SELECT doc_id,
-  xor(
-    CAST(CASE WHEN s  >= CAST(9223372036854775808 AS HUGEINT)
-         THEN s  - CAST(18446744073709551616 AS HUGEINT) ELSE s  END AS BIGINT),
-    CAST(CASE WHEN lp >= CAST(9223372036854775808 AS HUGEINT)
-         THEN lp - CAST(18446744073709551616 AS HUGEINT) ELSE lp END AS BIGINT)
-  ) AS fp
-FROM sums
+SELECT f.doc_id, f.fp,
+       coalesce(m.minhash_csv, '-1,-1,-1,-1,-1,-1,-1,-1') AS minhash_csv
+FROM fp f LEFT JOIN mh m USING (doc_id)
 """
 
 
