@@ -1693,6 +1693,40 @@ WHERE doc_id % 4 = 0 AND n_chars > 200 ORDER BY doc_id
 """
 
 
+def q_lake_rebucket(spark, sf):
+    """Bucket-spec evolution value-checked end to end: documents land in
+    an 8-bucket lake (delta commit + fold), the table rebuckets to 32,
+    and the post-rewrite state must equal the relational source exactly —
+    the full-table rewrite loses nothing, duplicates nothing, and point
+    lookups keep working under the new spec (LakeTable.rebucket)."""
+    import shutil
+    import tempfile
+
+    from tenzir_spark.lake.table import DELETED_COL, LakeTable
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="tzs_rebucket_")
+    try:
+        t = LakeTable(tmp, "docs")
+        t.create(docs.schema, n_buckets=8, key="doc_id")
+        b1 = docs.withColumn("_bucket", t.bucket_expr("doc_id")).withColumn(
+            DELETED_COL, F.lit(False))
+        t.delta_commit(b1, schema=docs.schema, properties={})
+        t.compact(spark)
+        t.rebucket(spark, 32)
+        assert t.n_buckets() == 32
+        out = t.read(spark).select("doc_id", "text", "lang", "source",
+                                   "n_chars")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+SQL_LAKE_REBUCKET = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
 def q_cdc_dlq(spark, sf):
     """Dead-letter quarantine, value-checked end to end: a change batch
     derived from `events` where every 11th event has a NULL primary key
@@ -2239,6 +2273,7 @@ REGISTRY: dict[str, tuple] = {
     "cdc_dlq": (q_cdc_dlq, SQL_CDC_DLQ),
     "tql_changelog": (q_tql_changelog, SQL_TQL_CHANGELOG),
     "token_fingerprint_exact": (q_token_fingerprint_oracle, SQL_TOKEN_FINGERPRINT),
+    "lake_rebucket": (q_lake_rebucket, SQL_LAKE_REBUCKET),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.
