@@ -44,7 +44,17 @@ class ServeHub:
             if serve_id in self._buffers:
                 raise ValueError(f"duplicate serve id {serve_id!r}")
             self._buffers[serve_id] = []  # claim the id before the job runs
-        rows = [r.asDict(recursive=True) for r in df.limit(buffer_size).collect()]
+        try:
+            rows = [r.asDict(recursive=True)
+                    for r in df.limit(buffer_size).collect()]
+        except Exception:
+            # release the claim: a failed collect must not poison the id
+            # (retry would hit "duplicate serve id" forever) or leave
+            # fetchers blocking on a buffer that will never fill
+            with self._lock:
+                self._buffers.pop(serve_id, None)
+                self._done.pop(serve_id, None)
+            raise
         with self._lock:
             self._buffers[serve_id] = rows
             self._done[serve_id] = True

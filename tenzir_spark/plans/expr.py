@@ -18,7 +18,8 @@ Key non-standard semantics we preserve (expressions.md:95-199):
   ``value`` → ``:type-of-value == value``.
 - **membership**: ``x in [a, b]``, substring ``"str" in field``, and
   ``ip in subnet`` CIDR containment (value matrix expressions.md:71-93).
-- ``!=``/``!in`` follow the reference's *not* semantics (negation of the
+- ``!=``/``!in`` follow the reference's *not* semantics (conjunction over
+  multi-field bindings — expression_visitors.cpp:443-445 — i.e. the
   disjunction over matching fields).
 
 The reference evaluates an expression by ``tailor``-ing it to each slice's
@@ -300,7 +301,11 @@ def _subnet_pred(col: Column, cidr: str) -> Column:
         keep = net.prefixlen // 8
         if keep == 0:
             return col.isNotNull()
-        prefix = ".".join(parts[:keep]) + ("." if keep < 4 else "")
+        if keep == 4:
+            # /32 is an exact host: startswith("10.0.0.1") would also
+            # match 10.0.0.10-19, 10.0.0.100-199, ...
+            return col == str(net.network_address)
+        prefix = ".".join(parts[:keep]) + "."
         return col.startswith(prefix)
     lo, hi = int(net[0]), int(net[-1])
     packed = (
@@ -316,6 +321,18 @@ def _lit_col(lit: Lit):
     if lit.kind == "list":
         return [x.value for x in lit.value]
     return lit.value
+
+
+def dtype_of(schema: T.StructType, path: str) -> T.DataType:
+    """Resolve a (possibly nested, dotted) path to its DataType —
+    StructType.__getitem__ only accepts top-level names, so every caller
+    handling `a.b.c` paths from the extractors goes through here."""
+    cur: T.DataType = schema
+    for part in path.split("."):
+        if not isinstance(cur, T.StructType):
+            raise KeyError(f"{path!r}: {part!r} is not a struct field")
+        cur = cur[part].dataType
+    return cur
 
 
 def _one_pred(path: str, dt: T.DataType, op: str, rhs: Lit) -> Column:
@@ -343,7 +360,13 @@ def _one_pred(path: str, dt: T.DataType, op: str, rhs: Lit) -> Column:
             raise ValueError(f"unsupported in-rhs {rhs.kind}")
         return ~base if op == "!in" else base
     if op in ("ni", "!ni"):
-        raise ValueError("ni applies to literal-lhs predicates")
+        # field ni value == value in field (reference "in" read right to
+        # left): substring for strings, membership for arrays
+        if isinstance(dt, T.ArrayType):
+            base = F.array_contains(c, F.lit(rhs.value))
+        else:
+            base = c.contains(F.lit(str(rhs.value)))
+        return ~base if op == "!ni" else base
     raise ValueError(f"unsupported op {op}")
 
 
@@ -357,19 +380,24 @@ def _compile_pred(pred: Pred, schema: T.StructType) -> Column:
             if isinstance(rhs, FieldX)
             else _fields_for_type(schema, rhs.name)
         )
-        if op in ("in", "ni"):  # value contained in field (string/list)
+        if op in ("in", "ni", "!in", "!ni"):
+            # value contained in field (string/list); negated forms bind
+            # as a CONJUNCTION over matching fields (reference
+            # expression_visitors.cpp:443-445: is_negated -> conjunction)
+            neg = op.startswith("!")
             cols = []
             for p, dt in fields:
                 c = F.col("`" + p.replace(".", "`.`") + "`")
                 if isinstance(dt, T.ArrayType):
-                    cols.append(F.array_contains(c, F.lit(lhs.value)))
+                    base = F.array_contains(c, F.lit(lhs.value))
                 else:
-                    cols.append(c.contains(F.lit(str(lhs.value))))
+                    base = c.contains(F.lit(str(lhs.value)))
+                cols.append(~base if neg else base)
             if not cols:
                 return F.lit(False)
             out = cols[0]
             for c in cols[1:]:
-                out = out | c
+                out = out & c if neg else out | c
             return out
         # mirrored comparison: 42 < x ≡ x > 42
         mirror = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "==": "==", "!=": "!="}
@@ -391,9 +419,15 @@ def _compile_pred(pred: Pred, schema: T.StructType) -> Column:
         # predicate — still negates to true, matching reference semantics)
         return F.lit(False)
     cols = [_one_pred(p, dt, op, rhs) for p, dt in fields]
+    # a multi-field binding is a DISJUNCTION for positive operators but a
+    # CONJUNCTION for negated ones (reference expression_visitors.cpp:
+    # 443-445, is_negated(op) -> conjunction): `port != 443` must reject
+    # a row where ANY bound field is 443 (_one_pred already returns the
+    # per-field negative, so the combine is AND)
+    neg = op in ("!=", "!in", "!ni")
     out = cols[0]
     for c in cols[1:]:
-        out = out | c
+        out = out & c if neg else out | c
     return out
 
 

@@ -276,16 +276,22 @@ def _assignments(args: str) -> list[tuple[str, str]]:
     """``name=expr, name=expr ...`` — split on top-level commas, then on
     the first ``=`` (the RHS may contain nested commas in function calls)."""
     parts, buf, depth = [], [], 0
+    in_str = False
+    prev = ""
     for ch in args:
-        if ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == '"' and prev != "\\":
+            in_str = not in_str
+        elif not in_str:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+        if ch == "," and depth == 0 and not in_str:
             parts.append("".join(buf))
             buf = []
         else:
             buf.append(ch)
+        prev = ch
     parts.append("".join(buf))
     out = []
     for p in parts:
@@ -457,8 +463,10 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                 key_paths = [_one_path(schema, k) for k in keys]
                 time_col = None
                 if resolution:
+                    from tenzir_spark.plans.expr import dtype_of
+
                     ts = [k for k in key_paths
-                          if isinstance(schema[k].dataType,
+                          if isinstance(dtype_of(schema, k),
                                         (T.TimestampType, T.TimestampNTZType, T.DateType))]
                     if not ts:
                         raise TqlError("resolution needs a time-typed by key")
@@ -570,6 +578,7 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                 order = None
             elif name == "unroll":
                 df = structural.unroll(df, _one_path(schema, args.strip()))
+                order = None  # exploded siblings share one order value
             elif name == "flatten":
                 df = structural.flatten(df)
             elif name == "yara":
@@ -597,10 +606,14 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
             elif name == "batch":
                 df = meta.batch(df, int(args) if args.strip() else 65536)
             elif name == "timeshift":
-                ts_args = args.split()
+                import shlex
+
+                ts_args = shlex.split(args)
                 if not ts_args:
                     raise TqlError("timeshift: expected a time field")
-                start = ts_args[1] if len(ts_args) > 1 else None
+                # the start instant may contain a space ("2024-01-01
+                # 00:00:00"), quoted or not — join the remaining tokens
+                start = " ".join(ts_args[1:]) or None
                 df = transform.timeshift(
                     df, _one_path(schema, ts_args[0]), start=start)
             elif name == "hash":
@@ -619,17 +632,19 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                 rpath = args.strip()
                 if not rpath:
                     raise TqlError("sigma: expected a rules file")
+                raws = []
                 if _os.path.isdir(rpath):
-                    texts = []
                     for f_ in sorted(_os.listdir(rpath)):
                         if f_.endswith((".yml", ".yaml")):
                             with open(_os.path.join(rpath, f_)) as fh:
-                                texts.append(fh.read())
+                                raws.append(fh.read())
                 else:
                     with open(rpath) as fh:
-                        raw = fh.read()
-                    texts = [t for t in re.split(r"(?m)^---\s*$", raw)
-                             if t.strip()]
+                        raws.append(fh.read())
+                # every file may hold several ----separated documents
+                texts = [t for raw_ in raws
+                         for t in re.split(r"(?m)^---\s*$", raw_)
+                         if t.strip()]
                 if not texts:
                     raise TqlError(f"sigma: no rules found at {rpath!r}")
                 df = (sigma_multi(df, texts) if len(texts) > 1
@@ -757,6 +772,10 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                 n = int(args) if args.strip() else 1
                 rep = df.sparkSession.range(n).select(F.lit(1).alias("_rep"))
                 df = df.crossJoin(rep).drop("_rep")
+                # copies share the order column's values — duplicated
+                # positions break _global_positions' uniqueness contract,
+                # so the declared order leaves scope (like summarize)
+                order = None
             elif name in ("every", "cron"):
                 # source modifiers, not stream stages (operator-modifiers.md)
                 raise TqlError(

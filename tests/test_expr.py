@@ -88,3 +88,39 @@ def test_parse_roundtrip():
     assert isinstance(e, And)
     assert isinstance(e.items[0], Or)
     assert isinstance(e.items[1], Not)
+
+
+def test_negated_multi_field_binding_is_conjunction(spark):
+    """Reference semantics (expression_visitors.cpp:443-445): a negated
+    operator over a multi-field binding is a CONJUNCTION — `port != 443`
+    rejects a row where ANY bound port is 443."""
+    rows = [
+        Row(src=Row(port=443), dst=Row(port=80), tag="a"),
+        Row(src=Row(port=22), dst=Row(port=443), tag="b"),
+        Row(src=Row(port=22), dst=Row(port=80), tag="c"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = sorted(r["tag"] for r in where_tql(df, "port != 443").collect())
+    assert got == ["c"]  # a and b each have SOME port == 443
+    # positive stays a disjunction
+    got = sorted(r["tag"] for r in where_tql(df, "port == 443").collect())
+    assert got == ["a", "b"]
+
+
+def test_slash32_is_exact_host(df):
+    # startswith("10.0.1.5") would also match 10.0.1.50-59 etc.
+    assert ids(df, "src_ip in 10.0.1.5/32") == ["10.0.1.5"]
+    rows = [Row(src_ip="10.0.1.5"), Row(src_ip="10.0.1.50"),
+            Row(src_ip="10.0.1.55")]
+    df2 = df.sparkSession.createDataFrame(rows)
+    got = [r["src_ip"] for r in where_tql(df2, "src_ip in 10.0.1.5/32").collect()]
+    assert got == ["10.0.1.5"]
+
+
+def test_negated_and_reversed_membership(df):
+    # "dns" !in note: null note propagates null -> filtered (SQL
+    # three-valued logic), "x" -> kept, "dns lookup" -> rejected
+    assert ids(df, '"dns" !in note') == ["10.0.2.7"]
+    # field-LHS ni == reversed in; !ni its negation
+    assert ids(df, 'note ni "dns"') == ["8.8.8.8"]
+    assert ids(df, 'note !ni "dns"') == ["10.0.2.7"]

@@ -474,3 +474,59 @@ def test_metrics_source_stage(spark, tmp_path):
              show(spark, "snapshots", runner.table).collect()}
     assert set(snaps) == set(runner.table.versions())
     assert snaps[v]["rollback_of"] == 1
+
+
+def test_timeshift_start_with_space(events):
+    """`timeshift ts "2024-01-01 00:00:00"` — a start instant containing a
+    space must parse (quoted or not) instead of silently nulling the time
+    column."""
+    out = run_tql(events, 'timeshift ts "2024-01-01 00:00:00"')
+    got = out.selectExpr("min(ts) AS m").first()["m"]
+    assert got is not None and str(got).startswith("2024-01-01")
+    out2 = run_tql(events, "timeshift ts 2024-01-01 00:00:00")
+    assert out2.selectExpr("min(ts)").first()[0] == got
+
+
+def test_assignment_string_with_comma_and_parens(events):
+    """Commas/brackets inside quoted RHS strings must not split or
+    unbalance the assignment parser."""
+    out = run_tql(
+        events,
+        'head 3 | set msg="hello, world", tag="((" | select event_id, msg, tag')
+    rows = out.collect()
+    assert all(r["msg"] == "hello, world" and r["tag"] == "((" for r in rows)
+
+
+def test_nested_sort_and_resolution_paths(spark):
+    """sort + slice on a NESTED column (dotted path) and summarize
+    resolution with a nested time key both resolve dtypes through
+    dtype_of instead of crashing on StructType['a.b']."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    rows = [Row(conn=Row(ts=dt.datetime(2024, 1, 1, h), n=h), tag=f"t{h}")
+            for h in range(6)]
+    df = spark.createDataFrame(rows)
+    out = run_tql(df, "sort conn.n desc | head 2 | select tag")
+    assert [r["tag"] for r in out.collect()] == ["t5", "t4"]
+    out2 = run_tql(df, "sort conn.n | slice 1:3 | select tag")
+    assert [r["tag"] for r in out2.collect()] == ["t1", "t2"]
+    out3 = run_tql(
+        df, "summarize c=count(tag) by conn.ts resolution 1 hour")
+    assert sorted(r["c"] for r in out3.collect()) == [1] * 6
+
+
+def test_sigma_dir_with_multidoc_file(events, tmp_path):
+    """A ---separated multi-rule file inside a rules DIRECTORY splits
+    like a directly-passed file (was a raw yaml ComposerError)."""
+    (tmp_path / "rules").mkdir()
+    (tmp_path / "rules" / "multi.yml").write_text(
+        "title: A\nlogsource: {category: test}\n"
+        "detection:\n  sel:\n    event_type: purchase\n  condition: sel\n"
+        "---\n"
+        "title: B\nlogsource: {category: test}\n"
+        "detection:\n  sel:\n    event_type: click\n  condition: sel\n")
+    out = run_tql(events, f"sigma {tmp_path}/rules")
+    types = {r["event_type"] for r in out.collect()}
+    assert types and types <= {"purchase", "click"}
