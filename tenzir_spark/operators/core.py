@@ -45,10 +45,10 @@ def _order_key(df: DataFrame, order_by: str) -> Column | None:
     """A double-valued, weakly monotone image of the order column, used
     only for bucket assignment (monotone fp rounding keeps bucket
     boundaries order-consistent). None for non-numeric orders."""
-    from tenzir_spark.plans.expr import dtype_of
+    from tenzir_spark.plans.expr import dtype_of, field_col
 
     dt = dtype_of(df.schema, order_by)
-    c = F.col("`" + order_by.replace(".", "`.`") + "`")
+    c = field_col(order_by)
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return F.unix_micros(c).cast("double")
     if isinstance(dt, T.DateType):

@@ -34,7 +34,9 @@ from tenzir_spark.plans.expr import _fields_for_suffix
 
 def _field_col(schema: T.StructType, name: str) -> list[Column]:
     fields = _fields_for_suffix(schema, name)
-    return [F.col("`" + p.replace(".", "`.`") + "`") for p, _t in fields]
+    from tenzir_spark.plans.expr import field_col
+
+    return [field_col(p) for p, _t in fields]
 
 
 def _sigma_scan(s: str) -> list[tuple[str, str]]:
@@ -115,10 +117,10 @@ def _selection_pred(schema: T.StructType, sel) -> Column:
         if sel and isinstance(sel[0], dict):
             return _or_all([_selection_pred(schema, m) for m in sel])
         # keyword list: any string field contains any keyword
-        from tenzir_spark.plans.expr import _walk_fields
+        from tenzir_spark.plans.expr import _walk_fields, field_col
 
         str_cols = [
-            F.col("`" + p.replace(".", "`.`") + "`")
+            field_col(p)
             for p, t in _walk_fields(schema)
             if isinstance(t, T.StringType)
         ]

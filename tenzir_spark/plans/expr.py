@@ -323,6 +323,13 @@ def _lit_col(lit: Lit):
     return lit.value
 
 
+def field_col(path: str):
+    """Backtick-quoted Column for a (possibly nested, dotted) path — the
+    ONE builder every module uses (expr/pipeline/sigma/core), so quoting
+    rules live in a single place."""
+    return F.col("`" + path.replace(".", "`.`") + "`")
+
+
 def dtype_of(schema: T.StructType, path: str) -> T.DataType:
     """Resolve a (possibly nested, dotted) path to its DataType —
     StructType.__getitem__ only accepts top-level names, so every caller
@@ -336,7 +343,7 @@ def dtype_of(schema: T.StructType, path: str) -> T.DataType:
 
 
 def _one_pred(path: str, dt: T.DataType, op: str, rhs: Lit) -> Column:
-    c = F.col("`" + path.replace(".", "`.`") + "`")
+    c = field_col(path)
     if op in ("==", "!="):
         if rhs.kind == "null":
             base = c.isNull()
@@ -387,7 +394,7 @@ def _compile_pred(pred: Pred, schema: T.StructType) -> Column:
             neg = op.startswith("!")
             cols = []
             for p, dt in fields:
-                c = F.col("`" + p.replace(".", "`.`") + "`")
+                c = field_col(p)
                 if isinstance(dt, T.ArrayType):
                     base = F.array_contains(c, F.lit(lhs.value))
                 else:

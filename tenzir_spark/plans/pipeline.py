@@ -249,7 +249,9 @@ def _field_col(schema: T.StructType, name: str) -> Column:
         raise TqlError(
             f"ambiguous field {name!r} matches {[p for p, _t in fields]}")
     path = fields[0][0]
-    return F.col("`" + path.replace(".", "`.`") + "`")
+    from tenzir_spark.plans.expr import field_col
+
+    return field_col(path)
 
 
 def compile_value(text: str, schema: T.StructType) -> Column:
