@@ -176,10 +176,14 @@ class IngestRunner:
         # extra fold time — see LakeTable.compact)
         self.sorted_compaction = sorted_compaction
         # opt-in dead-letter quarantine for fresh null-key events (see
-        # apply_batch_df); count of the last batch's rejects in
-        # _last_dlq_count and in the batch stats dict
+        # apply_batch_df). TWO counters per batch: _last_dlq_count is rows
+        # NEWLY quarantined (post (part_id, lsn)-dedupe — 0 on a redelivery
+        # whose dead letters were already captured), _last_dlq_in_batch is
+        # malformed rows CARRIED by the batch regardless of dedupe; both
+        # surface in the stats dict (dlq_rejected / dlq_in_batch)
         self.dlq = dlq
         self._last_dlq_count = 0
+        self._last_dlq_in_batch = 0
         # fold per-batch metric files into one once this many accumulate
         # (_rollup_metrics); observability must not cost O(batches) files
         self.metrics_rollup_files = 512
@@ -310,6 +314,7 @@ class IngestRunner:
                     seen.update(zip(t["part_id"].to_pylist(),
                                     t["lsn"].to_pylist()))
         n_rej = 0
+        n_in_batch = 0
         tag = _uuid.uuid4().hex[:8]
         for fn in sorted(os.listdir(tmp_dir)):
             if not fn.endswith(".parquet"):
@@ -317,6 +322,7 @@ class IngestRunner:
             t = pq2.read_table(os.path.join(tmp_dir, fn))
             if t.num_rows == 0:
                 continue
+            n_in_batch += t.num_rows
             if seen:
                 keep = [i for i, pl in enumerate(
                     zip(t["part_id"].to_pylist(), t["lsn"].to_pylist()))
@@ -336,6 +342,7 @@ class IngestRunner:
             with contextlib.suppress(OSError):  # parent only if empty
                 os.rmdir(os.path.dirname(dlq_dir))
         self._last_dlq_count = n_rej
+        self._last_dlq_in_batch = n_in_batch
 
     def _maybe_expire(self) -> None:
         """Retention GC after a completed fold: a fold is the moment old
@@ -714,7 +721,11 @@ class IngestRunner:
             "applied_keys": n_keys,
             "wall_ms": wall_ms,
             "version": self.table.current_version(),
+            # dlq_rejected = NEWLY quarantined (0 on a redelivery whose
+            # dead letters were already captured); dlq_in_batch = malformed
+            # rows carried by this delivery regardless of dedupe
             "dlq_rejected": self._last_dlq_count if self.dlq else 0,
+            "dlq_in_batch": self._last_dlq_in_batch if self.dlq else 0,
         }
 
     def _winner_stats(self, entries: list[dict]) -> dict:

@@ -273,6 +273,36 @@ class LakeTable:
             os.close(self._lease_fd)  # closing the fd drops the flock
             self._lease_fd = None
 
+    def _refuse_if_foreign_writer(self, what: str) -> None:
+        """Cross-process guard for maintenance GC (expire/orphans): the
+        in-process ``_compacting`` flag cannot see a background fold in
+        ANOTHER process, and deleting that fold's pinned files mid-job
+        fails it (deltas remain; no data loss — but the fold is wasted).
+        Probe ``WRITER_LOCK``: if another process holds the lease, refuse.
+        Library users who run compaction concurrently with out-of-process
+        maintenance should construct their IngestRunner with
+        ``writer_lease=True`` (the CLI default) so this probe sees them;
+        an unleased embedded writer is invisible to cross-process GC."""
+        import fcntl
+
+        if self._lease_fd is not None:
+            return  # we ARE the writer; in-process guards apply
+        path = os.path.join(self.meta_dir, "WRITER_LOCK")
+        if not os.path.exists(path):
+            return
+        fd = os.open(path, os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            fcntl.flock(fd, fcntl.LOCK_UN)
+        except OSError:
+            raise RuntimeError(
+                f"refusing to {what}: another process holds the writer "
+                f"lease on {self.root} (its background compaction may pin "
+                "files this GC would delete); run maintenance from that "
+                "process or after it exits") from None
+        finally:
+            os.close(fd)
+
     # ---------------------------------------------------------------- expr
     def bucket_expr(self, key_col: str) -> F.Column:
         """Deterministic hash bucket of the primary key (Iceberg bucket
@@ -730,6 +760,7 @@ class LakeTable:
                     "refusing to expire snapshots during an in-flight "
                     "compaction; retry after the fold completes"
                 )
+            self._refuse_if_foreign_writer("expire snapshots")
             vs = self.versions()
             keep = set(vs[-keep_last:])
             keep.add(self.current_version())
@@ -797,6 +828,7 @@ class LakeTable:
                 raise RuntimeError(
                     "refusing to remove orphans during an in-flight "
                     "compaction; retry after the fold completes")
+            self._refuse_if_foreign_writer("remove orphan files")
             live: set[str] = set()
             for v in self.versions():
                 live.update(e["path"] for e in self.snapshot(v)["files"])

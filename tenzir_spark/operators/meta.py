@@ -60,26 +60,37 @@ def chart(df: DataFrame, chart_type: str, x: str, y: str) -> DataFrame:
 
 def batch(df: DataFrame, rows_per_batch: int = 65536,
           row_count: int | None = None) -> DataFrame:
-    """`batch <n>` (batch.cpp): re-chunk the stream into ~n-row units. The
-    Spark analog of a batch is a partition, so this repartitions to
-    ceil(rows/n) partitions. The row count comes from (in order): the
-    caller (``row_count``, free when the source already knows it — e.g.
-    parquet footers), a cheap Catalyst plan-statistics estimate, else one
-    count job (the only case that scans twice; at scale prefer tuning
-    spark.sql.files.maxPartitionBytes so the SCAN produces the right
-    granularity and no shuffle is needed at all)."""
+    """`batch <n>` (batch.cpp): re-chunk the stream into ~n-row units.
+
+    When the row count is known for FREE — supplied by the caller or
+    exact in the optimized plan's statistics (parquet footer counts,
+    range sources) — the Spark analog of a batch is a partition, so this
+    repartitions to ceil(rows/n) partitions. When it is NOT (filters,
+    joins), no counting job runs: the reference's batch resizes TABLE
+    SLICES inside one pipe, not parallelism, so the faithful analog is
+    per-partition Arrow re-chunking — `mapInArrow` slices each incoming
+    record batch to ≤n rows, one pass, zero shuffle, zero extra jobs.
+    At scale prefer tuning spark.sql.files.maxPartitionBytes so the SCAN
+    produces the right granularity in the first place."""
     import math
 
+    rows_per_batch = max(rows_per_batch, 1)
     if row_count is None:
         # optimized-plan row-count statistic: exact for simple scans
-        # (parquet footer counts), an estimate otherwise — both fine for
-        # sizing partitions; fall back to a count only when absent
+        # (parquet footer counts) and range sources; absent otherwise
         stats = df._jdf.queryExecution().optimizedPlan().stats()
         if stats.rowCount().isDefined():
             row_count = int(str(stats.rowCount().get()))
         else:
-            row_count = df.count()
-    n = max(1, math.ceil(row_count / max(rows_per_batch, 1)))
+            n = rows_per_batch
+
+            def _rechunk(batches):
+                for b in batches:
+                    for off in range(0, b.num_rows, n):
+                        yield b.slice(off, min(n, b.num_rows - off))
+
+            return df.mapInArrow(_rechunk, df.schema)
+    n = max(1, math.ceil(row_count / rows_per_batch))
     return df.repartition(n)
 
 

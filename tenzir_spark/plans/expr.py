@@ -394,6 +394,12 @@ def _compile_pred(pred: Pred, schema: T.StructType) -> Column:
             neg = op.startswith("!")
             cols = []
             for p, dt in fields:
+                if not isinstance(dt, (T.ArrayType, T.StringType)):
+                    # type-incompatible field: the reference's
+                    # type_resolver silently drops it from the connective
+                    # (expression_visitors.cpp compatible() filter) — a
+                    # numeric/bool field cannot host substring containment
+                    continue
                 c = field_col(p)
                 if isinstance(dt, T.ArrayType):
                     base = F.array_contains(c, F.lit(lhs.value))
@@ -425,6 +431,16 @@ def _compile_pred(pred: Pred, schema: T.StructType) -> Column:
         # `x != 5` does not fire either; `!(x == 5)` — a Not around the
         # predicate — still negates to true, matching reference semantics)
         return F.lit(False)
+    if op in ("ni", "!ni"):
+        # substring/membership only binds string and array fields; the
+        # reference's type_resolver drops incompatible fields from the
+        # connective instead of erroring (expression_visitors.cpp
+        # compatible() filter) — without this a numeric field bound by a
+        # suffix extractor raises AnalysisException at plan time
+        fields = [(p, dt) for p, dt in fields
+                  if isinstance(dt, (T.ArrayType, T.StringType))]
+        if not fields:
+            return F.lit(False)
     cols = [_one_pred(p, dt, op, rhs) for p, dt in fields]
     # a multi-field binding is a DISJUNCTION for positive operators but a
     # CONJUNCTION for negated ones (reference expression_visitors.cpp:

@@ -279,9 +279,18 @@ def _assignments(args: str) -> list[tuple[str, str]]:
     the first ``=`` (the RHS may contain nested commas in function calls)."""
     parts, buf, depth = [], [], 0
     in_str = False
-    prev = ""
+    esc = False  # true escape STATE, not just prev=='\\' — x="a\\" must
+    # close its string (the second backslash is itself escaped)
     for ch in args:
-        if ch == '"' and prev != "\\":
+        if esc:
+            esc = False
+            buf.append(ch)
+            continue
+        if ch == "\\" and in_str:
+            esc = True
+            buf.append(ch)
+            continue
+        if ch == '"':
             in_str = not in_str
         elif not in_str:
             if ch in "([":
@@ -293,7 +302,6 @@ def _assignments(args: str) -> list[tuple[str, str]]:
             buf = []
         else:
             buf.append(ch)
-        prev = ch
     parts.append("".join(buf))
     out = []
     for p in parts:
@@ -939,9 +947,32 @@ def _write_sink(df: DataFrame, path: str, fmt: str | None) -> None:
 _FROM_RE = re.compile(r"from\s+(\S+)(?:\s+read\s+(\S+))?\s*$")
 _TO_RE = re.compile(
     r"(?:to\s+(\S+)(?:\s+write\s+(\S+))?|write\s+(\S+)\s+to\s+(\S+))\s*$")
-_EXPORT_RE = re.compile(
-    r"export\s+(\S+)"
-    r"(?:\s+--changes-since\s+(\d+))?(?:\s+--to\s+(\d+))?\s*$")
+_EXPORT_RE = re.compile(r"export\s+(\S+)(\s+.+)?\s*$")
+
+
+def _parse_export_opts(tail: str | None) -> tuple[int | None, int | None]:
+    """Tokenize ``export`` options so flag ORDER does not matter —
+    ``--to 5 --changes-since 3`` and the reverse both parse, and an
+    unknown/malformed flag gets a targeted error instead of falling
+    through to the generic 'pipeline must start with…' message."""
+    since = to = None
+    toks = (tail or "").split()
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t in ("--changes-since", "--to"):
+            if i + 1 >= len(toks) or not toks[i + 1].isdigit():
+                raise TqlError(
+                    f"export: {t} expects an integer snapshot version")
+            if t == "--changes-since":
+                since = int(toks[i + 1])
+            else:
+                to = int(toks[i + 1])
+            i += 2
+        else:
+            raise TqlError(f"export: unknown option {t!r} (supported: "
+                           "--changes-since <v>, --to <v>)")
+    return since, to
 _IMPORT_RE = re.compile(r"import\s+(\S+)\s*$")
 _SUBSCRIBE_RE = re.compile(r"subscribe\s+(\S+)\s*$")
 _METRICS_RE = re.compile(r"metrics\s+(\S+)\s*$")
@@ -1033,11 +1064,10 @@ def run_tql_source(spark, text: str, order_by: str | None = None,
         # batch (payload + op), LakeTable.read_changes.
         from tenzir_spark.lake.table import BUCKET_COL, COMMIT_COL
 
-        if em.group(2) is not None:
-            df = _lake_table(em.group(1)).read_changes(
-                spark, int(em.group(2)),
-                int(em.group(3)) if em.group(3) else None)
-        elif em.group(3) is not None:
+        since, to_v = _parse_export_opts(em.group(2))
+        if since is not None:
+            df = _lake_table(em.group(1)).read_changes(spark, since, to_v)
+        elif to_v is not None:
             raise TqlError(
                 "export: --to requires --changes-since (a full read has "
                 "no window; use --changes-since 0 --to <v> for a bounded "

@@ -630,7 +630,10 @@ def test_dlq_dedupes_redelivered_rejects(spark, tmp_path):
     # watermark covers only the winner (lsn 0) -> redelivery finds the
     # reject fresh again; the quarantine must not grow
     assert runner.watermarks() == {"0": 0}
-    runner.apply_batch_df(df, 0)
+    st2 = runner.apply_batch_df(df, 0)
     assert runner._last_dlq_count == 0  # nothing NEW quarantined
+    # …but the batch still CARRIED a malformed event — the in-batch
+    # counter reports it so a redelivery doesn't read as clean
+    assert st2["dlq_rejected"] == 0 and st2["dlq_in_batch"] == 1
     dlq = spark.read.parquet(str(tmp_path / "wh" / "corpus_dlq" / "batch=0"))
     assert dlq.count() == 1 and dlq.first()["lsn"] == 5

@@ -124,3 +124,18 @@ def test_negated_and_reversed_membership(df):
     # field-LHS ni == reversed in; !ni its negation
     assert ids(df, 'note ni "dns"') == ["8.8.8.8"]
     assert ids(df, 'note !ni "dns"') == ["10.0.2.7"]
+
+
+def test_ni_skips_type_incompatible_fields(df):
+    # `port ni 4` suffix-binds dest.port (int): the reference's
+    # type_resolver silently EXCLUDES type-incompatible fields from the
+    # connective (expression_visitors.cpp compatible() filter) instead of
+    # erroring — with only incompatible bindings the predicate is false
+    # for every row, and it must not raise AnalysisException at plan time
+    assert ids(df, 'port ni "4"') == []
+    assert ids(df, 'bytes ni "1"') == []
+    # compatible suffix binding still works: `ip ni "10."` binds dest.ip
+    # (string) — only the row whose dest.ip starts with "10." matches
+    assert ids(df, 'ip ni "10."') == ["8.8.8.8"]
+    # literal-lhs form over an incompatible field: same exclusion
+    assert ids(df, '"4" in port') == []

@@ -702,3 +702,27 @@ def test_expire_age_window(spark, tmp_path):
     assert {r["doc_id"] for r in t.read(spark).collect()} == {"k0", "k1", "k2", "k3"}
     # history surfaces the commit timestamp
     assert all(h["ts"] is not None for h in t.history())
+
+
+def test_maintenance_refuses_foreign_writer(tmp_path):
+    """expire/orphans probe WRITER_LOCK: a lease held by ANOTHER writer
+    (another process; flock conflicts across fds, so a second instance
+    models it) refuses maintenance GC — its background fold may pin files
+    this GC would delete. The lease HOLDER itself is unaffected."""
+    import pytest as _pytest
+
+    writer = LakeTable(str(tmp_path), "t_lease")
+    writer.create(SCHEMA, n_buckets=4)
+    writer.acquire_writer_lease()
+    try:
+        other = LakeTable(str(tmp_path), "t_lease")
+        with _pytest.raises(RuntimeError, match="writer lease"):
+            other.expire_snapshots(keep_last=1)
+        with _pytest.raises(RuntimeError, match="writer lease"):
+            other.remove_orphan_files(older_than_s=3600)
+        # the writer itself may still run maintenance
+        assert writer.expire_snapshots(keep_last=1)["expired_versions"] == []
+    finally:
+        writer.release_writer_lease()
+    # lease released -> maintenance allowed again
+    assert other.expire_snapshots(keep_last=1)["expired_versions"] == []

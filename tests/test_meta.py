@@ -140,6 +140,17 @@ def test_batch_and_delay(spark):
     assert batch(df, 100).rdd.getNumPartitions() == 10
     assert batch(df, 10**6).rdd.getNumPartitions() == 1
 
+    # statically-unknown row count (filter kills plan stats): NO count()
+    # job may run — the one-pass fallback re-chunks Arrow batches inside
+    # each partition instead of shuffling
+    filtered = df.filter("id % 2 = 0").coalesce(1)
+    all_jobs_before = spark.sparkContext.statusTracker().getJobIdsForGroup()
+    out = batch(filtered, 100)  # lazy: must not launch any job
+    all_jobs_after = spark.sparkContext.statusTracker().getJobIdsForGroup()
+    assert len(all_jobs_after) == len(all_jobs_before)
+    assert "MapInArrow" in out._jdf.queryExecution().toString()
+    assert sorted(r["id"] for r in out.collect()) == list(range(0, 1000, 2))
+
     slept = []
     batches = [(0.0, "b0"), (10.0, "b1"), (11.0, "b2")]
     out = list(delay(batches, speed=5.0, sleep=slept.append))

@@ -530,3 +530,47 @@ def test_sigma_dir_with_multidoc_file(events, tmp_path):
     out = run_tql(events, f"sigma {tmp_path}/rules")
     types = {r["event_type"] for r in out.collect()}
     assert types and types <= {"purchase", "click"}
+
+
+def test_assignments_escaped_backslash_before_quote():
+    # x="a\\" ends its string (the second backslash is itself escaped);
+    # the following top-level comma must still split assignments
+    from tenzir_spark.plans.pipeline import _assignments
+
+    out = _assignments('x="a\\\\", y=2')
+    assert [k for k, _v in out] == ["x", "y"]
+    assert out[0][1] == '"a\\\\"'
+
+
+def test_export_flag_order_and_errors(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from tenzir_spark.lake.table import DELETED_COL, LakeTable
+    from tenzir_spark.plans.pipeline import TqlError, run_tql_source
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("n_tok", T.IntegerType(), True),
+    ])
+    t = LakeTable(str(tmp_path), "ord_t")
+    t.create(schema, n_buckets=4)
+    for rows in ([("a", 1)], [("a", 2)], [("a", 3)]):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "_bucket", t.bucket_expr("doc_id")).withColumn(
+            DELETED_COL, F.lit(False))
+        t.delta_commit(df, schema=schema, properties={})
+
+    # flag order does not matter: --to before --changes-since parses
+    a = run_tql_source(
+        spark, f"export {tmp_path}/ord_t --changes-since 1 --to 2").collect()
+    b = run_tql_source(
+        spark, f"export {tmp_path}/ord_t --to 2 --changes-since 1").collect()
+    assert a == b and len(a) == 1 and a[0]["n_tok"] == 2
+
+    # targeted errors, not the generic 'pipeline must start with…' one
+    with pytest.raises(TqlError, match="--to requires --changes-since"):
+        run_tql_source(spark, f"export {tmp_path}/ord_t --to 5")
+    with pytest.raises(TqlError, match="unknown option '--bogus'"):
+        run_tql_source(spark, f"export {tmp_path}/ord_t --bogus 1")
+    with pytest.raises(TqlError, match="expects an integer"):
+        run_tql_source(spark, f"export {tmp_path}/ord_t --changes-since x")
