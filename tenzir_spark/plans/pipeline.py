@@ -1105,6 +1105,122 @@ def run_tql_source(spark, text: str, order_by: str | None = None,
 
 
 # ---------------------------------------------------------------------------
+# streaming pipelines as TEXT (the reference's implicit closed pipelines)
+# ---------------------------------------------------------------------------
+
+_ENVELOPE_COLS = ("lsn", "part_id", "op")
+
+
+def run_tql_stream(spark, text: str, *, connector=None,
+                   max_batches: int | None = None,
+                   runner_kwargs: dict | None = None,
+                   checkpoint_dir: str | None = None,
+                   processing_time: str | None = None,
+                   max_files_per_trigger: int | None = None):
+    """Streaming TQL text front-end — the reference's implicit CLOSED
+    streaming pipelines (`tenzir 'from kafka … | where … | import'`,
+    libtenzir/src/exec_pipeline.cpp:118-184 runs such a pipeline until
+    the source is exhausted or the node stops): the head names a
+    CONTINUOUS source, the tail must be `import <table_root>`, and the
+    operator stages in between are compiled by run_tql per micro-batch.
+
+    Head schemes:
+
+    - ``from kafka://<bootstrap>/<topic>`` — real broker via
+      KafkaConnector (kafka-python client; broker-gated in this sandbox)
+    - ``from stream://<changes_dir>`` — Structured Streaming file tail
+      (readStream → foreachBatch); RETURNS the started StreamingQuery
+      (continuous with ``processing_time``, one-shot drain otherwise)
+    - ``from broker://…`` or any head with ``connector=`` injected — a
+      seek/poll/ack loop over the given ChangeConnector; returns a stats
+      dict with the runner under ``"runner"``
+
+    Exactly-once is run_connector's discipline: seek from the TABLE's
+    committed per-partition watermarks, apply the idempotent MERGE, ack
+    only after the snapshot commit. A forced restart — new process,
+    fresh connector object — re-seeks from the durable watermarks;
+    redelivered events are absorbed by the watermark filter, so the
+    final table state is independent of where the kill landed.
+
+    Operator stages must preserve the envelope columns (lsn, part_id,
+    op) — they carry the exactly-once bookkeeping; a stage that drops
+    them raises TqlError before anything is applied."""
+    from tenzir_spark.cdc.runner import IngestRunner
+    from tenzir_spark.sources.connector import (
+        FileLogConnector,
+        KafkaConnector,
+        run_connector,
+    )
+
+    stages = split_pipeline(text)
+    head = stages[0].strip()
+    m = _FROM_RE.fullmatch(head)
+    if not m:
+        raise TqlError(
+            "streaming pipeline must start with `from <stream-url>` "
+            f"(got {stages[0]!r})")
+    url = m.group(1)
+    tail_stage = stages[-1].strip() if len(stages) > 1 else ""
+    im = _IMPORT_RE.fullmatch(tail_stage)
+    if not im:
+        raise TqlError(
+            "streaming pipeline must end with `import <table_root>` — a "
+            "continuous source needs a durable, idempotent sink (got "
+            f"{tail_stage!r})")
+    middle = " | ".join(s.strip() for s in stages[1:-1])
+    root = im.group(1).rstrip("/")
+    import os as _os
+
+    def _transform(df: DataFrame) -> DataFrame:
+        out = run_tql(df, middle) if middle else df
+        missing = [c for c in _ENVELOPE_COLS if c not in out.columns]
+        if missing:
+            raise TqlError(
+                f"streaming stages dropped envelope column(s) {missing}; "
+                "lsn/part_id/op carry the exactly-once bookkeeping — "
+                "select/drop payload fields only")
+        return out
+
+    if url.startswith("stream://"):
+        # Structured Streaming file tail: checkpoint ⊕ idempotent sink
+        from tenzir_spark.streaming.ingest import stream_ingest
+
+        return stream_ingest(
+            spark, url[len("stream://"):],
+            _os.path.dirname(root),
+            runner_kwargs={"table_name": _os.path.basename(root),
+                           **(runner_kwargs or {})},
+            checkpoint_dir=checkpoint_dir,
+            processing_time=processing_time,
+            max_files_per_trigger=max_files_per_trigger,
+            transform=_transform if middle else None,
+        )
+    if connector is None:
+        if url.startswith("kafka://"):
+            bootstrap, _, topic = url[len("kafka://"):].partition("/")
+            if not topic:
+                raise TqlError(
+                    "from kafka://<bootstrap>/<topic>: topic missing")
+            connector = KafkaConnector(spark, bootstrap, topic)
+        elif url.startswith("log://"):
+            # an on-disk batch-directory change log tailed through the
+            # connector protocol (footer-pruned seek) instead of
+            # readStream — same loop as a broker
+            connector = FileLogConnector(spark, url[len("log://"):])
+        else:
+            raise TqlError(
+                f"no connector for {url!r}: pass connector= for "
+                "broker:// (tests) or use kafka:// / stream:// / log://")
+    runner = IngestRunner(spark, _os.path.dirname(root),
+                          table_name=_os.path.basename(root),
+                          **(runner_kwargs or {}))
+    stats = run_connector(runner, connector, max_batches=max_batches,
+                          transform=_transform)
+    stats["runner"] = runner
+    return stats
+
+
+# ---------------------------------------------------------------------------
 # `every <interval>` / `cron "<expr>"` scheduled pipelines
 # ---------------------------------------------------------------------------
 

@@ -470,12 +470,20 @@ class LakeChangeConnector(ChangeConnector):
 
 
 def run_connector(runner, connector: ChangeConnector,
-                  max_batches: int | None = None) -> dict:
+                  max_batches: int | None = None,
+                  transform=None) -> dict:
     """Drive a connector through the idempotent micro-batch body. The
     offset-commit protocol: seek from the TABLE's committed watermarks
     (the durable source of truth), apply, then ack the table's NEW
     watermarks — offsets thus advance only after the snapshot commit,
-    exactly the reference's manual-commit kafka discipline."""
+    exactly the reference's manual-commit kafka discipline.
+
+    ``transform`` (DataFrame -> DataFrame) runs the pipeline's operator
+    stages between poll and apply (the TQL text path's `where`/`set`/…
+    per micro-batch). A transform that FILTERS events keeps exactly-once
+    intact: the watermark only advances to the max surviving lsn, so a
+    restart redelivers the filtered suffix and the filter + watermark
+    absorb it again — idempotent, at worst re-scanned once."""
     runner.ensure_table()
     connector.seek(runner.watermarks())
     applied = 0
@@ -484,7 +492,8 @@ def run_connector(runner, connector: ChangeConnector,
         b = connector.poll()
         if b is None:
             break
-        st = runner.apply_batch_df(b.df, b.batch_id)
+        st = runner.apply_batch_df(
+            transform(b.df) if transform is not None else b.df, b.batch_id)
         wm = {int(k): int(v) for k, v in runner.watermarks().items()}
         connector.ack(wm)
         stats.append(st)

@@ -83,55 +83,99 @@ def http_load(spark: SparkSession, url: str, *, fmt: str | None = None,
 
 def http_save(df: DataFrame, url: str, *, method: str = "POST",
               items: list[str] | None = None, fmt: str = "json",
-              timeout: float = 30.0) -> int:
-    """``to http(s)://…``: serialize the DataFrame (ndjson by default,
-    like the reference's default printer) and send it as ONE request
-    body; returns the number of rows sent. Collection is driver-side —
-    an HTTP POST is an egress endpoint, not a storage path."""
+              timeout: float = 30.0, chunk_bytes: int = 4 << 20) -> int:
+    """``to http(s)://…``: ndjson egress (the reference's default
+    printer) POSTed in per-partition chunks of ≤ ``chunk_bytes`` bytes —
+    the EXECUTORS serialize and send their own partitions, the driver
+    never materializes the DataFrame, so `to http://` scales to outputs
+    far beyond driver memory. Chunk order across partitions is
+    unspecified (HTTP egress carries no ordering contract; the reference
+    likewise serializes whatever the pipe delivers). Returns rows sent
+    (summed from the same single pass)."""
     if fmt != "json":
         raise ValueError("http_save supports fmt='json' (ndjson body)")
-    rows = [r.asDict(recursive=True) for r in df.collect()]
-    body = ("\n".join(json.dumps(r, default=str) for r in rows) + "\n").encode()
     headers, _data, params = parse_http_items(items or [])
     if params:
         sep = "&" if urllib.parse.urlparse(url).query else "?"
         url = url + sep + urllib.parse.urlencode(params)
     headers.setdefault("Content-Type", "application/x-ndjson")
-    req = urllib.request.Request(url, data=body, method=method,
-                                 headers=headers)
-    with urllib.request.urlopen(req, timeout=timeout) as resp:
-        resp.read()
-    return len(rows)
+
+    def _post_partition(lines):
+        import urllib.request as _rq
+        buf: list[str] = []
+        size = n = 0
+
+        def _flush():
+            nonlocal buf, size
+            if not buf:
+                return
+            body = ("\n".join(buf) + "\n").encode()
+            req = _rq.Request(url, data=body, method=method, headers=headers)
+            with _rq.urlopen(req, timeout=timeout) as resp:
+                resp.read()
+            buf, size = [], 0
+
+        for ln in lines:
+            buf.append(ln)
+            size += len(ln) + 1
+            n += 1
+            if size >= chunk_bytes:
+                _flush()
+        _flush()
+        yield n
+
+    # toJSON serializes JVM-side (no Python row objects); one job total
+    return int(sum(df.toJSON().mapPartitions(_post_partition).collect()))
 
 
 def email_save(df: DataFrame, recipient: str, *, sender: str = "tenzir-spark",
                subject: str = "pipeline output", smtp=None,
                host: str = "localhost", port: int = 25,
                username: str | None = None,
-               password: str | None = None) -> int:
+               password: str | None = None,
+               chunk_bytes: int = 8 << 20) -> int:
     """``to email://<recipient>`` (reference: email saver,
     libtenzir/builtins/connectors/email.cpp + email.md — "establish a
     SMTP(S) connection and send bytes as email body"; default printer is
-    json). Serializes the DataFrame as ndjson into one message via
-    stdlib smtplib; the connection object is injectable (``smtp=``) so
-    the protocol is testable without a mail server. Returns rows sent."""
+    json). Streams ndjson rows into one or more messages (≤
+    ``chunk_bytes`` body each) via stdlib smtplib, never materializing
+    the DataFrame on the driver; the connection object is injectable
+    (``smtp=``) so the protocol is testable without a mail server.
+    Returns rows sent."""
     import email.message
     import smtplib
 
-    rows = [r.asDict(recursive=True) for r in df.collect()]
-    body = "\n".join(json.dumps(r, default=str) for r in rows) + "\n"
-    msg = email.message.EmailMessage()
-    msg["From"], msg["To"], msg["Subject"] = sender, recipient, subject
-    msg.set_content(body)
     own = smtp is None
     if own:  # pragma: no cover - needs a mail server
         smtp = smtplib.SMTP(host, port, timeout=30)
         if username:
             smtp.starttls()
             smtp.login(username, password or "")
-    try:
+
+    def _send(lines: list[str]) -> None:
+        msg = email.message.EmailMessage()
+        msg["From"], msg["To"], msg["Subject"] = sender, recipient, subject
+        msg.set_content("\n".join(lines) + "\n")
         smtp.send_message(msg)
+
+    # SMTP is one driver-side authenticated connection by nature, but the
+    # rows STREAM through toLocalIterator (one partition in driver memory
+    # at a time, never the whole DataFrame); bodies above chunk_bytes are
+    # split across messages with identical headers
+    total = 0
+    try:
+        buf: list[str] = []
+        size = 0
+        for ln in df.toJSON().toLocalIterator():
+            buf.append(ln)
+            size += len(ln) + 1
+            total += 1
+            if size >= chunk_bytes:
+                _send(buf)
+                buf, size = [], 0
+        if buf:
+            _send(buf)
     finally:
         if own:  # pragma: no cover
             smtp.quit()
-    return len(rows)
+    return total

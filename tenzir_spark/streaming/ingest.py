@@ -63,6 +63,7 @@ def stream_ingest(
     processing_time: str | None = None,
     checkpoint_dir: str | None = None,
     runner_kwargs: dict | None = None,
+    transform=None,
 ):
     """Tail ``changes_dir`` (batch-*/part-*.parquet) as a stream into the
     lake table at ``warehouse``. Returns the started StreamingQuery.
@@ -92,7 +93,11 @@ def stream_ingest(
     )
 
     def _apply(df, epoch_id: int) -> None:
-        runner.apply_batch_df(df, int(epoch_id))
+        # transform: operator stages between source and sink (the TQL
+        # text path compiles `where|set|…` into this hook); runs inside
+        # foreachBatch so each micro-batch is transformed then MERGEd
+        runner.apply_batch_df(
+            transform(df) if transform is not None else df, int(epoch_id))
 
     writer = stream.writeStream.foreachBatch(_apply).outputMode("update")
     writer = writer.option(
