@@ -94,14 +94,15 @@ class ContextStore:
         return self._table(name).read(self.spark).drop(BUCKET_COL, COMMIT_COL)
 
     def inspect_at(self, name: str, version: int) -> DataFrame:
-        """Time travel (the reference's save/load snapshots, but queryable)."""
-        t = self._table(name)
-        snap = t.snapshot(version)
-        import pyspark.sql.types as T
-
-        return t.read_files(
-            self.spark, snap["files"], T.StructType.fromJson(snap["schema"])
-        ).drop(BUCKET_COL, COMMIT_COL)
+        """Time travel (the reference's save/load snapshots, but queryable).
+        Goes through ``LakeTable.read`` so snapshots that mix base and
+        merge-on-read delta files resolve LWW correctly (the two file
+        kinds have different partition layouts — one read each)."""
+        return (
+            self._table(name)
+            .read(self.spark, version=version)
+            .drop(BUCKET_COL, COMMIT_COL)
+        )
 
     # -------------------------------------------------------------- apply
     def apply(self, df: DataFrame, name: str, on, filter: bool = False) -> DataFrame:
@@ -117,6 +118,27 @@ class ContextStore:
         context matches — a stream-static broadcast join; works on both
         batch and readStream DataFrames."""
         return self.apply(stream_df, name, on=on, filter=True)
+
+    def lookup_snapshot(self, table, name: str, on: str,
+                        context_version: int | None = None,
+                        data_version: int | None = None) -> DataFrame:
+        """`lookup <ctx> --retro --snapshot` (web/docs/operators/lookup.md:80-84):
+        pin the CONTEXT state at execution time and run the retrospective
+        scan with that pinned state — context updates and data imports
+        landing after the snapshot was taken do not change the result.
+        Both pins default to the versions current when this is called;
+        pass explicit versions to replay an earlier lookup bit-for-bit
+        (every snapshot manifest and its files are immutable)."""
+        t = self._table(name)
+        cv = t.current_version() if context_version is None else context_version
+        dv = table.current_version() if data_version is None else data_version
+        ctx = self.inspect_at(name, cv)
+        key = t.snapshot(cv).get("properties", {}).get(
+            "key", t.properties()["key"])
+        if on != key:
+            ctx = ctx.withColumnRenamed(key, on)
+        hist = table.read(self.spark, version=dv).drop(BUCKET_COL, COMMIT_COL)
+        return enrich(hist, ctx, on=on, filter=True)
 
     def lookup_retro(self, table, name: str, on: str,
                      since_version: int | None = None) -> DataFrame:

@@ -2192,6 +2192,67 @@ FROM m WHERE r1 OR r2
 # registry
 # --------------------------------------------------------------------------
 
+def q_stream_deduplicate(spark, sf):
+    """Streaming stateful dedup witnessed END TO END (the reference's
+    `deduplicate --limit`, deduplicate.cpp:268-309): events flow through
+    a real Structured Streaming query — file source split into 4 files
+    with maxFilesPerTrigger=1 so the run spans 4 micro-batches — into
+    stream_deduplicate(limit=3). The per-key counter lives in the
+    checkpointed GroupState, so total emissions per key = min(total, 3)
+    regardless of how files were batched. The witness output is the
+    per-key EMITTED COUNT: order-independent (which 3 rows win depends
+    on delivery order; that they number min(total,3) does not), hence
+    SQL-expressible exactly. Memory sink holds only the suppressed
+    output (≤ 3×97 rows), never the input."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from tenzir_spark.streaming.stateful import stream_deduplicate
+
+    ev = load(spark, sf, "events").select(
+        (F.col("user_id") % 97).alias("k"), "event_id")
+    tmp = tempfile.mkdtemp(prefix="tzs_sdedup_")
+    try:
+        src = os.path.join(tmp, "in")
+        ckpt = os.path.join(tmp, "ckpt")
+        ev.repartition(4).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = stream_deduplicate(
+            stream, keys=["k"], payload_cols=["event_id"], limit=3)
+        qname = "sdedup_" + re.sub(r"[^0-9a-zA-Z]", "", tmp[-8:])
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = (
+            spark.table(qname)
+            .groupBy("k")
+            .agg(F.count("*").alias("emitted"))
+            .orderBy("k")
+        )
+        res = spark.createDataFrame(emitted.collect(), emitted.schema)
+        spark.catalog.dropTempView(qname)
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+SQL_STREAM_DEDUPLICATE = """
+SELECT user_id % 97 AS k, LEAST(COUNT(*), 3) AS emitted
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # ---- positions 1-50: the driver's hard-verified correctness window.
     # Curated to cover one representative per operator FAMILY plus the
@@ -2202,7 +2263,6 @@ REGISTRY: dict[str, tuple] = {
     # still oracle-gated locally by scripts/check_oracles.py.
     "where_filter": (q_where, SQL_WHERE),
     "select_project": (q_select, SQL_SELECT),
-    "drop_fields": (q_drop, SQL_DROP),
     "put_computed": (q_put, SQL_PUT),
     "rename_fields": (q_rename, SQL_RENAME),
     "head_n": (q_head, SQL_HEAD),
@@ -2250,8 +2310,10 @@ REGISTRY: dict[str, tuple] = {
     "pcap_decapsulate": (q_pcap_decapsulate, SQL_PCAP_DECAP),
     "bitz_roundtrip": (q_bitz_roundtrip, SQL_BITZ_ROUNDTRIP),
     "token_fingerprint_exact": (q_token_fingerprint_oracle, SQL_TOKEN_FINGERPRINT),
+    "stream_deduplicate": (q_stream_deduplicate, SQL_STREAM_DEDUPLICATE),
     # ---- past the 50-row window: family variants + remaining entries,
     # all still oracle-exact under the local gate
+    "drop_fields": (q_drop, SQL_DROP),
     "extend_fields": (q_extend, SQL_EXTEND),
     "replace_fields": (q_replace, SQL_REPLACE),
     "set_fields": (q_set_fields, SQL_SET),

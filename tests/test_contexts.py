@@ -81,3 +81,38 @@ def test_lookup_live_and_retro(spark, store, tmp_path):
     got = store.lookup_retro(hist, "threats", on="src", since_version=v0).collect()
     # only the NEWLY added ioc matches retro (1.2.3.4 was known before v0)
     assert [(r["src"], r["label"]) for r in got] == [("7.7.7.7", "fresh")]
+
+
+def test_lookup_snapshot_pins_context_and_data(spark, store, tmp_path):
+    """--snapshot (lookup.md:80-84): the retro scan runs with the context
+    state AND data snapshot pinned at execution time — a context update
+    and a data import landing afterwards do not change the result."""
+    import pyspark.sql.types as T
+
+    from tenzir_spark.lake.table import LakeTable
+
+    store.create("threats", _ctx_rows(spark), key="ioc")
+
+    hist = LakeTable(str(tmp_path), "hist")
+    schema = T.StructType([T.StructField("src", T.StringType()),
+                           T.StructField("n", T.LongType())])
+    hist.create(schema, n_buckets=2, key="src")
+    hist.append(spark.createDataFrame(
+        [Row(src="1.2.3.4", n=10), Row(src="7.7.7.7", n=11)]), "src")
+
+    # pin at execution time
+    cv = store._table("threats").current_version()
+    dv = hist.current_version()
+
+    # later: a context update AND a new import, both post-snapshot
+    store.update("threats", spark.createDataFrame([Row(ioc="7.7.7.7", label="fresh")]))
+    hist.append(spark.createDataFrame([Row(src="5.6.7.8", n=12)]), "src")
+
+    pinned = store.lookup_snapshot(hist, "threats", on="src",
+                                   context_version=cv, data_version=dv)
+    assert [(r["src"], r["label"]) for r in pinned.collect()] == [("1.2.3.4", "bad")]
+
+    # unpinned (defaults = now) sees both post-snapshot changes
+    live = store.lookup_snapshot(hist, "threats", on="src")
+    got = sorted((r["src"], r["label"]) for r in live.collect())
+    assert got == [("1.2.3.4", "bad"), ("5.6.7.8", "worse"), ("7.7.7.7", "fresh")]
