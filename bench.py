@@ -157,6 +157,7 @@ def main() -> None:
                 fn(spark, warm_sf).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    warm_timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = reg.get(name)
         if fn is None:
@@ -164,6 +165,16 @@ def main() -> None:
         t0 = time.monotonic()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
+        # steady-state twin: the second sf0.1 execution of the SAME plan.
+        # The sf0.001 warmup above removes Janino compilation, but C2 JIT
+        # of the generated classes only kicks in after real row counts —
+        # the first sf0.1 run pays it, every later run doesn't. At 100 TB
+        # that cost amortizes to zero, so queries_warm is the number that
+        # projects; `queries` (first-run, reported unchanged since r1)
+        # stays the cross-round comparable.
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm_timings[name] = round(time.monotonic() - t0, 3)
 
     extra: dict = {}
     if os.environ.get("BENCH_SKIP_CDC", "") != "1":
@@ -313,6 +324,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_warm": warm_timings,
         "sf": _sf_of(sf_dir),
         "cores": cores,
         **health,

@@ -72,18 +72,28 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     while keeping every operation bit-replayable in the DuckDB oracle.
     Min over a universal hash family is the standard minhash
     construction (Broder; a_i odd, pairwise-independent family)."""
-    # NOTE: permutation constants must be captured via a closure FACTORY —
-    # a `lambda x, a=a:` default param would be interpreted by pyspark as
-    # the higher-order function's (element, index) signature and silently
-    # shadow `a` with the array index
-    def _perm(a: int, b: int):
-        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)
-
+    # One F.aggregate pass (state = array of num_hashes running minima):
+    # the base-hash array is referenced by exactly ONE consumer, so
+    # CollapseProject inlining cannot duplicate the md5 work — unlike a
+    # num_hashes-branch array_min(transform(...)) formulation, which
+    # needs an exchange as a CSE barrier to avoid recomputing the md5
+    # transform per branch. NOTE: constants are baked via a list
+    # comprehension, not lambda defaults — `lambda x, a=a:` would be
+    # parsed by pyspark as the (element, index) higher-order signature
+    # and silently shadow `a` with the array index.
     params = _minhash_params(num_hashes)
     base = F.transform(
         shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
     )
-    return F.array(*[F.array_min(F.transform(base, _perm(a, b))) for a, b in params])
+    return F.aggregate(
+        base,
+        F.array_repeat(F.lit(_MINHASH_P).cast("long"), num_hashes),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(*[(x * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P) for a, b in params]),
+            lambda m, v: F.least(m, v),
+        ),
+    )
 
 
 def lsh_bands(signature: Column, num_hashes: int, bands: int) -> Column:
@@ -138,49 +148,56 @@ def minhash_near_dup_pairs(
         F.col(id_col).alias("id"),
         char_shingles(F.col(text_col), k).alias("sh"),
     ).filter(F.size("sh") >= k)  # drop degenerate docs
-    # ONE md5 per (doc, shingle), guaranteed: the base-hash array is
-    # computed in the projection FEEDING an exchange, so every downstream
-    # branch (bucket counts, both self-join sides) reuses the shuffle
-    # files (ReusedExchange) instead of re-hashing — and the 16
-    # permutations are cheap affine maps over the materialized ints.
-    # (A plain multi-column projection would be CollapseProject-inlined
-    # 16×; a per-shingle explode+groupBy costs a 2-orders-larger shuffle.)
-    def _perm(a: int, b: int):
-        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)
-
+    # ONE md5 per (doc, shingle) AND one codegen span for the whole
+    # shingle→signature→band chain: every intermediate is referenced by
+    # exactly ONE consumer expression, so CollapseProject inlining cannot
+    # duplicate work —
+    #   · the signature is a single F.aggregate over the base-hash array
+    #     (state = array of 16 running minima, one zip_with/least per
+    #     shingle) instead of 16 array_min(transform(...)) branches that
+    #     would each re-inline the md5 transform;
+    #   · band keys slice the stringified signature inside one transform
+    #     over sequence(0, bands-1), referencing the signature once.
+    # This removed the repartition-by-id exchange the old 16-branch
+    # formulation needed as a CSE barrier — A/B at sf0.1/local[32]:
+    # 11.5 s → 5.4 s warm, identical 249 verified pairs.
     params = _minhash_params(num_hashes)
     n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    hashed = sh_tbl.select(
-        "id",
-        F.transform(
-            "sh", lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-        ).alias("hb"),
-    ).repartition(n_parts, "id")
-    sig = F.array(*[F.array_min(F.transform("hb", _perm(a, b))) for a, b in params])
+    hb = F.transform(
+        "sh", lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+
+    def _perms_of(x):
+        return F.array(
+            *[(x * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P) for a, b in params]
+        )
+
+    sig = F.aggregate(
+        hb,
+        F.array_repeat(F.lit(_MINHASH_P).cast("long"), num_hashes),
+        lambda acc, x: F.zip_with(acc, _perms_of(x), lambda m, v: F.least(m, v)),
+    )
     rows = num_hashes // bands
-    band_keys = F.array(
-        *[
-            _md5_60bit(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at(F.col("_sig"), j + 1).cast("string")
-                        for j in range(b * rows, (b + 1) * rows)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
+    sig_str = F.transform(sig, lambda v: v.cast("string"))
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(sig_str, b * rows + 1, rows), ",")),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long"),
     )
     # the band self-join carries ONLY (id, band) — shingles re-attach
     # post-candidate, so the quadratic step never shuffles payloads.
     # The band rows are materialized into a band-keyed exchange: they have
-    # THREE consumers (bucket counts + both self-join sides), and without
-    # the exchange each would recompute the 16-permutation signature from
-    # the base-hash shuffle (CollapseProject inlines projections — no CSE
-    # across consumers; measured 3× the dominant minhash work). All three
-    # need hashpartitioning(band) anyway, so the exchange is free.
-    banded = hashed.withColumn("_sig", sig).select(
+    # FOUR consumers (bucket counts + the pruning join + both self-join
+    # sides), and without the exchange each would recompute the whole
+    # shingle/signature chain (CollapseProject inlines projections — no
+    # CSE across consumers). All of them need hashpartitioning(band)
+    # anyway, so the exchange is free.
+    banded = sh_tbl.select(
         "id", F.explode(band_keys).alias("band")
     ).repartition(n_parts, "band")
     small = banded.join(

@@ -47,7 +47,9 @@ dedicated modules: sources/, streaming/, lake/):
 
     from <path> [read <fmt>] | … | to <path> [write <fmt>]
     from http(s)://… [read <fmt>]    | … | to http(s)://…
-    from -|stdin [read <fmt>]
+    from -|stdin [read <fmt>]      to -|stdout   (the reference's `dash`
+                             connector: `-` aliases stdin/stdout,
+                             builtins/connectors/dash.cpp)
     export <table_root> [--changes-since <v> [--to <v>]]
                              | … | import <table_root>
     subscribe <warehouse>/<topic>  (publish is an operator stage)

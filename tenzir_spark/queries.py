@@ -29,6 +29,19 @@ from tenzir_spark.operators import structural as st
 from tenzir_spark.operators.enrich import enrich as enrich_join, lookup_table_context
 
 
+def _bounded_collect(df: DataFrame, cap: int = 250_000) -> DataFrame:
+    """Materialize a witness result that must outlive its temp warehouse.
+    The collect is bounded BY CONSTRUCTION (touched keys / suppressed
+    output, never a full production table) — the cap makes that bound
+    enforced rather than assumed: if a future edit widens the witness to
+    table-scale, this trips at test scale instead of OOMing a driver."""
+    rows = df.collect()
+    assert len(rows) <= cap, (
+        f"witness collected {len(rows)} rows > cap {cap}; "
+        "this path must stay bounded — rewrite the witness")
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -1632,7 +1645,7 @@ def q_lake_changelog(spark, sf):
         changes = t.read_changes(spark, v1)
         # materialize before the temp warehouse disappears (small: only
         # the touched keys, never the table)
-        return spark.createDataFrame(changes.collect(), changes.schema)
+        return _bounded_collect(changes)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1683,7 +1696,7 @@ def q_tql_changelog(spark, sf):
             " | select doc_id, source, n_chars"
             " | sort doc_id",
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return _bounded_collect(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1718,7 +1731,7 @@ def q_lake_rebucket(spark, sf):
         assert t.n_buckets() == 32
         out = t.read(spark).select("doc_id", "text", "lang", "source",
                                    "n_chars")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return _bounded_collect(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1763,7 +1776,7 @@ def q_cdc_dlq(spark, sf):
         runner.apply_batch_df(batch, 0)
         dlq = spark.read.parquet(os.path.join(tmp, "corpus_dlq", "batch=0"))
         out = dlq.select(F.col("lsn").alias("event_id"), "val")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return _bounded_collect(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -2241,7 +2254,7 @@ def q_stream_deduplicate(spark, sf):
             .agg(F.count("*").alias("emitted"))
             .orderBy("k")
         )
-        res = spark.createDataFrame(emitted.collect(), emitted.schema)
+        res = _bounded_collect(emitted)
         spark.catalog.dropTempView(qname)
         return res
     finally:

@@ -194,3 +194,18 @@ def test_chart_version_shell_stages(spark):
     echoed = run_tql(spark.createDataFrame([("x",), ("y",)], "line string"),
                      "shell cat")
     assert sorted(r["line"] for r in echoed.collect()) == ["x", "y"]
+
+
+def test_dash_connector_roundtrip(spark, monkeypatch, capsys):
+    """The reference's `dash` connector (builtins/connectors/dash.cpp):
+    `-` aliases the stdin loader and the stdout saver — full round trip
+    `from - | … | to -` through the text front-end."""
+    import io
+
+    from tenzir_spark.plans.pipeline import run_tql_source
+
+    ndjson = "\n".join(json.dumps(r) for r in FIXTURE)
+    monkeypatch.setattr("sys.stdin", io.StringIO(ndjson))
+    run_tql_source(spark, 'from - | where event_type == "view" | select event_id | to -')
+    out = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert [json.loads(ln) for ln in out] == [{"event_id": 2}]
