@@ -64,6 +64,31 @@ def run_one(cores: int, args) -> dict:
     return stats
 
 
+def box_probe() -> dict:
+    """Host-state calibration in the SAME run as the scaling numbers
+    (bench.py's fixed-cost probe): median wall of trivial 32-task jobs in
+    a throwaway local[4] session. Good box: ~30-60 ms; the degraded host
+    states documented in BASELINE.md push this to 200-1000+ ms — scaling
+    efficiency measured on a degraded box is unusable (the stalls are
+    host-side and do not scale with cores)."""
+    import statistics
+    import time
+
+    sys.path.insert(0, ROOT)
+    from tenzir_spark.session import get_spark
+
+    spark = get_spark("scaling_box_probe", cores=4)
+    spark.range(1_000_000).selectExpr("sum(id % 7) AS s").collect()
+    walls = []
+    for _ in range(15):
+        t0 = time.monotonic()
+        spark.range(32 * 1000, numPartitions=32).selectExpr("sum(id) AS s").collect()
+        walls.append((time.monotonic() - t0) * 1000)
+    spark.stop()
+    return {"box_spark_job_ms": round(statistics.median(walls), 1),
+            "box_spark_job_max_ms": round(max(walls), 1)}
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--events", type=int, default=16_000_000)
@@ -85,6 +110,9 @@ def main() -> None:
                          n_parts=args.parts, n_batches=args.batches, seed=42,
                          token_len=(64, 256))
 
+    probe_before = box_probe()
+    print(json.dumps({"probe_before": probe_before}), flush=True)
+
     results = {}
     for c in [int(x) for x in args.cores.split(",")]:
         results[c] = run_one(c, args)
@@ -105,6 +133,9 @@ def main() -> None:
                 f"events_per_sec_{m}": results[m][key],
                 "efficiency": round(eff, 3),
             }), flush=True)
+    probe_after = box_probe()
+    print(json.dumps({"probe_after": probe_after}), flush=True)
+    results["box_probe"] = {"before": probe_before, "after": probe_after}
     with open(os.path.join(ROOT, args.out), "w") as f:
         json.dump(results, f, indent=1)
 
