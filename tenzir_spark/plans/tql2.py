@@ -1,0 +1,499 @@
+"""TQL2 front-end (subset) — the reference's second-generation pipeline
+language, experimental in this reference version
+(libtenzir/src/tql2/parser.cpp:85-245, tokens.cpp:17-120).
+
+Grammar implemented (the documented, stable core):
+
+    pipeline   = statement (NEWLINE | "|" statement)*
+    statement  = "let" "$"ident "=" expr          (constant binding)
+               | "if" expr "{" pipeline "}" ["else" "{" pipeline "}"]
+               | selector "=" expr                (assignment → set column)
+               | ident args                       (operator invocation)
+    args       = expr ("," expr)*
+    expr       = or-chain of: and/or/not, == != < <= > >=, in, + - * /,
+                 unary -, literals (string/number/bool/null), selectors
+                 (dotted paths), "$"bindings, method calls
+                 (.starts_with/.ends_with/.contains/.lower/.upper/
+                  .length/.trim/.abs/.round), function calls, [lists]
+
+Operators: where, select, drop, head, tail, sort (`-field` descending),
+summarize (bare selector args = group keys, assignments = aggregates —
+`summarize src, n=count(), total=sum(x)`), set (assignment statement),
+rename (new=old), from "<path>" / to "<path>" in run_tql2_source.
+
+Each statement compiles to the SAME DataFrame operator library the TQL1
+front-end uses — one engine, two surface syntaxes. `if` splits the
+stream on the condition, runs both branch pipelines, and reunifies with
+unionByName(allowMissingColumns) — the reference's stream-routing
+semantics (parser.cpp:130-148).
+
+Not implemented (clear TqlError): match statements, records `{...}`,
+lambdas `=>`, subpipeline arguments, `this` — the experimental edges
+that changed across reference releases.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+from tenzir_spark.plans.pipeline import TqlError
+
+
+# --------------------------------------------------------------- tokenizer
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>[ \t\r]+)
+  | (?P<comment>//[^\n]*|/\*.*?\*/)
+  | (?P<newline>\n)
+  | (?P<string>"(?:\\.|[^"\\])*")
+  | (?P<number>\d[\d_]*(?:\.\d[\d_]*)?(?:[kMGT]i?)?)
+  | (?P<dollar>\$[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op>==|!=|>=|<=|=>|&&|\|\||[-+*/=<>|.,:(){}\[\]!])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+_KEYWORDS = {"let", "if", "else", "and", "or", "not", "in", "true", "false",
+             "null", "match"}
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise TqlError(f"tql2: cannot tokenize at {text[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        val = m.group()
+        if kind in ("ws", "comment"):
+            continue
+        if kind == "ident" and val in _KEYWORDS:
+            out.append((val, val))
+        else:
+            out.append((kind, val))
+    out.append(("eof", ""))
+    return out
+
+
+_NUM_SUFFIX = {"k": 10**3, "M": 10**6, "G": 10**9, "T": 10**12,
+               "ki": 2**10, "Mi": 2**20, "Gi": 2**30, "Ti": 2**40}
+
+
+def _parse_number(text: str):
+    m = re.fullmatch(r"(\d[\d_]*(?:\.\d[\d_]*)?)([kMGT]i?)?", text)
+    base, suffix = m.group(1).replace("_", ""), m.group(2)
+    v = float(base) if "." in base else int(base)
+    if suffix:
+        v = v * _NUM_SUFFIX[suffix]
+        v = int(v) if float(v).is_integer() else v
+    return v
+
+
+# ------------------------------------------------------------------ parser
+class _Parser:
+    """Recursive descent over the token list; mirrors the reference's
+    statement/expression split (parser.cpp:100, :246)."""
+
+    _PREC = [  # low → high; parser.cpp precedence ladder
+        {"or"}, {"and"}, {"==", "!=", "<", "<=", ">", ">=", "in"},
+        {"+", "-"}, {"*", "/"},
+    ]
+
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind, val=None):
+        k, v = self.peek()
+        if k == kind and (val is None or v == val):
+            return self.next()
+        return None
+
+    def expect(self, kind, val=None):
+        t = self.accept(kind, val)
+        if t is None:
+            raise TqlError(
+                f"tql2: expected {val or kind}, got {self.peek()[1]!r}")
+        return t
+
+    # -- pipeline / statements
+    def pipeline(self, stop_at_rbrace=False) -> list:
+        body = []
+        while True:
+            while self.accept("newline") or self.accept("op", "|"):
+                pass
+            k, v = self.peek()
+            if k == "eof" or (stop_at_rbrace and (k, v) == ("op", "}")):
+                return body
+            body.append(self.statement())
+
+    def statement(self):
+        if self.peek()[0] == "let":
+            self.next()
+            name = self.expect("dollar")[1]
+            self.expect("op", "=")
+            return ("let", name, self.expr())
+        if self.peek()[0] == "if":
+            self.next()
+            cond = self.expr()
+            self.expect("op", "{")
+            cons = self.pipeline(stop_at_rbrace=True)
+            self.expect("op", "}")
+            alt = []
+            if self.accept("else"):
+                self.expect("op", "{")
+                alt = self.pipeline(stop_at_rbrace=True)
+                self.expect("op", "}")
+            return ("if", cond, cons, alt)
+        if self.peek()[0] == "match":
+            raise TqlError("tql2: match statements are not implemented "
+                           "(experimental in the reference too, parser.cpp:150)")
+        # selector `=` expr  |  ident args
+        if self.peek()[0] != "ident":
+            raise TqlError(f"tql2: expected a statement, got {self.peek()[1]!r}")
+        start = self.i
+        path = self._selector_path()
+        if self.accept("op", "="):
+            return ("assign", path, self.expr())
+        if len(path) == 1:
+            self.i = start + 1
+            return ("invoke", path[0], self._args())
+        raise TqlError("tql2: expected operator name or `=` after selector")
+
+    def _selector_path(self) -> list[str]:
+        path = [self.expect("ident")[1]]
+        while self.accept("op", "."):
+            path.append(self.expect("ident")[1])
+        return path
+
+    def _args(self) -> list:
+        """Invocation arguments; `ident = expr` named pairs are allowed
+        (the reference parses assignments as operator arguments,
+        parser.cpp:195) — that is how summarize names its aggregates and
+        rename maps new=old."""
+        args = []
+        while self.peek()[0] not in ("newline", "eof") and \
+                self.peek() != ("op", "|") and self.peek() != ("op", "}"):
+            if args:
+                self.expect("op", ",")
+            if (self.peek()[0] == "ident"
+                    and self.toks[self.i + 1] == ("op", "=")
+                    and self.toks[self.i + 2] != ("op", "=")):
+                name = self.next()[1]
+                self.next()  # '='
+                args.append(("named", name, self.expr()))
+            else:
+                args.append(self.expr())
+        return args
+
+    # -- expressions (precedence climbing, parser.cpp:246)
+    def expr(self, level=0):
+        if level >= len(self._PREC):
+            return self._unary()
+        left = self.expr(level + 1)
+        while True:
+            k, v = self.peek()
+            word = v if k in ("and", "or", "in") else (v if k == "op" else None)
+            if word in self._PREC[level]:
+                self.next()
+                right = self.expr(level + 1)
+                left = ("bin", word, left, right)
+            else:
+                return left
+
+    def _unary(self):
+        if self.accept("not"):
+            return ("not", self._unary())
+        if self.accept("op", "-"):
+            return ("neg", self._unary())
+        return self._postfix()
+
+    def _postfix(self):
+        e = self._primary()
+        while True:
+            if self.accept("op", "."):
+                name = self.expect("ident")[1]
+                if self.accept("op", "("):
+                    args = []
+                    while not self.accept("op", ")"):
+                        if args:
+                            self.expect("op", ",")
+                        args.append(self.expr())
+                    e = ("method", name, e, args)
+                else:
+                    e = ("field", e, name)
+            else:
+                return e
+
+    def _primary(self):
+        k, v = self.peek()
+        if k == "string":
+            self.next()
+            return ("lit", v[1:-1].encode().decode("unicode_escape"))
+        if k == "number":
+            self.next()
+            return ("lit", _parse_number(v))
+        if k in ("true", "false"):
+            self.next()
+            return ("lit", k == "true")
+        if k == "null":
+            self.next()
+            return ("lit", None)
+        if k == "dollar":
+            self.next()
+            return ("var", v)
+        if (k, v) == ("op", "("):
+            self.next()
+            e = self.expr()
+            self.expect("op", ")")
+            return e
+        if (k, v) == ("op", "["):
+            self.next()
+            items = []
+            while not self.accept("op", "]"):
+                if items:
+                    self.expect("op", ",")
+                items.append(self.expr())
+            return ("list", items)
+        if (k, v) == ("op", "{"):
+            raise TqlError("tql2: record expressions are not implemented")
+        if k == "ident":
+            name = self.next()[1]
+            if self.accept("op", "("):
+                args = []
+                while not self.accept("op", ")"):
+                    if args:
+                        self.expect("op", ",")
+                    args.append(self.expr())
+                return ("call", name, args)
+            return ("sel", name)
+        raise TqlError(f"tql2: unexpected token {v!r} in expression")
+
+
+# ---------------------------------------------------------------- compiler
+_METHODS = {
+    "starts_with": lambda c, a: c.startswith(a[0]),
+    "ends_with": lambda c, a: c.endswith(a[0]),
+    "contains": lambda c, a: c.contains(a[0]),
+    "lower": lambda c, a: F.lower(c),
+    "upper": lambda c, a: F.upper(c),
+    "length": lambda c, a: F.length(c),
+    "trim": lambda c, a: F.trim(c),
+    "abs": lambda c, a: F.abs(c),
+    "round": lambda c, a: F.round(c, *[int(x) for x in a[:1]] or [0]),
+}
+
+_AGGS = {
+    "count": lambda a: F.count(a[0]) if a else F.count("*"),
+    "count_distinct": lambda a: F.count_distinct(a[0]),
+    "sum": lambda a: F.sum(a[0]),
+    "min": lambda a: F.min(a[0]),
+    "max": lambda a: F.max(a[0]),
+    "mean": lambda a: F.avg(a[0]),
+    "avg": lambda a: F.avg(a[0]),
+    "median": lambda a: F.median(a[0]),
+    "collect": lambda a: F.collect_list(a[0]),
+    "distinct": lambda a: F.collect_set(a[0]),
+}
+
+_FUNCS = {
+    "length": lambda a: F.length(a[0]),
+    "round": lambda a: F.round(a[0], *[a[1]] if len(a) > 1 else []),
+    "abs": lambda a: F.abs(a[0]),
+    "lower": lambda a: F.lower(a[0]),
+    "upper": lambda a: F.upper(a[0]),
+    "coalesce": lambda a: F.coalesce(*a),
+    "concat": lambda a: F.concat(*a),
+}
+
+
+def _lit(v):
+    return F.lit(v)
+
+
+def _compile(e, env: dict):
+    kind = e[0]
+    if kind == "lit":
+        return _lit(e[1])
+    if kind == "var":
+        if e[1] not in env:
+            raise TqlError(f"tql2: unbound binding {e[1]} (declare with let)")
+        return _lit(env[e[1]])
+    if kind == "sel":
+        return F.col(e[1])
+    if kind == "field":
+        base = _compile(e[1], env)
+        return base.getField(e[2])
+    if kind == "list":
+        return F.array(*[_compile(x, env) for x in e[1]])
+    if kind == "neg":
+        return -_compile(e[1], env)
+    if kind == "not":
+        return ~_compile(e[1], env)
+    if kind == "bin":
+        op, l, r = e[1], _compile(e[2], env), None
+        if op == "in":
+            # `x in [..]` with a literal list → isin (pushdown-friendly)
+            if e[3][0] == "list" and all(i[0] == "lit" for i in e[3][1]):
+                return l.isin([i[1] for i in e[3][1]])
+            r = _compile(e[3], env)
+            return F.array_contains(r, l)
+        r = _compile(e[3], env)
+        return {
+            "and": l & r, "or": l | r,
+            "==": l == r, "!=": l != r,
+            "<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r,
+            "+": l + r, "-": l - r, "*": l * r, "/": l / r,
+        }[op]
+    if kind == "method":
+        name, recv, args = e[1], _compile(e[2], env), e[3]
+        if name not in _METHODS:
+            raise TqlError(f"tql2: unknown method .{name}()")
+        cargs = [a[1] if a[0] == "lit" else _compile(a, env) for a in args]
+        return _METHODS[name](recv, cargs)
+    if kind == "call":
+        name, args = e[1], [_compile(a, env) for a in e[2]]
+        if name in _FUNCS:
+            return _FUNCS[name](args)
+        raise TqlError(f"tql2: unknown function {name}()")
+    raise TqlError(f"tql2: cannot compile expression node {kind!r}")
+
+
+def _const_eval(e, env: dict):
+    """let bindings fold driver-side (parser.cpp let_stmt) — only
+    literal arithmetic, so plans stay codegen-cache-stable."""
+    kind = e[0]
+    if kind == "lit":
+        return e[1]
+    if kind == "var":
+        return env[e[1]]
+    if kind == "neg":
+        return -_const_eval(e[1], env)
+    if kind == "bin" and e[1] in ("+", "-", "*", "/"):
+        l, r = _const_eval(e[2], env), _const_eval(e[3], env)
+        return {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[e[1]]
+    raise TqlError("tql2: let bindings must be constant expressions")
+
+
+def _apply_statements(df: DataFrame, body: list, env: dict) -> DataFrame:
+    from tenzir_spark.operators import aggregate as agg_ops
+    from tenzir_spark.operators import core as ops
+
+    for st in body:
+        kind = st[0]
+        if kind == "let":
+            env[st[1]] = _const_eval(st[2], env)
+        elif kind == "assign":
+            path, expr = st[1], _compile(st[2], env)
+            if len(path) != 1:
+                raise TqlError("tql2: nested assignment targets are not "
+                               "implemented (top-level fields only)")
+            df = df.withColumn(path[0], expr)
+        elif kind == "if":
+            cond = _compile(st[1], env)
+            then_df = _apply_statements(df.filter(cond), st[2], dict(env))
+            else_df = _apply_statements(
+                df.filter(~F.coalesce(cond, F.lit(False))), st[3], dict(env))
+            df = then_df.unionByName(else_df, allowMissingColumns=True)
+        elif kind == "invoke":
+            df = _invoke(df, st[1], st[2], env, ops, agg_ops)
+        else:  # pragma: no cover
+            raise TqlError(f"tql2: unknown statement {kind!r}")
+    return df
+
+
+def _sel_name(e, what: str) -> str:
+    if e[0] == "sel":
+        return e[1]
+    raise TqlError(f"tql2: {what} expects field names")
+
+
+def _invoke(df, name, args, env, ops, agg_ops) -> DataFrame:
+    if name == "where":
+        if len(args) != 1:
+            raise TqlError("tql2: where expects one expression")
+        return df.filter(_compile(args[0], env))
+    if name == "select":
+        return df.select(*[_sel_name(a, "select") for a in args])
+    if name == "drop":
+        return df.drop(*[_sel_name(a, "drop") for a in args])
+    if name == "head":
+        n = args[0][1] if args else 10
+        return ops.head(df, int(n))
+    if name == "tail":
+        n = args[0][1] if args else 10
+        return ops.tail(df, int(n))
+    if name == "sort":
+        cols = []
+        for a in args:
+            if a[0] == "neg":
+                cols.append(F.col(_sel_name(a[1], "sort")).desc())
+            else:
+                cols.append(F.col(_sel_name(a, "sort")).asc())
+        return df.orderBy(*cols)
+    if name == "summarize":
+        return _summarize(df, args, env)
+    if name == "rename":
+        for a in args:
+            if a[0] != "named" or a[2][0] != "sel":
+                raise TqlError("tql2: rename expects new_name=old_name pairs")
+            df = df.withColumnRenamed(a[2][1], a[1])
+        return df
+    if name == "pass":
+        return df
+    raise TqlError(f"tql2: unknown operator {name!r}")
+
+
+def _summarize(df, args, env):
+    keys, aggs = [], []
+    for a in args:
+        if a[0] == "sel":
+            keys.append(a[1])
+        elif a[0] == "named":
+            out, call = a[1], a[2]
+            if call[0] != "call" or call[1] not in _AGGS:
+                raise TqlError(
+                    f"tql2: summarize {out}= expects an aggregation function")
+            cargs = [_compile(x, env) for x in call[2]]
+            aggs.append(_AGGS[call[1]](cargs).alias(out))
+        else:
+            raise TqlError("tql2: summarize arguments are group keys or "
+                           "`name=agg(...)` assignments")
+    if not aggs:
+        raise TqlError("tql2: summarize needs at least one aggregate")
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+# ------------------------------------------------------------------- API
+def run_tql2(df: DataFrame, text: str) -> DataFrame:
+    """Apply a TQL2 pipeline (subset above) to a DataFrame."""
+    body = _Parser(_tokenize(text)).pipeline()
+    return _apply_statements(df, body, {})
+
+
+def run_tql2_source(spark, text: str) -> DataFrame:
+    """TQL2 pipeline starting with `from "<path>"` (parquet/json/csv by
+    extension, the TQL1 front door's inference)."""
+    body = _Parser(_tokenize(text)).pipeline()
+    if not body or body[0][0] != "invoke" or body[0][1] != "from":
+        raise TqlError('tql2: source pipeline must start with from "<path>"')
+    args = body[0][2]
+    if len(args) != 1 or args[0][0] != "lit" or not isinstance(args[0][1], str):
+        raise TqlError('tql2: from expects one quoted path')
+    from tenzir_spark.plans.pipeline import _read_source
+
+    df = _read_source(spark, args[0][1], None)
+    return _apply_statements(df, body[1:], {})

@@ -2266,6 +2266,35 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_tql2_pipeline(spark, sf):
+    """TQL2 front-end (plans/tql2.py; reference parser
+    libtenzir/src/tql2/parser.cpp:85-245): let-binding, method call,
+    boolean connectives, stream-routing if/else, TQL2-style summarize
+    (bare selector = group key, name=agg(...) = aggregate), sort."""
+    import os
+
+    from tenzir_spark.plans.tql2 import run_tql2_source
+
+    path = os.path.join(sf, "events.parquet")
+    return run_tql2_source(spark, f'''
+from "{path}"
+let $cut = 25 * 2
+if value > $cut {{ band = "hi" }} else {{ band = "lo" }}
+where event_type.starts_with("c") or event_type == "view"
+summarize event_type, band, n=count(), total=sum(value)
+sort event_type, band
+''')
+
+SQL_TQL2_PIPELINE = """
+SELECT event_type,
+       CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS band,
+       COUNT(*) AS n, SUM(value) AS total
+FROM events
+WHERE event_type LIKE 'c%' OR event_type = 'view'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # ---- positions 1-50: the driver's hard-verified correctness window.
     # Curated to cover one representative per operator FAMILY plus the
@@ -2315,7 +2344,7 @@ REGISTRY: dict[str, tuple] = {
     "cdc_dlq": (q_cdc_dlq, SQL_CDC_DLQ),
     "lake_rebucket": (q_lake_rebucket, SQL_LAKE_REBUCKET),
     "tql_summarize_pipeline": (q_tql_summarize, SQL_TQL_SUMMARIZE),
-    "tql_parse_grok": (q_tql_parse_grok, SQL_TQL_PARSE_GROK),
+    "tql2_pipeline": (q_tql2_pipeline, SQL_TQL2_PIPELINE),
     "tql_changelog": (q_tql_changelog, SQL_TQL_CHANGELOG),
     "python_transform": (q_python_transform, SQL_PYTHON_TRANSFORM),
     "fluentbit_forward": (q_fluentbit_forward, SQL_FLUENTBIT_FORWARD),
@@ -2327,6 +2356,7 @@ REGISTRY: dict[str, tuple] = {
     # ---- past the 50-row window: family variants + remaining entries,
     # all still oracle-exact under the local gate
     "drop_fields": (q_drop, SQL_DROP),
+    "tql_parse_grok": (q_tql_parse_grok, SQL_TQL_PARSE_GROK),
     "extend_fields": (q_extend, SQL_EXTEND),
     "replace_fields": (q_replace, SQL_REPLACE),
     "set_fields": (q_set_fields, SQL_SET),
