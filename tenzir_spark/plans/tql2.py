@@ -27,9 +27,25 @@ stream on the condition, runs both branch pipelines, and reunifies with
 unionByName(allowMissingColumns) — the reference's stream-routing
 semantics (parser.cpp:130-148).
 
-Not implemented (clear TqlError): match statements, records `{...}`,
-lambdas `=>`, subpipeline arguments, `this` — the experimental edges
-that changed across reference releases.
+`match expr { v1, v2 => { pipeline }, ... }` (parser.cpp:150-190): the
+reference PARSES match statements but ships no executor for them
+(ast.hpp:477 has no exec path), so the routing semantics here are this
+engine's documented choice: an event runs the FIRST arm whose filter
+list contains a value equal to the subject, later arms never see it,
+and events matching no arm are dropped (match is a total router, like
+`if` without an implicit pass-through else). Arms compile to disjoint
+filters + per-arm pipelines + unionByName — same mechanics as if/else.
+
+Records `{name: expr, ...}` (parser.cpp:431-476) compile to
+F.struct(...aliased fields...); string field names are accepted like
+the reference. Selector paths may start with `this` (parser.cpp:402),
+nested assignment targets (`x.y = e`, `this.x.y = e`) compile to
+withField on the root struct column, and `this = {record}` replaces
+the whole event with the record's fields.
+
+Not implemented (clear TqlError): lambdas `=>` in expressions,
+subpipeline `{...}` arguments — experimental edges that changed across
+reference releases.
 """
 
 from __future__ import annotations
@@ -159,8 +175,7 @@ class _Parser:
                 self.expect("op", "}")
             return ("if", cond, cons, alt)
         if self.peek()[0] == "match":
-            raise TqlError("tql2: match statements are not implemented "
-                           "(experimental in the reference too, parser.cpp:150)")
+            return self._match_stmt()
         # selector `=` expr  |  ident args
         if self.peek()[0] != "ident":
             raise TqlError(f"tql2: expected a statement, got {self.peek()[1]!r}")
@@ -172,6 +187,36 @@ class _Parser:
             self.i = start + 1
             return ("invoke", path[0], self._args())
         raise TqlError("tql2: expected operator name or `=` after selector")
+
+    def _skip_newlines(self):
+        while self.accept("newline"):
+            pass
+
+    def _match_stmt(self):
+        """match subject { v1, v2 => { pipeline } ... } — arm grammar
+        mirrors parser.cpp:150-190 (filters until `=>`, optional comma
+        between arms, newlines ignored inside the braces)."""
+        self.next()  # 'match'
+        subject = self.expr()
+        self.expect("op", "{")
+        arms = []
+        self._skip_newlines()
+        while not self.accept("op", "}"):
+            filters = []
+            while True:
+                filters.append(self.expr())
+                if self.accept("op", "=>"):
+                    break
+                self.expect("op", ",")
+            self.expect("op", "{")
+            body = self.pipeline(stop_at_rbrace=True)
+            self.expect("op", "}")
+            self.accept("op", ",")
+            self._skip_newlines()
+            arms.append((filters, body))
+        if not arms:
+            raise TqlError("tql2: match needs at least one arm")
+        return ("match", subject, arms)
 
     def _selector_path(self) -> list[str]:
         path = [self.expect("ident")[1]]
@@ -269,7 +314,7 @@ class _Parser:
                 items.append(self.expr())
             return ("list", items)
         if (k, v) == ("op", "{"):
-            raise TqlError("tql2: record expressions are not implemented")
+            return self._record()
         if k == "ident":
             name = self.next()[1]
             if self.accept("op", "("):
@@ -281,6 +326,29 @@ class _Parser:
                 return ("call", name, args)
             return ("sel", name)
         raise TqlError(f"tql2: unexpected token {v!r} in expression")
+
+    def _record(self):
+        """{name: expr, "name": expr, ...} (parser.cpp:451-476); a brace
+        holding anything else is a pipeline expression — unimplemented."""
+        self.next()  # '{'
+        self._skip_newlines()
+        fields = []
+        while not self.accept("op", "}"):
+            if fields:
+                self.expect("op", ",")
+                self._skip_newlines()
+            name_tok = self.accept("ident") or self.accept("string")
+            if name_tok is None or not (self.peek() == ("op", ":")):
+                raise TqlError(
+                    "tql2: pipeline expressions `{ ... }` are not implemented "
+                    "(records are: `{name: expr, ...}`)")
+            name = name_tok[1]
+            if name_tok[0] == "string":
+                name = name[1:-1]
+            self.expect("op", ":")
+            fields.append((name, self.expr()))
+            self._skip_newlines()
+        return ("record", fields)
 
 
 # ---------------------------------------------------------------- compiler
@@ -333,10 +401,20 @@ def _compile(e, env: dict):
             raise TqlError(f"tql2: unbound binding {e[1]} (declare with let)")
         return _lit(env[e[1]])
     if kind == "sel":
+        if e[1] == "this":
+            raise TqlError("tql2: bare `this` is only valid as an "
+                           "assignment target (`this = {...}`) or a "
+                           "selector prefix (`this.field`)")
         return F.col(e[1])
     if kind == "field":
+        if e[1] == ("sel", "this"):  # this.field == field (parser.cpp:402)
+            return F.col(e[2])
         base = _compile(e[1], env)
         return base.getField(e[2])
+    if kind == "record":
+        if not e[1]:
+            raise TqlError("tql2: empty records are not supported")
+        return F.struct(*[_compile(x, env).alias(n) for n, x in e[1]])
     if kind == "list":
         return F.array(*[_compile(x, env) for x in e[1]])
     if kind == "neg":
@@ -397,17 +475,51 @@ def _apply_statements(df: DataFrame, body: list, env: dict) -> DataFrame:
         if kind == "let":
             env[st[1]] = _const_eval(st[2], env)
         elif kind == "assign":
-            path, expr = st[1], _compile(st[2], env)
-            if len(path) != 1:
-                raise TqlError("tql2: nested assignment targets are not "
-                               "implemented (top-level fields only)")
-            df = df.withColumn(path[0], expr)
+            path = st[1]
+            if path and path[0] == "this":
+                path = path[1:]
+            if not path:
+                # `this = {record}` replaces the whole event
+                if st[2][0] != "record" or not st[2][1]:
+                    raise TqlError("tql2: `this = ...` expects a non-empty "
+                                   "record expression")
+                df = df.select(
+                    *[_compile(x, env).alias(n) for n, x in st[2][1]])
+            elif len(path) == 1:
+                df = df.withColumn(path[0], _compile(st[2], env))
+            else:
+                # nested target: withField on the root struct column
+                if path[0] not in df.columns:
+                    raise TqlError(
+                        f"tql2: nested assignment target {'.'.join(path)} "
+                        f"needs an existing struct column {path[0]!r}")
+                df = df.withColumn(
+                    path[0],
+                    F.col(path[0]).withField(
+                        ".".join(path[1:]), _compile(st[2], env)))
         elif kind == "if":
             cond = _compile(st[1], env)
             then_df = _apply_statements(df.filter(cond), st[2], dict(env))
             else_df = _apply_statements(
                 df.filter(~F.coalesce(cond, F.lit(False))), st[3], dict(env))
             df = then_df.unionByName(else_df, allowMissingColumns=True)
+        elif kind == "match":
+            # first-match-wins routing; unmatched events drop (docstring —
+            # the reference parses match but ships no executor for it).
+            subject = _compile(st[1], env)
+            matched_so_far = F.lit(False)
+            parts = []
+            for filters, body in st[2]:
+                cond = subject == _compile(filters[0], env)
+                for f in filters[1:]:
+                    cond = cond | (subject == _compile(f, env))
+                eff = cond & ~matched_so_far
+                parts.append(_apply_statements(df.filter(eff), body, dict(env)))
+                matched_so_far = matched_so_far | F.coalesce(cond, F.lit(False))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p, allowMissingColumns=True)
+            df = out
         elif kind == "invoke":
             df = _invoke(df, st[1], st[2], env, ops, agg_ops)
         else:  # pragma: no cover

@@ -2295,6 +2295,45 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_tql2_match_record(spark, sf):
+    """TQL2 match statement + record expressions + `this` selectors
+    (plans/tql2.py; reference grammar libtenzir/src/tql2/parser.cpp:
+    150-190 match arms, :431-476 records — parsed there, executed here
+    with documented first-match-wins / drop-unmatched routing): events
+    route through the first matching arm, each arm attaches a record,
+    record fields project back out via nested field access, and `signup`
+    events (no arm) drop."""
+    import os
+
+    from tenzir_spark.plans.tql2 import run_tql2_source
+
+    path = os.path.join(sf, "events.parquet")
+    return run_tql2_source(spark, f'''
+from "{path}"
+match event_type {{
+  "click", "view" => {{ meta = {{kind: "web", wt: 1.0}} }}
+  "error", "purchase" => {{ meta = {{kind: "backend", wt: 2.0}} }}
+}}
+kind = meta.kind
+weight = meta.wt
+where this.value > 5.0
+summarize kind, n=count(), wsum=sum(weight), total=sum(value)
+sort kind
+''')
+
+SQL_TQL2_MATCH_RECORD = """
+SELECT CASE WHEN event_type IN ('click','view') THEN 'web'
+            ELSE 'backend' END AS kind,
+       COUNT(*) AS n,
+       SUM(CASE WHEN event_type IN ('click','view') THEN 1.0
+                ELSE 2.0 END) AS wsum,
+       SUM(value) AS total
+FROM events
+WHERE event_type IN ('click','view','error','purchase') AND value > 5.0
+GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # ---- positions 1-50: the driver's hard-verified correctness window.
     # Curated to cover one representative per operator FAMILY plus the
@@ -2332,7 +2371,6 @@ REGISTRY: dict[str, tuple] = {
     "minhash_lsh_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
-    "cosine_near_dup": (q_cosine_pairs, SQL_COSINE_PAIRS),
     "cosine_near_dup_lsh": (q_cosine_pairs_lsh, SQL_COSINE_PAIRS_LSH),
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH),
     "median_exact": (q_median_exact, SQL_MEDIAN_EXACT),
@@ -2345,6 +2383,7 @@ REGISTRY: dict[str, tuple] = {
     "lake_rebucket": (q_lake_rebucket, SQL_LAKE_REBUCKET),
     "tql_summarize_pipeline": (q_tql_summarize, SQL_TQL_SUMMARIZE),
     "tql2_pipeline": (q_tql2_pipeline, SQL_TQL2_PIPELINE),
+    "tql2_match_record": (q_tql2_match_record, SQL_TQL2_MATCH_RECORD),
     "tql_changelog": (q_tql_changelog, SQL_TQL_CHANGELOG),
     "python_transform": (q_python_transform, SQL_PYTHON_TRANSFORM),
     "fluentbit_forward": (q_fluentbit_forward, SQL_FLUENTBIT_FORWARD),
@@ -2356,6 +2395,7 @@ REGISTRY: dict[str, tuple] = {
     # ---- past the 50-row window: family variants + remaining entries,
     # all still oracle-exact under the local gate
     "drop_fields": (q_drop, SQL_DROP),
+    "cosine_near_dup": (q_cosine_pairs, SQL_COSINE_PAIRS),
     "tql_parse_grok": (q_tql_parse_grok, SQL_TQL_PARSE_GROK),
     "extend_fields": (q_extend, SQL_EXTEND),
     "replace_fields": (q_replace, SQL_REPLACE),

@@ -56,16 +56,73 @@ def test_rename_head_numbers_with_suffix(df):
 
 
 def test_clear_errors(df):
-    with pytest.raises(TqlError, match="match statements"):
-        run_tql2(df, 'match src { "web" => { pass } }')
-    with pytest.raises(TqlError, match="record expressions"):
-        run_tql2(df, "where src == {a: 1}")
     with pytest.raises(TqlError, match="unknown operator"):
         run_tql2(df, "frobnicate 3")
     with pytest.raises(TqlError, match="unbound binding"):
         run_tql2(df, "where n < $nope")
     with pytest.raises(TqlError, match="constant expressions"):
         run_tql2(df, "let $x = n + 1")
+    with pytest.raises(TqlError, match="pipeline expressions"):
+        run_tql2(df, "where src == { select n }")
+    with pytest.raises(TqlError, match="at least one arm"):
+        run_tql2(df, "match src { }")
+    with pytest.raises(TqlError, match="bare `this`"):
+        run_tql2(df, "where this == 1")
+
+
+def test_match_first_arm_wins_and_drops_unmatched(df):
+    # "web" appears in BOTH arms: first-match-wins means the second arm
+    # never sees web rows; "books" matches no arm and is dropped.
+    got = run_tql2(df, '''
+match src {
+  "web" => { tag = "w" },
+  "web", "code" => { tag = "c" }
+}
+select src, tag
+sort src, n
+''').collect()
+    assert [(r["src"], r["tag"]) for r in got] == [
+        ("code", "c"), ("web", "w"), ("web", "w")]
+
+
+def test_match_arm_pipelines_and_union(df):
+    got = run_tql2(df, '''
+match src {
+  "web" => { where n > 5 | kind = "big web" }
+  "books", "code" => { kind = "other" }
+}
+summarize kind, c=count()
+sort kind
+''').collect()
+    assert [(r["kind"], r["c"]) for r in got] == [("big web", 1), ("other", 2)]
+
+
+def test_record_string_field_names(df):
+    out = run_tql2(df, 'meta = {source: src, "n doubled": n * 2}')
+    assert [f.name for f in out.schema["meta"].dataType.fields] == [
+        "source", "n doubled"]
+
+
+def test_record_fields_and_nested_assignment(df):
+    out = run_tql2(df, '''
+meta = {source: src.upper(), dn: n * 2}
+meta.dn = meta.dn + 1
+flag = meta.dn > 10
+select src, flag
+where flag
+sort src
+''').collect()
+    # n*2+1 > 10  ⇒  n >= 5  ⇒  web(7), books(9)
+    assert [r["src"] for r in out] == ["books", "web"]
+
+
+def test_this_prefix_and_this_replacement(df):
+    out = run_tql2(df, '''
+where this.n > 5
+this = {source: src, nn: this.n * 10}
+sort nn
+''').collect()
+    assert [(r["source"], r["nn"]) for r in out] == [("web", 70), ("books", 90)]
 
 
 def test_source_pipeline(spark, tmp_path):
