@@ -34,6 +34,11 @@ AUDIT = {
     # O(rows × intervals) BroadcastNestedLoopJoin a BETWEEN join plans to
     "enrich_range": ([r"BroadcastHashJoin"], [r"BroadcastNestedLoopJoin|CartesianProduct"]),
     "dedup_exact": ([r"HashAggregate"], []),
+    # decontamination: eval n-grams broadcast, corpus explode pipelines
+    # into the join — no corpus-wide shuffle, no cartesian, no Python
+    "decontaminate_ngrams": ([r"BroadcastHashJoin", r"HashAggregate"],
+                             [r"CartesianProduct", r"SortMergeJoin",
+                              r"BatchEvalPython"]),
     "summarize_resolution": ([r"HashAggregate"], []),
     "top_values": ([r"HashAggregate", r"TakeOrderedAndProject|Sort"], []),
     "minhash_lsh_pairs": ([r"HashAggregate|SortAggregate"], [r"CartesianProduct"]),

@@ -506,6 +506,41 @@ FROM documents GROUP BY 1
 """
 
 
+def q_decontaminate(spark, sf):
+    """Train/test n-gram decontamination (operators/decontaminate.py —
+    GPT-3 appendix-C-style overlap filter, a training-pipeline addition
+    per the brief): docs with doc_id % 47 == 0 play the eval set, the
+    rest are the corpus; contaminated corpus docs report their distinct
+    matched 4-gram counts (n=4 because the synthetic vocabulary makes
+    the conventional 13-gram filter vacuously empty)."""
+    from tenzir_spark.operators.decontaminate import contamination_hits
+
+    docs = load(spark, sf, "documents")
+    hits = contamination_hits(
+        docs.filter(F.col("doc_id") % 47 != 0),
+        docs.filter(F.col("doc_id") % 47 == 0),
+        text_col="text", id_col="doc_id", n=4)
+    return hits.orderBy("doc_id")
+
+SQL_DECONTAMINATE = """
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+eval_ng AS (
+  SELECT DISTINCT array_to_string(ws[i:i+3], ' ') AS ng
+  FROM norm, UNNEST(range(1, greatest(len(ws) - 2, 1))) AS t(i)
+  WHERE doc_id % 47 = 0),
+corp_ng AS (
+  SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS ng
+  FROM norm, UNNEST(range(1, greatest(len(ws) - 2, 1))) AS t(i)
+  WHERE doc_id % 47 <> 0)
+SELECT doc_id, count(DISTINCT ng) AS n_hits
+FROM corp_ng WHERE ng IN (SELECT ng FROM eval_ng)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_token_count(spark, sf):
     docs = load(spark, sf, "documents")
     return tx.token_count(docs, "text").select("doc_id", "n_tokens")
@@ -2353,7 +2388,6 @@ REGISTRY: dict[str, tuple] = {
     "enumerate_rows": (q_enumerate, SQL_ENUMERATE),
     "summarize_q1": (q_summarize_q1, SQL_SUMMARIZE_Q1),
     "summarize_aggs": (q_summarize_aggs, SQL_SUMMARIZE_AGGS),
-    "distinct_collect": (q_distinct_collect, SQL_DISTINCT_COLLECT),
     "top_values": (q_top, SQL_TOP),
     "sort_ranked": (q_sort_ranked, SQL_SORT_RANKED),
     "parse_json": (q_parse_json, SQL_PARSE_JSON),
@@ -2364,6 +2398,7 @@ REGISTRY: dict[str, tuple] = {
     "join_q3": (q_join_q3, SQL_JOIN_Q3),
     "timeshift": (q_timeshift, SQL_TIMESHIFT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "decontaminate_ngrams": (q_decontaminate, SQL_DECONTAMINATE),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "quality_score": (q_quality, SQL_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
@@ -2395,6 +2430,7 @@ REGISTRY: dict[str, tuple] = {
     # ---- past the 50-row window: family variants + remaining entries,
     # all still oracle-exact under the local gate
     "drop_fields": (q_drop, SQL_DROP),
+    "distinct_collect": (q_distinct_collect, SQL_DISTINCT_COLLECT),
     "cosine_near_dup": (q_cosine_pairs, SQL_COSINE_PAIRS),
     "tql_parse_grok": (q_tql_parse_grok, SQL_TQL_PARSE_GROK),
     "extend_fields": (q_extend, SQL_EXTEND),
