@@ -38,6 +38,48 @@ import pyarrow.parquet as pq
 
 from tenzir_spark.cdc.changegen import SOURCES, _doc_ids
 
+_FMIX_C1 = np.uint64(0xFF51AFD7ED558CCD)
+_FMIX_C2 = np.uint64(0xC4CEB9FE1A85EC53)
+_FMIX_S = np.uint64(33)
+
+
+def _fmix64_fill(n: int, base: np.uint64, vocab: int,
+                 chunk: int = 8_388_608, workers: int = 16) -> np.ndarray:
+    """values[i] = fmix64(base + i) % vocab for i in range(n), computed in
+    cache-sized chunks with preallocated scratch on a thread pool."""
+    values = np.empty(n, dtype=np.int32)
+    if n == 0:
+        return values
+    tmpl = np.arange(min(chunk, n), dtype=np.uint64)
+    vocab64 = np.uint64(vocab)
+
+    def _fill(off: int) -> None:
+        m = min(chunk, n - off)
+        x = np.empty(m, dtype=np.uint64)
+        t = np.empty(m, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            np.add(tmpl[:m], base + np.uint64(off), out=x)
+            np.right_shift(x, _FMIX_S, out=t)
+            np.bitwise_xor(x, t, out=x)
+            np.multiply(x, _FMIX_C1, out=x)
+            np.right_shift(x, _FMIX_S, out=t)
+            np.bitwise_xor(x, t, out=x)
+            np.multiply(x, _FMIX_C2, out=x)
+            np.right_shift(x, _FMIX_S, out=t)
+            np.bitwise_xor(x, t, out=x)
+            np.mod(x, vocab64, out=x)
+            values[off:off + m] = x
+
+    offs = list(range(0, n, chunk))
+    if len(offs) == 1:
+        _fill(0)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(workers, len(offs))) as ex:
+            list(ex.map(_fill, offs))
+    return values
+
 
 class StreamedChangeGen:
     """Per-batch deterministic generator with O(n_docs) carried state.
@@ -127,10 +169,23 @@ class StreamedChangeGen:
         seen[doc_idx] = True
         return lo, lsn, doc_idx, first_pos, is_delete, lengths, rng
 
-    def _tokens_for(self, rng: np.random.Generator, lengths_eff: np.ndarray):
+    def _tokens_for(self, b: int, lengths_eff: np.ndarray):
+        """Counter-based token values: murmur fmix64 over (seed, batch,
+        position). PCG64's bounded-int draw (Lemire rejection, GIL-held,
+        unthreadable) was the single biggest generator block (~9-13 s per
+        2M-event batch); the mix runs in cache-sized chunks with
+        preallocated scratch (whole-array uint64 temporaries fault ~10 GB
+        per batch and lose to PCG64 on a fault-degraded host) on a thread
+        pool (numpy ufuncs release the GIL) — 2.5x faster than PCG64 on a
+        degraded box, more on a healthy one. Identical between pass 1 and
+        pass 2: position within the batch is a pure function of the
+        skeleton lengths."""
         offsets = np.zeros(len(lengths_eff) + 1, dtype=np.int64)
         np.cumsum(lengths_eff, out=offsets[1:])
-        values = rng.integers(0, self.vocab, int(offsets[-1]), dtype=np.int32)
+        with np.errstate(over="ignore"):  # mod-2^64 wraparound is the point
+            base = np.uint64(self.seed) * np.uint64(0x9E3779B97F4A7C15) + np.uint64(
+                b + 1) * np.uint64(0xBF58476D1CE4E5B9)
+        values = _fmix64_fill(int(offsets[-1]), base, self.vocab)
         return offsets, values
 
     def _natural_table(self, b: int, lsn, doc_idx, first_pos,
@@ -146,27 +201,31 @@ class StreamedChangeGen:
         assert total < (1 << 31), (
             "token offsets exceed int32 — use more batches (keep "
             "events_per_batch * max_token_len < 2^31)")
-        op = np.where(is_delete, "delete", np.where(first_pos, "insert", "update"))
         part_id = ((doc_idx * 2654435761 + 0x9E3779B9) % self.n_parts).astype(np.int32)
         tok = pa.ListArray.from_arrays(
             pa.array(offsets.astype(np.int32), type=pa.int32()),
             pa.array(values, type=pa.int32()),
             mask=pa.array(is_delete),
         )
-        src_idx = (lsn % len(SOURCES)).astype(np.int64)  # deterministic, replayable
+        # op/source as Arrow dictionary arrays: int8 codes instead of a
+        # staged 2M-row unicode temp (parquet still stores logical strings;
+        # take() gathers codes only)
+        op_codes = np.where(is_delete, 2, np.where(first_pos, 0, 1)).astype(np.int8)
+        op = pa.DictionaryArray.from_arrays(
+            pa.array(op_codes), pa.array(["insert", "update", "delete"]))
+        src_idx = (lsn % len(SOURCES)).astype(np.int8)  # deterministic, replayable
+        source = pa.DictionaryArray.from_arrays(
+            pa.array(src_idx, mask=is_delete), pa.array(list(SOURCES)))
         cols = {
             "lsn": pa.array(lsn),
             "epoch": pa.array((lsn // self.epoch_size).astype(np.int32)),
             "part_id": pa.array(part_id),
-            "op": pa.array(op.astype("U13")),
+            "op": op,
             "doc_id": _doc_ids(doc_idx),
             "tokens": tok,
             "n_tok": pa.array(np.where(is_delete, None, lengths),
                               type=pa.int32(), from_pandas=True),
-            "source": pa.compute.if_else(
-                pa.array(is_delete), pa.scalar(None, pa.string()),
-                pa.array(SOURCES[src_idx]),
-            ),
+            "source": source,
         }
         if self.schema_change_batch is not None and b >= self.schema_change_batch:
             meta = np.where(is_delete, None,
@@ -199,7 +258,7 @@ class StreamedChangeGen:
         if n_dup:
             sel = np.concatenate([sel, dup_rng.choice(sel, n_dup)])
         dup_rng.shuffle(sel)
-        offsets, values = self._tokens_for(rng, np.where(is_delete, 0, lengths))
+        offsets, values = self._tokens_for(b, np.where(is_delete, 0, lengths))
         natural = self._natural_table(b, lsn, doc_idx, first_pos, is_delete,
                                       lengths, offsets, values)
         # partition-sort the (dup'd, shuffled) selection STABLY so each
@@ -267,6 +326,7 @@ class StreamedChangeGen:
     def write_manifest(self, out_dir: str) -> dict:
         manifest = {
             "generator": "streamed",
+            "token_scheme": "fmix64",
             "n_events": self.n_events, "n_docs": self.n_docs,
             "n_parts": self.n_parts, "n_batches": self.n_batches,
             "seed": self.seed, "dup_rate": self.dup_rate,
@@ -293,7 +353,7 @@ class StreamedChangeGen:
         total = 0
         for b in range(self.n_batches):
             lo, lsn, doc_idx, first_pos, is_delete, lengths, rng = self._skeleton(b, seen)
-            offsets, values = self._tokens_for(rng, np.where(is_delete, 0, lengths))
+            offsets, values = self._tokens_for(b, np.where(is_delete, 0, lengths))
             winner = (self.win_lsn[doc_idx] == lsn) & ~is_delete
             sel = np.flatnonzero(winner)
             if not len(sel):
