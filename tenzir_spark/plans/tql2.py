@@ -100,6 +100,40 @@ _NUM_SUFFIX = {"k": 10**3, "M": 10**6, "G": 10**9, "T": 10**12,
                "ki": 2**10, "Mi": 2**20, "Gi": 2**30, "Ti": 2**40}
 
 
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "0": "\0",
+            "\\": "\\", '"': '"', "'": "'"}
+
+
+def _unescape(body: str) -> str:
+    """String-literal escapes (tokens.cpp string scanning). A hand
+    loop, not codecs' unicode_escape — that codec latin-1-decodes the
+    bytes and mangles any non-ASCII literal."""
+    out = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        e = body[i + 1]
+        if e in _ESCAPES:
+            out.append(_ESCAPES[e])
+            i += 2
+        elif e in "xu":
+            n = 2 if e == "x" else 4
+            hexs = body[i + 2:i + 2 + n]
+            try:
+                out.append(chr(int(hexs, 16)))
+            except ValueError:
+                raise TqlError(f"tql2: bad \\{e} escape in string literal")
+            i += 2 + n
+        else:
+            out.append(e)
+            i += 2
+    return "".join(out)
+
+
 def _parse_number(text: str):
     m = re.fullmatch(r"(\d[\d_]*(?:\.\d[\d_]*)?)([kMGT]i?)?", text)
     base, suffix = m.group(1).replace("_", ""), m.group(2)
@@ -287,7 +321,7 @@ class _Parser:
         k, v = self.peek()
         if k == "string":
             self.next()
-            return ("lit", v[1:-1].encode().decode("unicode_escape"))
+            return ("lit", _unescape(v[1:-1]))
         if k == "number":
             self.next()
             return ("lit", _parse_number(v))
@@ -542,12 +576,11 @@ def _invoke(df, name, args, env, ops, agg_ops) -> DataFrame:
         return df.select(*[_sel_name(a, "select") for a in args])
     if name == "drop":
         return df.drop(*[_sel_name(a, "drop") for a in args])
-    if name == "head":
+    if name in ("head", "tail"):
+        if args and (args[0][0] != "lit" or not isinstance(args[0][1], int)):
+            raise TqlError(f"tql2: {name} expects an integer literal")
         n = args[0][1] if args else 10
-        return ops.head(df, int(n))
-    if name == "tail":
-        n = args[0][1] if args else 10
-        return ops.tail(df, int(n))
+        return (ops.head if name == "head" else ops.tail)(df, n)
     if name == "sort":
         cols = []
         for a in args:

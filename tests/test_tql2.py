@@ -130,3 +130,11 @@ def test_source_pipeline(spark, tmp_path):
     spark.createDataFrame([Row(a=1, b="x"), Row(a=5, b="y")]).write.parquet(p)
     out = run_tql2_source(spark, f'from "{p}" | where a > 2 | select b')
     assert out.collect() == [Row(b="y")]
+
+
+def test_string_escapes_keep_unicode(df):
+    # unicode_escape would latin-1-mangle the é; the hand unescaper must not
+    out = run_tql2(df, 'txt = "caf\\u00e9\\n" | where src == "web" | select txt')
+    assert out.collect()[0]["txt"] == "café\n"
+    with pytest.raises(TqlError, match="integer literal"):
+        run_tql2(df, "head src")
