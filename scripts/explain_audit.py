@@ -39,6 +39,11 @@ AUDIT = {
     "decontaminate_ngrams": ([r"BroadcastHashJoin", r"HashAggregate"],
                              [r"CartesianProduct", r"SortMergeJoin",
                               r"BatchEvalPython"]),
+    # window dedup: one REPARTITION_BY_COL exchange feeds both consumers
+    # (ReusedExchange is asserted post-AQE in tests/test_operators.py);
+    # no cartesian, no Python, and the window build stays in codegen
+    "window_dedup": ([r"REPARTITION_BY_COL", r"HashAggregate"],
+                     [r"CartesianProduct", r"BatchEvalPython"]),
     "summarize_resolution": ([r"HashAggregate"], []),
     "top_values": ([r"HashAggregate", r"TakeOrderedAndProject|Sort"], []),
     "minhash_lsh_pairs": ([r"HashAggregate|SortAggregate"], [r"CartesianProduct"]),

@@ -122,6 +122,94 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def window_dedup_stats(
+    df: DataFrame, text_col: str, id_col: str, w: int = 8
+) -> DataFrame:
+    """Exact token-window duplicate detection — the scalable form of
+    Lee et al. 2021's "Deduplicating Training Data Makes Language Models
+    Better" substring dedup: a document is flagged per rolling w-word
+    window it shares (verbatim, after the decontamination normalizer)
+    with ANY other window occurrence in the corpus, itself included.
+
+    Returns (id_col, n_dup_windows): per document, how many of its
+    window OCCURRENCES are corpus-duplicated (occur >= 2 times in
+    total). Docs with no duplicated window are absent.
+
+    Scale shape (the 100 TB contract):
+    - One narrow projection builds the window array per doc and explodes
+      to (id, xxhash64(window)) rows — 16 bytes/row through the shuffle,
+      never the window text (w * avg-word bytes saved per row).
+    - ONE exchange: the occurrence rows repartition on the hash, and
+      both consumers — the corpus-wide occurrence count and the per-doc
+      re-aggregation join — read the same shuffle files
+      (ReusedExchange; the CollapseProject barrier pattern).
+    - The duplicated-hash set and the final output are proportional to
+      the DUPLICATED windows, not the corpus; nothing is all-pairs.
+    - The suffix-array construction in the paper is a single-machine
+      algorithm; hashed fixed-w windows are the distributed equivalent
+      (what fixed-granularity production dedup pipelines ship) and find
+      exactly the >= w-token shared substrings.
+    """
+    from tenzir_spark.operators.decontaminate import _word_ngrams
+
+    occ = df.select(
+        F.col(id_col),
+        F.explode(_word_ngrams(F.col(text_col), w)).alias("win"),
+    ).select(id_col, F.xxhash64("win").alias("h")).repartition("h")
+    # count(id) not count(*): ids are non-null by contract and the column
+    # reference keeps this branch's pruned projection IDENTICAL to the
+    # join branch's, so ReuseExchange dedupes the two subtrees — one
+    # corpus scan + one shuffle instead of two of each (count(*) lets
+    # column pruning drop id here, splitting the exchange in two).
+    dup_h = occ.groupBy("h").agg(F.count(id_col).alias("cnt")).filter("cnt >= 2")
+    return (
+        occ.join(dup_h.select("h"), "h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+
+
+def window_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int = 8,
+    max_dup_frac: float = 0.0,
+    mode: str = "drop",
+) -> DataFrame:
+    """Drop (or mark) documents whose duplicated-window fraction exceeds
+    ``max_dup_frac`` (0.0 = any shared w-token span disqualifies).
+    mode="mark" keeps all rows and adds n_dup_windows / dup_window_frac.
+    """
+    if mode not in ("drop", "mark"):
+        raise ValueError(f"mode must be 'drop' or 'mark', got {mode!r}")
+    from tenzir_spark.operators.decontaminate import _word_ngrams
+
+    stats = window_dedup_stats(df, text_col, id_col, w)
+    n_windows = F.size(_word_ngrams(F.col(text_col), w))
+    if mode == "drop":
+        if max_dup_frac == 0.0:
+            # anti join on the (small) flagged-id set — no n_windows needed
+            return df.join(stats.select(id_col), id_col, "left_anti")
+        marked = df.withColumn("_nw", n_windows).join(stats, id_col, "left")
+        return (
+            marked.filter(
+                F.coalesce(F.col("n_dup_windows"), F.lit(0))
+                <= F.lit(max_dup_frac) * F.col("_nw"))
+            .select(*df.columns)
+        )
+    marked = df.withColumn("_nw", n_windows).join(stats, id_col, "left")
+    return (
+        marked.withColumn(
+            "n_dup_windows", F.coalesce("n_dup_windows", F.lit(0)))
+        .withColumn(
+            "dup_window_frac",
+            F.when(F.col("_nw") > 0,
+                   F.col("n_dup_windows") / F.col("_nw")).otherwise(0.0))
+        .drop("_nw")
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -1113,6 +1113,32 @@ FROM fp f LEFT JOIN mh m USING (doc_id)
 """
 
 
+def q_window_dedup(spark, sf):
+    """Exact token-window duplicate detection (operators/dedup.py
+    window_dedup_stats — the distributed form of Lee et al. 2021's
+    substring dedup): per doc, occurrences of its 8-word windows that
+    appear >= 2 times corpus-wide. Production keys the shuffle on
+    xxhash64(window); the oracle groups on the window text itself —
+    identical counts absent a 64-bit collision."""
+    docs = load(spark, sf, "documents")
+    return dd.window_dedup_stats(
+        docs, "text", "doc_id", w=8).orderBy("doc_id")
+
+SQL_WINDOW_DEDUP = """
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+wins AS (
+  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS win
+  FROM norm, UNNEST(range(1, greatest(len(ws) - 6, 1))) AS t(i)),
+c AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2)
+SELECT doc_id, count(*) AS n_dup_windows
+FROM wins JOIN c USING (win)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_ngram_jaccard(spark, sf):
     docs = load(spark, sf, "documents").filter(
         (F.col("doc_id") < 100) & (F.length(F.trim(F.col("text"))) > 0))
@@ -2456,7 +2482,7 @@ REGISTRY: dict[str, tuple] = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "minhash_lsh_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
-    "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "window_dedup": (q_window_dedup, SQL_WINDOW_DEDUP),
     "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
     "cosine_near_dup_lsh": (q_cosine_pairs_lsh, SQL_COSINE_PAIRS_LSH),
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH),
@@ -2482,6 +2508,7 @@ REGISTRY: dict[str, tuple] = {
     # ---- past the 50-row window: family variants + remaining entries,
     # all still oracle-exact under the local gate
     "hash_sha256": (q_hash, SQL_HASH),
+    "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "drop_fields": (q_drop, SQL_DROP),
     "distinct_collect": (q_distinct_collect, SQL_DISTINCT_COLLECT),
     "cosine_near_dup": (q_cosine_pairs, SQL_COSINE_PAIRS),

@@ -175,3 +175,40 @@ def test_ivf_large_k_flat_argmin(spark, sf_dir):
         indexed, "embedding", "vec_id", qvec, cents, k=10,
         n_probe=256, cell_col="_ivf").collect()}
     assert got == set(exact), "probing all 256 cells must equal exact top-k"
+
+
+def test_window_dedup_modes(spark):
+    from pyspark.sql import Row
+
+    from tenzir_spark.operators.dedup import window_dedup, window_dedup_stats
+
+    span = "alpha beta gamma delta"  # one shared 4-word window
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=f"{span} unique one"),
+        Row(doc_id=2, text=f"prefix {span} two"),
+        Row(doc_id=3, text="totally different words here now"),
+        Row(doc_id=4, text=f"{span} {span}"),  # within-doc repeat
+    ])
+    stats = {r["doc_id"]: r["n_dup_windows"]
+             for r in window_dedup_stats(df, "text", "doc_id", w=4).collect()}
+    # doc 4 has windows at every offset of "span span"; the shared 4-gram
+    # occurs at offsets 1 and 5, plus docs 1 and 2 once each
+    assert stats[1] >= 1 and stats[2] >= 1 and stats[4] >= 2
+    assert 3 not in stats
+
+    kept = window_dedup(df, "text", "doc_id", w=4, mode="drop")
+    assert [r["doc_id"] for r in kept.collect()] == [3]
+    assert kept.columns == df.columns
+
+    marked = window_dedup(df, "text", "doc_id", w=4, mode="mark")
+    rows = {r["doc_id"]: r for r in marked.collect()}
+    assert rows[3]["n_dup_windows"] == 0 and rows[3]["dup_window_frac"] == 0.0
+    assert rows[1]["dup_window_frac"] > 0
+
+    # the occurrence rows feed BOTH the count agg and the per-doc join
+    # through one repartition — the FINAL (post-AQE) plan must reuse the
+    # exchange rather than scan + shuffle the corpus twice
+    out = window_dedup_stats(df, "text", "doc_id", w=4)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
