@@ -85,6 +85,63 @@ def lang_id(df: DataFrame, text_col: str, out: str = "lang_pred") -> DataFrame:
     return df.withColumn(out, F.when(val <= 0, F.lit("und")).otherwise(name))
 
 
+_C4_TERMINAL = '[.!?"”]\\s*$'  # period/!/?/straight or curly close quote
+
+
+def c4_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """C4-style page/line heuristics (Raffel et al. 2020 §2.2, the
+    published cleaning rules), pure Catalyst — no Python, no shuffle:
+
+    - a line is KEPT iff it ends in terminal punctuation, has >= 5
+      words, and does not mention "javascript" (case-insensitive);
+    - the PAGE is kept iff its kept text has >= 3 sentence-terminal
+      marks, and the raw page contains neither "lorem ipsum" nor "{".
+
+    Adds: n_lines, n_kept_lines, n_sentences, c4_keep. The same rules
+    re-expressed in DuckDB back the oracle entry.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n", -1)
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(_C4_TERMINAL)
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= 5)
+        & ~F.lower(ln).contains("javascript"),
+    )
+    kept_text = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(kept_text, F.lit("[.!?]"), F.lit(0)))
+    keep = (
+        (n_sent >= 3)
+        & ~F.lower(t).contains("lorem ipsum")
+        & ~t.contains("{")
+    )
+    return (
+        df.withColumn("n_lines", F.size(lines))
+        .withColumn("n_kept_lines", F.size(kept))
+        .withColumn("n_sentences", n_sent)
+        .withColumn("c4_keep", keep)
+    )
+
+
+def c4_filter(df: DataFrame, text_col: str) -> DataFrame:
+    """Apply the C4 rules: drop rejected pages and rewrite ``text_col``
+    to only the kept lines (the paper's behavior — line filtering
+    mutates the page, page filters drop it)."""
+    t = F.col(text_col)
+    kept = F.filter(
+        F.split(t, "\n", -1),
+        lambda ln: ln.rlike(_C4_TERMINAL)
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= 5)
+        & ~F.lower(ln).contains("javascript"),
+    )
+    stats = c4_stats(df, text_col)
+    return (
+        stats.filter(F.col("c4_keep"))
+        .withColumn(text_col, F.array_join(kept, "\n"))
+        .select(*df.columns)
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
     """Gopher/MassiveText-style repetition signals, pure Catalyst.
 

@@ -617,6 +617,41 @@ FROM documents
 """
 
 
+def q_c4_stats(spark, sf):
+    """C4 page/line cleaning heuristics (operators/text.py c4_stats —
+    Raffel et al. 2020 §2.2: terminal-punctuation + >=5-word +
+    no-javascript line filter; >=3-sentence / lorem-ipsum / brace page
+    filter), pure Catalyst."""
+    docs = load(spark, sf, "documents")
+    return tx.c4_stats(docs, "text").select(
+        "doc_id", "n_lines", "n_kept_lines", "n_sentences", "c4_keep")
+
+SQL_C4_STATS = r"""
+WITH s AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents),
+k AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, ln ->
+            regexp_matches(ln, '[.!?"”]\s*$')
+            AND len(string_split_regex(trim(ln), '\s+')) >= 5
+            AND NOT contains(lower(ln), 'javascript')) AS kept
+  FROM s),
+n AS (
+  SELECT doc_id, text, lines, kept,
+         -- array_to_string([]) is NULL in duckdb, not '' — coalesce
+         len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''), '[.!?]')) AS n_sentences
+  FROM k)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       len(kept) AS n_kept_lines,
+       n_sentences,
+       (n_sentences >= 3
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{')) AS c4_keep
+FROM n ORDER BY doc_id
+"""
+
+
 def q_repetition(spark, sf):
     """Gopher repetition filters (operators/text.py repetition_stats —
     duplicate-line fractions + top-bigram coverage, pure Catalyst)."""
@@ -2459,7 +2494,6 @@ REGISTRY: dict[str, tuple] = {
     "select_project": (q_select, SQL_SELECT),
     "put_computed": (q_put, SQL_PUT),
     "rename_fields": (q_rename, SQL_RENAME),
-    "head_n": (q_head, SQL_HEAD),
     "slice_stride": (q_slice, SQL_SLICE),
     "unique_adjacent": (q_unique, SQL_UNIQUE),
     "deduplicate_limit": (q_deduplicate, SQL_DEDUPLICATE),
@@ -2479,6 +2513,7 @@ REGISTRY: dict[str, tuple] = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "quality_score": (q_quality, SQL_QUALITY),
     "repetition_stats": (q_repetition, SQL_REPETITION),
+    "c4_stats": (q_c4_stats, SQL_C4_STATS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "minhash_lsh_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
@@ -2509,6 +2544,7 @@ REGISTRY: dict[str, tuple] = {
     # all still oracle-exact under the local gate
     "hash_sha256": (q_hash, SQL_HASH),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "head_n": (q_head, SQL_HEAD),
     "drop_fields": (q_drop, SQL_DROP),
     "distinct_collect": (q_distinct_collect, SQL_DISTINCT_COLLECT),
     "cosine_near_dup": (q_cosine_pairs, SQL_COSINE_PAIRS),

@@ -212,3 +212,33 @@ def test_window_dedup_modes(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_c4_filter_rules(spark):
+    from pyspark.sql import Row
+
+    from tenzir_spark.operators.text import c4_filter, c4_stats
+
+    good = ("This is a perfectly reasonable first sentence.\n"
+            "Here is another well formed line of text!\n"
+            "And a third one asking a question, maybe?")
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=good),
+        Row(doc_id=2, text=good + "\nshort line\nenable javascript to view."),
+        Row(doc_id=3, text="Lorem Ipsum dolor sit amet says this line."),
+        Row(doc_id=4, text=good.replace("question", "brace { question")),
+        Row(doc_id=5, text="no terminal punctuation here\nat all"),
+    ])
+    stats = {r["doc_id"]: r for r in c4_stats(df, "text").collect()}
+    assert stats[1]["c4_keep"] and stats[1]["n_kept_lines"] == 3
+    # line filters strip the short + javascript lines but the page survives
+    assert stats[2]["c4_keep"] and stats[2]["n_kept_lines"] == 3
+    assert not stats[3]["c4_keep"]  # lorem ipsum page filter
+    assert not stats[4]["c4_keep"]  # curly-brace page filter
+    assert not stats[5]["c4_keep"]  # < 3 sentences after line filtering
+
+    kept = c4_filter(df, "text")
+    rows = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2] == good  # rejected lines rewritten out of the page
+    assert kept.columns == df.columns
