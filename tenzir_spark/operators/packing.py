@@ -1,0 +1,136 @@
+"""Sequence packing: concatenate documents (in a stable order) and cut
+the token stream into fixed-size training blocks — the GPT-style
+"pack then chunk" step that turns a cleaned corpus into equal-length
+training sequences.
+
+The output is one row per (document, block) SPAN — pure metadata, the
+tokens never move:
+
+    (id, block_id, doc_offset, block_offset, span_len)
+
+meaning: block `block_id` takes `span_len` tokens starting at
+`doc_offset` inside the document, landing at `block_offset` inside the
+block. A materializer (the trainer's data loader, or a later join) can
+gather any block's tokens from exactly the spans with its id.
+
+Scale shape:
+- The only global step is a PREFIX SUM of token counts over the doc
+  order — computed with the same two-phase value-bucketed scheme as
+  core._global_positions (slim min/max + per-bucket sums, O(buckets)
+  on the driver, then a KEYED window per bucket). No SinglePartition
+  exchange, no sort of the full data.
+- Span generation is a per-row explode over sequence(first_block,
+  last_block) — arithmetic only, stays in whole-stage codegen, and is
+  linear in output spans (a doc spanning k blocks emits k rows).
+- Nothing re-shuffles on block_id here; a consumer that wants blocks
+  co-located groups by block_id downstream (one shuffle of metadata
+  rows, never of token arrays).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from tenzir_spark.operators.core import _order_key
+
+
+def _global_prefix_sum(
+    df: DataFrame,
+    order_by: str,
+    weight: Column,
+    out: str = "_presum",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE running sum of ``weight`` over ``order_by`` order,
+    two-phase distributed (see module docstring). Requires a numeric,
+    in-practice-unique order column, like every global-order operator
+    here (core.py:61 contract)."""
+    spark = df.sparkSession
+    key = _order_key(df, order_by)
+    if key is None:
+        raise ValueError(
+            f"pack_sequences needs a numeric order column, got {order_by!r}")
+    if n_buckets is None:
+        n_buckets = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)
+    mm = df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    if mm["lo"] is None:  # empty input
+        return df.withColumn(out, F.lit(0).cast("long"))
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    width = max((hi - lo) / n_buckets, 1e-9)
+    bucket = F.least(
+        F.greatest(F.floor((key - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    sums = sorted(
+        (r["_gb"], r["s"])
+        for r in df.groupBy(bucket.alias("_gb"))
+        .agg(F.sum(weight).alias("s")).collect()
+    )
+    offsets, run = {}, 0
+    for b, s in sums:
+        offsets[b] = run
+        run += int(s or 0)
+    pairs: list[Column] = []
+    for b, off in offsets.items():
+        pairs += [F.lit(b), F.lit(off)]
+    off_map = F.create_map(*pairs)
+    w = (
+        Window.partitionBy("_gbucket").orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("_gbucket", bucket)
+        .withColumn(
+            out,
+            (
+                off_map[F.col("_gbucket")]
+                + F.coalesce(F.sum(weight).over(w), F.lit(0))
+            ).cast("long"),
+        )
+        .drop("_gbucket")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tok_col: str,
+    order_by: str | None = None,
+    block: int = 2048,
+) -> DataFrame:
+    """Assign every document's tokens to fixed-size training blocks.
+
+    Documents are laid end-to-end in ``order_by`` order (default: the id
+    column) and the stream is cut every ``block`` tokens. Rows with a
+    NULL or non-positive token count contribute nothing and emit no
+    spans. Returns (id_col, block_id, doc_offset, block_offset,
+    span_len) — see module docstring.
+    """
+    if block <= 0:
+        raise ValueError(f"block must be positive, got {block}")
+    order_by = order_by or id_col
+    n = F.col(n_tok_col).cast("long")
+    docs = df.filter(n.isNotNull() & (n > 0)).select(id_col, n_tok_col)
+    pre = _global_prefix_sum(docs, order_by, n, out="_start")
+    start = F.col("_start")
+    first_b = F.floor(start / block).cast("long")
+    last_b = F.floor((start + n - 1) / block).cast("long")
+    b = F.col("block_id")
+    return (
+        pre.select(
+            F.col(id_col),
+            start,
+            n.alias("_n"),
+            F.explode(F.sequence(first_b, last_b)).alias("block_id"),
+        )
+        .select(
+            id_col,
+            b,
+            F.greatest(F.lit(0), b * block - start).alias("doc_offset"),
+            F.greatest(F.lit(0), start - b * block).alias("block_offset"),
+            (
+                F.least(start + F.col("_n"), (b + 1) * block)
+                - F.greatest(start, b * block)
+            ).alias("span_len"),
+        )
+    )

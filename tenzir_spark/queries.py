@@ -652,6 +652,66 @@ FROM n ORDER BY doc_id
 """
 
 
+def q_stratified_mix(spark, sf):
+    """Deterministic per-source data mixing (operators/sampling.py —
+    hash-threshold sampling: the kept set is a pure function of
+    (seed, doc_id), so re-runs and the DuckDB oracle reproduce the
+    EXACT selection, not just expected counts)."""
+    from tenzir_spark.operators.sampling import stratified_mix
+
+    docs = load(spark, sf, "documents")
+    return stratified_mix(
+        docs, "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        key_col="doc_id", seed=42, default_fraction=0.05,
+    ).select("doc_id", "source").orderBy("doc_id")
+
+SQL_STRATIFIED_MIX = """
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      < CASE source
+          WHEN 'src0' THEN CAST(1152921504606846976 AS BIGINT)
+          WHEN 'src1' THEN CAST(576460752303423488 AS BIGINT)
+          WHEN 'src2' THEN CAST(288230376151711744 AS BIGINT)
+          WHEN 'src3' THEN CAST(115292150460684697 AS BIGINT)
+          ELSE CAST(57646075230342348 AS BIGINT)
+        END
+ORDER BY doc_id
+"""
+
+
+def q_pack_sequences(spark, sf):
+    """GPT-style sequence packing (operators/packing.py — docs laid
+    end-to-end in doc_id order, cut every 4096 units; spans are pure
+    metadata off a two-phase distributed prefix sum, no SinglePartition).
+    n_chars stands in for the token count on this table."""
+    from tenzir_spark.operators.packing import pack_sequences
+
+    docs = load(spark, sf, "documents")
+    return pack_sequences(
+        docs, "doc_id", "n_chars", block=4096
+    ).orderBy("doc_id", "block_id")
+
+SQL_PACK_SEQUENCES = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS s
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+e AS (
+  SELECT doc_id, s, n_chars,
+         unnest(generate_series(s // 4096, (s + n_chars - 1) // 4096)) AS block_id
+  FROM d)
+SELECT doc_id, block_id,
+       greatest(0, block_id * 4096 - s) AS doc_offset,
+       greatest(0, s - block_id * 4096) AS block_offset,
+       least(s + n_chars, (block_id + 1) * 4096)
+         - greatest(s, block_id * 4096) AS span_len
+FROM e ORDER BY doc_id, block_id
+"""
+
+
 def q_repetition(spark, sf):
     """Gopher repetition filters (operators/text.py repetition_stats —
     duplicate-line fractions + top-bigram coverage, pure Catalyst)."""
@@ -2493,11 +2553,9 @@ REGISTRY: dict[str, tuple] = {
     "where_filter": (q_where, SQL_WHERE),
     "select_project": (q_select, SQL_SELECT),
     "put_computed": (q_put, SQL_PUT),
-    "rename_fields": (q_rename, SQL_RENAME),
     "slice_stride": (q_slice, SQL_SLICE),
     "unique_adjacent": (q_unique, SQL_UNIQUE),
     "deduplicate_limit": (q_deduplicate, SQL_DEDUPLICATE),
-    "enumerate_rows": (q_enumerate, SQL_ENUMERATE),
     "summarize_q1": (q_summarize_q1, SQL_SUMMARIZE_Q1),
     "summarize_aggs": (q_summarize_aggs, SQL_SUMMARIZE_AGGS),
     "top_values": (q_top, SQL_TOP),
@@ -2514,6 +2572,8 @@ REGISTRY: dict[str, tuple] = {
     "quality_score": (q_quality, SQL_QUALITY),
     "repetition_stats": (q_repetition, SQL_REPETITION),
     "c4_stats": (q_c4_stats, SQL_C4_STATS),
+    "stratified_mix": (q_stratified_mix, SQL_STRATIFIED_MIX),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "minhash_lsh_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
@@ -2545,6 +2605,8 @@ REGISTRY: dict[str, tuple] = {
     "hash_sha256": (q_hash, SQL_HASH),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "head_n": (q_head, SQL_HEAD),
+    "rename_fields": (q_rename, SQL_RENAME),
+    "enumerate_rows": (q_enumerate, SQL_ENUMERATE),
     "drop_fields": (q_drop, SQL_DROP),
     "distinct_collect": (q_distinct_collect, SQL_DISTINCT_COLLECT),
     "cosine_near_dup": (q_cosine_pairs, SQL_COSINE_PAIRS),

@@ -242,3 +242,64 @@ def test_c4_filter_rules(spark):
     assert set(rows) == {1, 2}
     assert rows[2] == good  # rejected lines rewritten out of the page
     assert kept.columns == df.columns
+
+
+def test_deterministic_sampling_and_mix(spark, sf_dir):
+    from tenzir_spark.operators.sampling import deterministic_sample, stratified_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.3).collect()}
+    # pure function of the key: repartitioning must not change the set
+    b = {r["doc_id"] for r in deterministic_sample(
+        docs.repartition(13), "doc_id", 0.3).collect()}
+    assert a == b and 0 < len(a) < docs.count()
+    # monotone in fraction: smaller cutoff selects a subset
+    c = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.1).collect()}
+    assert c <= a
+    # different seed, different set
+    d = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.3, seed=7).collect()}
+    assert d != a
+
+    mix = stratified_mix(docs, "source", {"src0": 1.0, "src1": 0.0},
+                         key_col="doc_id", default_fraction=0.0)
+    rows = mix.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in rows} == {
+        "src0": docs.filter("source = 'src0'").count()}
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from tenzir_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    B = 1000
+    spans = pack_sequences(docs, "doc_id", "n_chars", block=B)
+    rows = spans.collect()
+    total = docs.selectExpr("sum(n_chars)").first()[0]
+
+    # spans partition every document's tokens exactly
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    n_by_doc = {r["doc_id"]: r["n_chars"]
+                for r in docs.select("doc_id", "n_chars").collect()}
+    for did, ss in per_doc.items():
+        ss.sort(key=lambda r: r["block_id"])
+        assert sum(s["span_len"] for s in ss) == n_by_doc[did]
+        assert ss[0]["doc_offset"] == 0
+        for prev, nxt in zip(ss, ss[1:]):
+            assert nxt["doc_offset"] == prev["doc_offset"] + prev["span_len"]
+            assert nxt["block_id"] == prev["block_id"] + 1
+            assert nxt["block_offset"] == 0  # continuation starts a new block
+
+    # every block except the last is exactly full
+    by_block = {}
+    for r in rows:
+        by_block[r["block_id"]] = by_block.get(r["block_id"], 0) + r["span_len"]
+    last = max(by_block)
+    assert all(v == B for b, v in by_block.items() if b != last)
+    assert sum(by_block.values()) == total
+    assert set(by_block) == set(range(last + 1))
+
+    # distributed: no single-partition exchange in the plan
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
