@@ -91,6 +91,59 @@ def _global_prefix_sum(
     )
 
 
+def materialize_blocks(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    order_by: str | None = None,
+    block: int = 2048,
+) -> DataFrame:
+    """Gather the actual tokens per training block: (block_id, tokens)
+    with len(tokens) == block for every block but the last.
+
+    Same span math as ``pack_sequences`` but computed in ONE pass with
+    the token arrays carried along, so no join is needed: each doc
+    emits its per-block slice, the slices shuffle once keyed on
+    block_id (exactly the tokens move — the unavoidable data motion of
+    packing), and reassembly is sort_array over (block_offset, slice)
+    structs + flatten. Per-group state is bounded by `block` tokens, so
+    the aggregation cannot blow up on skew."""
+    if block <= 0:
+        raise ValueError(f"block must be positive, got {block}")
+    order_by = order_by or id_col
+    toks = F.col(tokens_col)
+    docs = df.select(id_col, tokens_col).filter(F.size(toks) > 0)
+    pre = _global_prefix_sum(docs, order_by, F.size(toks).cast("long"),
+                             out="_start")
+    start = F.col("_start")
+    n = F.size(toks).cast("long")
+    first_b = F.floor(start / block).cast("long")
+    last_b = F.floor((start + n - 1) / block).cast("long")
+    b = F.col("block_id")
+    doc_off = F.greatest(F.lit(0), b * block - start)
+    span_len = (
+        F.least(start + n, (b + 1) * block) - F.greatest(start, b * block)
+    )
+    spans = pre.select(
+        start,
+        toks,
+        F.explode(F.sequence(first_b, last_b)).alias("block_id"),
+    ).select(
+        b,
+        F.greatest(F.lit(0), start - b * block).alias("_boff"),
+        F.slice(toks, (doc_off + 1).cast("int"),
+                span_len.cast("int")).alias("_slice"),
+    )
+    return (
+        spans.groupBy("block_id")
+        .agg(F.sort_array(F.collect_list(F.struct("_boff", "_slice"))).alias("_parts"))
+        .select(
+            "block_id",
+            F.flatten(F.transform("_parts", lambda p: p["_slice"])).alias("tokens"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -712,6 +712,52 @@ FROM e ORDER BY doc_id, block_id
 """
 
 
+def q_materialize_blocks(spark, sf):
+    """Block materializer (operators/packing.py materialize_blocks):
+    per-block token arrays reassembled from span slices — one shuffle
+    of exactly the tokens, bounded per-group state. Words of `text`
+    stand in for the token arrays on this table; blocks compared as
+    space-joined strings."""
+    from tenzir_spark.operators.packing import materialize_blocks
+
+    docs = load(spark, sf, "documents")
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    blocks = materialize_blocks(
+        docs.select("doc_id", words.alias("w")), "doc_id", "w", block=64)
+    return blocks.select(
+        "block_id", F.array_join("tokens", " ").alias("toks")
+    ).orderBy("block_id")
+
+SQL_MATERIALIZE_BLOCKS = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+  FROM documents),
+d2 AS (
+  SELECT doc_id, w, len(w) AS n,
+         CAST(coalesce(sum(len(w)) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS s
+  FROM d WHERE len(w) > 0),
+e AS (
+  SELECT w, n, s,
+         unnest(generate_series(s // 64, (s + n - 1) // 64)) AS block_id
+  FROM d2),
+sp AS (
+  SELECT block_id,
+         greatest(0, s - block_id * 64) AS boff,
+         w[CAST(greatest(0, block_id * 64 - s) + 1 AS BIGINT)
+           : CAST(greatest(0, block_id * 64 - s)
+                  + least(s + n, (block_id + 1) * 64)
+                  - greatest(s, block_id * 64) AS BIGINT)] AS sl
+  FROM e)
+SELECT block_id,
+       string_agg(array_to_string(sl, ' '), ' ' ORDER BY boff) AS toks
+FROM sp GROUP BY block_id ORDER BY block_id
+"""
+
+
 def q_repetition(spark, sf):
     """Gopher repetition filters (operators/text.py repetition_stats —
     duplicate-line fractions + top-bigram coverage, pure Catalyst)."""
@@ -2604,6 +2650,7 @@ REGISTRY: dict[str, tuple] = {
     # all still oracle-exact under the local gate
     "hash_sha256": (q_hash, SQL_HASH),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "materialize_blocks": (q_materialize_blocks, SQL_MATERIALIZE_BLOCKS),
     "head_n": (q_head, SQL_HEAD),
     "rename_fields": (q_rename, SQL_RENAME),
     "enumerate_rows": (q_enumerate, SQL_ENUMERATE),

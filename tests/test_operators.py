@@ -303,3 +303,22 @@ def test_pack_sequences_invariants(spark, sf_dir):
     # distributed: no single-partition exchange in the plan
     plan = spans._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_materialize_blocks_roundtrip(spark):
+    from pyspark.sql import Row
+
+    from tenzir_spark.operators.packing import materialize_blocks
+
+    docs = [Row(doc_id=i, w=[f"t{i}_{j}" for j in range(n)])
+            for i, n in enumerate([5, 12, 1, 0, 9, 30])]
+    df = spark.createDataFrame(docs)
+    B = 8
+    out = {r["block_id"]: r["tokens"]
+           for r in materialize_blocks(df, "doc_id", "w", block=B).collect()}
+    stream = [t for d in docs for t in d.w]
+    assert set(out) == set(range((len(stream) + B - 1) // B))
+    rebuilt = [t for b in sorted(out) for t in out[b]]
+    assert rebuilt == stream  # exact concatenation order preserved
+    for b in sorted(out)[:-1]:
+        assert len(out[b]) == B
