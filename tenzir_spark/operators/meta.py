@@ -244,6 +244,8 @@ _PIPELINE_OPERATORS = [
     "lookup", "sigma", "pseudonymize", "compress", "decompress", "publish",
     "chart", "shell", "version", "local", "remote", "unordered",
     "every", "cron", "python",
+    # training-data curation extensions (not reference operators):
+    "sample", "c4-filter", "window-dedup", "pack",
 ]
 _FORMATS = [
     "json", "ndjson", "csv", "tsv", "ssv", "xsv", "parquet", "feather",

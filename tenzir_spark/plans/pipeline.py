@@ -788,6 +788,61 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                 # positions break _global_positions' uniqueness contract,
                 # so the declared order leaves scope (like summarize)
                 order = None
+            elif name == "sample":
+                # `sample 0.3 by <key> [seed <n>]` — deterministic
+                # hash-threshold sampling (operators/sampling.py): the
+                # kept set is a pure function of (seed, key), replayable
+                m2 = re.fullmatch(
+                    r"([0-9.]+)\s+by\s+(\S+)(?:\s+seed\s+(\d+))?",
+                    args.strip())
+                if not m2:
+                    raise TqlError(
+                        "sample: usage `sample <fraction> by <key> "
+                        "[seed <n>]`")
+                from tenzir_spark.operators.sampling import (
+                    deterministic_sample,
+                )
+
+                df = deterministic_sample(
+                    df, _one_path(schema, m2.group(2)),
+                    float(m2.group(1)), int(m2.group(3) or 42))
+            elif name == "c4-filter":
+                from tenzir_spark.operators.text import c4_filter
+
+                df = c4_filter(
+                    df, _one_path(schema, args.strip() or "text"))
+            elif name == "window-dedup":
+                # `window-dedup <text-field> by <id-field> [w <n>]`
+                m2 = re.fullmatch(
+                    r"(\S+)\s+by\s+(\S+)(?:\s+w\s+(\d+))?", args.strip())
+                if not m2:
+                    raise TqlError(
+                        "window-dedup: usage `window-dedup <text-field> "
+                        "by <id-field> [w <n>]`")
+                from tenzir_spark.operators.dedup import window_dedup
+
+                df = window_dedup(
+                    df, _one_path(schema, m2.group(1)),
+                    _one_path(schema, m2.group(2)),
+                    w=int(m2.group(3) or 8))
+            elif name == "pack":
+                # `pack <count-field> by <id-field> [block <n>]` — span
+                # assignment (id, block_id, offsets); schema changes, so
+                # any declared order leaves scope
+                m2 = re.fullmatch(
+                    r"(\S+)\s+by\s+(\S+)(?:\s+block\s+(\d+))?",
+                    args.strip())
+                if not m2:
+                    raise TqlError(
+                        "pack: usage `pack <count-field> by <id-field> "
+                        "[block <n>]`")
+                from tenzir_spark.operators.packing import pack_sequences
+
+                df = pack_sequences(
+                    df, _one_path(schema, m2.group(2)),
+                    _one_path(schema, m2.group(1)),
+                    block=int(m2.group(3) or 2048))
+                order = None
             elif name in ("every", "cron"):
                 # source modifiers, not stream stages (operator-modifiers.md)
                 raise TqlError(

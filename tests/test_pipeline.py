@@ -574,3 +574,42 @@ def test_export_flag_order_and_errors(spark, tmp_path):
         run_tql_source(spark, f"export {tmp_path}/ord_t --bogus 1")
     with pytest.raises(TqlError, match="expects an integer"):
         run_tql_source(spark, f"export {tmp_path}/ord_t --changes-since x")
+
+
+def test_curation_text_stages(spark, sf_dir):
+    """sample / c4-filter / window-dedup / pack as pipeline text."""
+    from tenzir_spark.plans.pipeline import run_tql
+    from tenzir_spark.operators.sampling import deterministic_sample
+    from tenzir_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["doc_id"] for r in run_tql(
+        docs, "sample 0.25 by doc_id | select doc_id").collect()}
+    want = {r["doc_id"] for r in deterministic_sample(
+        docs, "doc_id", 0.25).select("doc_id").collect()}
+    assert got == want and got
+
+    kept = run_tql(docs, "c4-filter text")
+    assert kept.columns == docs.columns
+    from pyspark.sql import functions as F
+
+    from tenzir_spark.operators.text import c4_stats
+    # the synthetic corpus has no terminal-punctuation lines, so 0 kept
+    # here is correct — equality with the stats flag is the contract
+    assert kept.count() == c4_stats(docs, "text").filter(F.col("c4_keep")).count()
+
+    wd = run_tql(docs, "window-dedup text by doc_id w 8")
+    assert wd.columns == docs.columns
+    assert wd.count() < docs.count()
+
+    spans = run_tql(docs, "pack n_chars by doc_id block 4096")
+    assert set(spans.columns) == {
+        "doc_id", "block_id", "doc_offset", "block_offset", "span_len"}
+    assert spans.count() == pack_sequences(
+        docs, "doc_id", "n_chars", block=4096).count()
+
+    import pytest as _pytest
+
+    from tenzir_spark.plans.pipeline import TqlError
+    with _pytest.raises(TqlError, match="usage"):
+        run_tql(docs, "sample doc_id")
