@@ -621,14 +621,22 @@ def q_c4_stats(spark, sf):
     """C4 page/line cleaning heuristics (operators/text.py c4_stats —
     Raffel et al. 2020 §2.2: terminal-punctuation + >=5-word +
     no-javascript line filter; >=3-sentence / lorem-ipsum / brace page
-    filter), pure Catalyst."""
-    docs = load(spark, sf, "documents")
+    filter), pure Catalyst. The synthetic corpus is single-line
+    unpunctuated word soup, so the witness first derives sentence-shaped
+    text (every 7th word break becomes '.\\n' — same regexp in both
+    engines) to exercise the keep AND drop branches."""
+    docs = load(spark, sf, "documents").withColumn(
+        "text",
+        F.regexp_replace(F.col("text"), r"((\S+\s+){6}\S+)\s+", "$1.\n"))
     return tx.c4_stats(docs, "text").select(
         "doc_id", "n_lines", "n_kept_lines", "n_sentences", "c4_keep")
 
 SQL_C4_STATS = r"""
 WITH s AS (
-  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents),
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM (
+    SELECT doc_id,
+           regexp_replace(text, '((\S+\s+){6}\S+)\s+', '\1.' || chr(10), 'g') AS text
+    FROM documents)),
 k AS (
   SELECT doc_id, text, lines,
          list_filter(lines, ln ->
