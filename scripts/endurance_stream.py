@@ -45,6 +45,11 @@ def main() -> None:
     p.add_argument("--cores", type=int, default=32)
     p.add_argument("--base", default="/dev/shm/endurance_stream")
     p.add_argument("--schema-change-batch", type=int, default=3)
+    p.add_argument("--retain-snapshots", type=int, default=None,
+                   help="expire history after each fold (REQUIRED for "
+                        "10^9-scale runs on tmpfs: full history of "
+                        "hundreds of batches outgrows /dev/shm; the "
+                        "final-state checksum is retention-agnostic)")
     p.add_argument("--keep", action="store_true",
                    help="keep warehouse + expected dirs for inspection")
     args = p.parse_args()
@@ -72,7 +77,8 @@ def main() -> None:
         schema_change_batch=args.schema_change_batch, compression="lz4")
     gen.write_manifest(chg)
     runner = IngestRunner(spark, wh, n_buckets=64, stats_mode="winners",
-                          async_compact=True)
+                          async_compact=True,
+                          retain_snapshots=args.retain_snapshots)
     runner.ensure_table()
 
     t_start = time.monotonic()
