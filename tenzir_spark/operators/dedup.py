@@ -383,3 +383,97 @@ def simhash32(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFram
         bit = F.when(2 * c > F.col("n"), F.lit(2 ** i)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return voted.select("id", fp.cast("long").alias("simhash"))
+
+
+def line_dedup_stats(
+    df: DataFrame, text_col: str, id_col: str, min_count: int = 2
+) -> DataFrame:
+    """Corpus-level exact line/paragraph duplicate detection — the
+    CCNet / RefinedWeb "line-wise deduplication" stage (Wenzek et al.
+    2020 §4.1 dedup paragraphs by hash across shards; Penedo et al. 2023
+    line dedup): a line is DUPLICATED when its trimmed text occurs
+    ``min_count`` or more times across the whole corpus.
+
+    Returns (id_col, pos, is_winner) for every occurrence of a
+    duplicated line: ``pos`` is the 0-based line index inside the doc
+    and ``is_winner`` marks the single corpus-wide first occurrence
+    (smallest (id, pos)) that "keep_first" mode retains.
+
+    Scale shape (the 100 TB contract):
+    - the exploded rows carry (id, pos, h) only — 24 bytes/row through
+      the shuffle, never the line text;
+    - ONE exchange: occurrences repartition on the line hash, and both
+      consumers — the corpus-wide count+winner aggregate and the
+      per-occurrence join — read the same shuffle files. The aggregate
+      deliberately consumes the SAME columns as the join branch (its
+      winner term touches id AND pos) so column pruning produces
+      identical subtrees and ReuseExchange fires (the window_dedup
+      count(id)-not-count(*) pattern, one scan + one shuffle);
+    - output is proportional to the DUPLICATED occurrences, not the
+      corpus; whitespace-only lines are exempt (never "duplicates").
+
+    Production keys the shuffle on xxhash64(trim(line)); the oracle
+    groups on the line text itself — identical absent a 64-bit
+    collision (same caveat as window_dedup).
+    """
+    lines = F.split(F.col(text_col), "\n", -1)
+    occ = (
+        df.select(F.col(id_col), F.posexplode(lines).alias("pos", "ln"))
+        .filter(F.length(F.trim(F.col("ln"))) > 0)
+        .select(id_col, "pos", F.xxhash64(F.trim(F.col("ln"))).alias("h"))
+        .repartition("h")
+    )
+    winners = (
+        occ.groupBy("h")
+        .agg(
+            F.count(id_col).alias("cnt"),
+            F.min(F.struct(id_col, "pos")).alias("w"),
+        )
+        .filter(F.col("cnt") >= min_count)
+    )
+    return (
+        occ.join(winners, "h")
+        .select(
+            id_col,
+            "pos",
+            ((F.col("w")[id_col] == F.col(id_col))
+             & (F.col("w")["pos"] == F.col("pos"))).alias("is_winner"),
+        )
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_count: int = 2,
+    mode: str = "keep_first",
+    drop_empty_docs: bool = False,
+) -> DataFrame:
+    """Remove corpus-duplicated lines from every document, rewriting
+    ``text_col`` to the surviving lines in original order.
+
+    mode="keep_first": the corpus-wide first occurrence (smallest
+    (id, pos)) survives, every other copy is dropped — CCNet paragraph
+    dedup semantics. mode="drop_all": every occurrence of a duplicated
+    line is dropped (MassiveWeb-style boilerplate removal).
+
+    ``drop_empty_docs`` removes docs whose every line was dropped.
+    """
+    if mode not in ("keep_first", "drop_all"):
+        raise ValueError(f"mode must be 'keep_first' or 'drop_all', got {mode!r}")
+    stats = line_dedup_stats(df, text_col, id_col, min_count)
+    dropped = stats if mode == "drop_all" else stats.filter(~F.col("is_winner"))
+    drop_pos = dropped.groupBy(id_col).agg(
+        F.collect_set("pos").alias("_drop_pos"))
+    lines = F.split(F.col(text_col), "\n", -1)
+    joined = df.join(drop_pos, id_col, "left")
+    kept = F.filter(
+        lines,
+        lambda ln, i: F.col("_drop_pos").isNull()
+        | ~F.array_contains(F.col("_drop_pos"), i),
+    )
+    out = joined.withColumn(text_col, F.array_join(kept, "\n")).drop("_drop_pos")
+    if drop_empty_docs:
+        out = out.filter(F.length(F.trim(F.col(text_col))) > 0)
+    return out.select(*df.columns)

@@ -245,7 +245,8 @@ _PIPELINE_OPERATORS = [
     "chart", "shell", "version", "local", "remote", "unordered",
     "every", "cron", "python",
     # training-data curation extensions (not reference operators):
-    "sample", "c4-filter", "window-dedup", "pack",
+    "sample", "c4-filter", "window-dedup", "pack", "line-dedup",
+    "redact-pii",
 ]
 _FORMATS = [
     "json", "ndjson", "csv", "tsv", "ssv", "xsv", "parquet", "feather",

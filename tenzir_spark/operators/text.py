@@ -242,3 +242,53 @@ def doc_fingerprint(df: DataFrame, text_col: str, out: str = "fingerprint") -> D
     whitespace-collapsed text (the exact-dedup normalization step)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn(out, F.md5(norm))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the scrubbing stage of a training-data pipeline.
+# Patterns are restricted to the Java-regex ∩ RE2 subset (no lookaround,
+# no backreferences) so the DuckDB oracle replays them verbatim; order
+# matters (card before phone: the 4-4-4-4 grouping must be consumed
+# before the looser 3-3-4 phone shape can see its tail).
+# ---------------------------------------------------------------------------
+
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("card", r"\b(?:\d{4}[ -]){3}\d{4}\b", "<CARD>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def _pii_chain(col: Column, kinds: list[str]):
+    """Apply the redaction chain; per-kind counts are taken on the
+    PROGRESSIVELY redacted text (exactly what each replace saw), so
+    counts + rewrite form one consistent pass."""
+    counts: dict[str, Column] = {}
+    for kind, pat, tag in PII_RULES:
+        if kind not in kinds:
+            continue
+        counts[kind] = F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+        col = F.regexp_replace(col, pat, tag)
+    return col, counts
+
+
+def pii_stats(df: DataFrame, text_col: str, kinds: list[str] | None = None) -> DataFrame:
+    """Add one ``n_pii_<kind>`` count column per rule (email, ssn, card,
+    phone, ipv4) — pure projection, no shuffle, linear at any scale."""
+    kinds = kinds or [k for k, _, _ in PII_RULES]
+    _, counts = _pii_chain(F.col(text_col), kinds)
+    out = df
+    for kind, c in counts.items():
+        out = out.withColumn(f"n_pii_{kind}", c)
+    return out
+
+
+def pii_redact(df: DataFrame, text_col: str, kinds: list[str] | None = None) -> DataFrame:
+    """Rewrite ``text_col`` with every PII match replaced by its
+    ``<KIND>`` tag. Pure Catalyst regexp_replace chain (whole-stage
+    codegen, no Python, no shuffle)."""
+    kinds = kinds or [k for k, _, _ in PII_RULES]
+    col, _ = _pii_chain(F.col(text_col), kinds)
+    return df.withColumn(text_col, col)

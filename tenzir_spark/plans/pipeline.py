@@ -843,6 +843,45 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                     _one_path(schema, m2.group(1)),
                     block=int(m2.group(3) or 2048))
                 order = None
+            elif name == "line-dedup":
+                # `line-dedup <text-field> by <id-field> [min <n>]
+                #  [mode keep_first|drop_all]` — corpus-level CCNet/
+                # RefinedWeb line dedup (operators/dedup.py line_dedup)
+                m2 = re.fullmatch(
+                    r"(\S+)\s+by\s+(\S+)(?:\s+min\s+(\d+))?"
+                    r"(?:\s+mode\s+(keep_first|drop_all))?",
+                    args.strip())
+                if not m2:
+                    raise TqlError(
+                        "line-dedup: usage `line-dedup <text-field> by "
+                        "<id-field> [min <n>] [mode keep_first|drop_all]`")
+                from tenzir_spark.operators.dedup import line_dedup
+
+                df = line_dedup(
+                    df, _one_path(schema, m2.group(1)),
+                    _one_path(schema, m2.group(2)),
+                    min_count=int(m2.group(3) or 2),
+                    mode=m2.group(4) or "keep_first")
+            elif name == "redact-pii":
+                # `redact-pii [<text-field>] [kinds email,ipv4,...]`
+                m2 = re.fullmatch(
+                    r"(?:(\S+))?(?:\s*kinds\s+([a-z0-9,]+))?",
+                    args.strip())
+                if not m2:
+                    raise TqlError(
+                        "redact-pii: usage `redact-pii [<text-field>] "
+                        "[kinds email,ssn,card,phone,ipv4]`")
+                from tenzir_spark.operators.text import PII_RULES, pii_redact
+
+                kinds = (m2.group(2).split(",") if m2.group(2) else None)
+                known = {k for k, _, _ in PII_RULES}
+                if kinds and not set(kinds) <= known:
+                    raise TqlError(
+                        f"redact-pii: unknown kinds "
+                        f"{sorted(set(kinds) - known)} (have {sorted(known)})")
+                df = pii_redact(
+                    df, _one_path(schema, m2.group(1) or "text"),
+                    kinds=kinds)
             elif name in ("every", "cron"):
                 # source modifiers, not stream stages (operator-modifiers.md)
                 raise TqlError(

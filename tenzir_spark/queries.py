@@ -2596,6 +2596,128 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_line_dedup(spark, sf):
+    """Corpus-level line dedup (operators/dedup.py line_dedup —
+    CCNet/RefinedWeb paragraph dedup: a trimmed line occurring >= 2
+    times corpus-wide keeps only its first occurrence by (doc_id, pos)).
+    The word-soup corpus is single-line, so the witness derives lines
+    (every 7th word break) and appends a boilerplate line shared by all
+    docs with the same doc_id%5 — both branches (winner kept, copies
+    dropped) are value-checked through the full rewritten text."""
+    docs = load(spark, sf, "documents")
+    wt = docs.withColumn(
+        "text",
+        F.concat(
+            F.regexp_replace(F.col("text"), r"((\S+\s+){6}\S+)\s+", "$1\n"),
+            F.lit("\nboilerplate-"), (F.col("doc_id") % 5).cast("string"),
+        ))
+    return (
+        dd.line_dedup(wt, "text", "doc_id", min_count=2, mode="keep_first")
+        .select("doc_id", "text").orderBy("doc_id")
+    )
+
+SQL_LINE_DEDUP = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(text, '((\S+\s+){6}\S+)\s+', '\1' || chr(10), 'g')
+           || chr(10) || 'boilerplate-' || CAST(doc_id % 5 AS VARCHAR) AS text
+  FROM documents),
+l AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM d),
+lines AS (
+  SELECT doc_id, i - 1 AS pos, ls[i] AS ln
+  FROM l, UNNEST(range(1, len(ls) + 1)) AS t(i)),
+occ AS (
+  SELECT doc_id, pos, trim(ln) AS key
+  FROM lines WHERE length(trim(ln)) > 0),
+w AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY key) AS cnt,
+         row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+  FROM occ),
+drops AS (SELECT doc_id, pos FROM w WHERE cnt >= 2 AND rn > 1),
+kept AS (
+  SELECT li.doc_id, li.pos, li.ln
+  FROM lines li LEFT JOIN drops dr
+    ON li.doc_id = dr.doc_id AND li.pos = dr.pos
+  WHERE dr.doc_id IS NULL),
+rebuilt AS (
+  SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(r.text, '') AS text
+FROM d LEFT JOIN rebuilt r USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+def q_pii_redact(spark, sf):
+    """PII scrubbing (operators/text.py pii_redact/pii_stats — the
+    redaction stage of a training-data pipeline): regexp chain over the
+    Java∩RE2 subset, counts taken on the progressively redacted text.
+    The witness injects one of each PII kind derived from doc_id so
+    every rule fires and the full redacted text is value-checked."""
+    docs = load(spark, sf, "documents")
+    wt = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 ssn 123-45-6789 card "
+                  "4111 1111 1111 1111 ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        ))
+    out = tx.pii_stats(wt, "text")
+    out = tx.pii_redact(out, "text")
+    return out.select(
+        "doc_id", "n_pii_email", "n_pii_ssn", "n_pii_card", "n_pii_phone",
+        "n_pii_ipv4", "text").orderBy("doc_id")
+
+SQL_PII_REDACT = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-123-4567 ssn 123-45-6789 card '
+              || '4111 1111 1111 1111 ip 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_pii_email,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS text
+  FROM d),
+s2 AS (
+  SELECT doc_id, n_pii_email,
+         len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_pii_ssn,
+         regexp_replace(text, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS text
+  FROM s1),
+s3 AS (
+  SELECT doc_id, n_pii_email, n_pii_ssn,
+         len(regexp_extract_all(text,
+             '\b(?:\d{4}[ -]){3}\d{4}\b')) AS n_pii_card,
+         regexp_replace(text, '\b(?:\d{4}[ -]){3}\d{4}\b',
+             '<CARD>', 'g') AS text
+  FROM s2),
+s4 AS (
+  SELECT doc_id, n_pii_email, n_pii_ssn, n_pii_card,
+         len(regexp_extract_all(text,
+             '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_pii_phone,
+         regexp_replace(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b',
+             '<PHONE>', 'g') AS text
+  FROM s3),
+s5 AS (
+  SELECT doc_id, n_pii_email, n_pii_ssn, n_pii_card, n_pii_phone,
+         len(regexp_extract_all(text,
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_pii_ipv4,
+         regexp_replace(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b',
+             '<IP>', 'g') AS text
+  FROM s4)
+SELECT doc_id, n_pii_email, n_pii_ssn, n_pii_card, n_pii_phone,
+       n_pii_ipv4, text
+FROM s5 ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # ---- positions 1-50: the driver's hard-verified correctness window.
     # Curated to cover one representative per operator FAMILY plus the
@@ -2611,7 +2733,6 @@ REGISTRY: dict[str, tuple] = {
     "unique_adjacent": (q_unique, SQL_UNIQUE),
     "deduplicate_limit": (q_deduplicate, SQL_DEDUPLICATE),
     "summarize_q1": (q_summarize_q1, SQL_SUMMARIZE_Q1),
-    "summarize_aggs": (q_summarize_aggs, SQL_SUMMARIZE_AGGS),
     "top_values": (q_top, SQL_TOP),
     "sort_ranked": (q_sort_ranked, SQL_SORT_RANKED),
     "parse_json": (q_parse_json, SQL_PARSE_JSON),
@@ -2632,7 +2753,8 @@ REGISTRY: dict[str, tuple] = {
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "minhash_lsh_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "window_dedup": (q_window_dedup, SQL_WINDOW_DEDUP),
-    "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "line_dedup_keep_first": (q_line_dedup, SQL_LINE_DEDUP),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "cosine_near_dup_lsh": (q_cosine_pairs_lsh, SQL_COSINE_PAIRS_LSH),
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH),
     "median_exact": (q_median_exact, SQL_MEDIAN_EXACT),
@@ -2657,6 +2779,8 @@ REGISTRY: dict[str, tuple] = {
     # ---- past the 50-row window: family variants + remaining entries,
     # all still oracle-exact under the local gate
     "hash_sha256": (q_hash, SQL_HASH),
+    "summarize_aggs": (q_summarize_aggs, SQL_SUMMARIZE_AGGS),
+    "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "materialize_blocks": (q_materialize_blocks, SQL_MATERIALIZE_BLOCKS),
     "head_n": (q_head, SQL_HEAD),

@@ -322,3 +322,108 @@ def test_materialize_blocks_roundtrip(spark):
     assert rebuilt == stream  # exact concatenation order preserved
     for b in sorted(out)[:-1]:
         assert len(out[b]) == B
+
+
+def test_line_dedup_modes(spark):
+    from pyspark.sql import Row
+
+    from tenzir_spark.operators.dedup import line_dedup, line_dedup_stats
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="unique a\nshared line\nunique b"),
+        Row(doc_id=2, text="shared line\nunique c\n\nshared line"),
+        Row(doc_id=3, text="only here\n   \nalso only here"),
+    ])
+    stats = {(r["doc_id"], r["pos"]): r["is_winner"]
+             for r in line_dedup_stats(df, "text", "doc_id").collect()}
+    # "shared line" occurs at (1,1), (2,0), (2,3); winner is (1,1)
+    assert stats == {(1, 1): True, (2, 0): False, (2, 3): False}
+
+    kept = {r["doc_id"]: r["text"]
+            for r in line_dedup(df, "text", "doc_id").collect()}
+    assert kept[1] == "unique a\nshared line\nunique b"  # winner survives
+    assert kept[2] == "unique c\n"  # both copies dropped, empty line kept
+    assert kept[3] == "only here\n   \nalso only here"  # untouched
+
+    dropped = {r["doc_id"]: r["text"]
+               for r in line_dedup(df, "text", "doc_id",
+                                   mode="drop_all").collect()}
+    assert dropped[1] == "unique a\nunique b"  # winner dropped too
+
+    # min_count above the multiplicity leaves everything untouched
+    same = {r["doc_id"]: r["text"]
+            for r in line_dedup(df, "text", "doc_id", min_count=4).collect()}
+    assert same == {r["doc_id"]: r["text"] for r in df.collect()}
+
+    # whitespace-only lines are exempt even though corpus-duplicated;
+    # drop_empty_docs removes docs reduced to whitespace
+    df2 = spark.createDataFrame([
+        Row(doc_id=1, text="boiler\nboiler"),
+        Row(doc_id=2, text="boiler"),
+        Row(doc_id=3, text="keep me"),
+    ])
+    left = line_dedup(df2, "text", "doc_id", mode="drop_all",
+                      drop_empty_docs=True)
+    assert sorted(r["doc_id"] for r in left.collect()) == [3]
+
+    # one exchange feeds both the winner agg and the occurrence join
+    out = line_dedup_stats(df, "text", "doc_id")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_pii_redact_rules(spark):
+    from pyspark.sql import Row
+
+    from tenzir_spark.operators.text import pii_redact, pii_stats
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="mail a.b+c@example.co.uk call 555-123-4567 "
+                           "ssn 123-45-6789 card 4111-1111-1111-1111 "
+                           "host 192.168.0.1 done"),
+        Row(doc_id=2, text="no pii at all, just text with numbers 12345"),
+    ])
+    out = {r["doc_id"]: r["text"]
+           for r in pii_redact(df, "text").collect()}
+    assert out[1] == ("mail <EMAIL> call <PHONE> ssn <SSN> card <CARD> "
+                      "host <IP> done")
+    assert out[2] == "no pii at all, just text with numbers 12345"
+
+    st = pii_stats(df, "text").filter("doc_id = 1").first()
+    assert (st["n_pii_email"], st["n_pii_ssn"], st["n_pii_card"],
+            st["n_pii_phone"], st["n_pii_ipv4"]) == (1, 1, 1, 1, 1)
+
+    # kinds subset: only the requested rules fire
+    sub = {r["doc_id"]: r["text"]
+           for r in pii_redact(df, "text", kinds=["email"]).collect()}
+    assert "<EMAIL>" in sub[1] and "555-123-4567" in sub[1]
+
+    # card is consumed before phone can see its 3-3-4 tail
+    df3 = spark.createDataFrame(
+        [Row(doc_id=1, text="pay 4111 1111 1111 1111 now")])
+    assert pii_redact(df3, "text").first()["text"] == "pay <CARD> now"
+
+
+def test_line_dedup_pii_text_stages(spark):
+    from pyspark.sql import Row
+
+    from tenzir_spark.plans.pipeline import TqlError, run_tql
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="dup\nmine"),
+        Row(doc_id=2, text="dup\nyours ip 10.0.0.1"),
+    ])
+    out = {r["doc_id"]: r["text"]
+           for r in run_tql(df, "line-dedup text by doc_id").collect()}
+    assert out == {1: "dup\nmine", 2: "yours ip 10.0.0.1"}
+
+    red = {r["doc_id"]: r["text"]
+           for r in run_tql(df, "redact-pii text kinds ipv4").collect()}
+    assert red[2] == "dup\nyours ip <IP>"
+
+    import pytest as _pytest
+    with _pytest.raises(TqlError, match="usage"):
+        run_tql(df, "line-dedup text")
+    with _pytest.raises(TqlError, match="unknown kinds"):
+        run_tql(df, "redact-pii text kinds bogus")
