@@ -882,6 +882,29 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                 df = pii_redact(
                     df, _one_path(schema, m2.group(1) or "text"),
                     kinds=kinds)
+            elif name == "dsir-sample":
+                # `dsir-sample <fraction> <text-field> by <id-field>
+                #  [d <n>] [seed <n>] target <expr...>` — DSIR importance
+                # resampling toward the target subset (selection.py)
+                m2 = re.fullmatch(
+                    r"([0-9.]+)\s+(\S+)\s+by\s+(\S+)(?:\s+d\s+(\d+))?"
+                    r"(?:\s+seed\s+(\d+))?\s+target\s+(.+)",
+                    args.strip(), re.DOTALL)
+                if not m2:
+                    raise TqlError(
+                        "dsir-sample: usage `dsir-sample <fraction> "
+                        "<text-field> by <id-field> [d <n>] [seed <n>] "
+                        "target <expr>`")
+                from tenzir_spark.operators.selection import dsir_resample
+
+                df = dsir_resample(
+                    df, _one_path(schema, m2.group(2)),
+                    _one_path(schema, m2.group(3)),
+                    compile_expr(m2.group(6), df.schema),
+                    fraction=float(m2.group(1)),
+                    d=int(m2.group(4) or 8192),
+                    seed=int(m2.group(5) or 42))
+                order = None
             elif name in ("every", "cron"):
                 # source modifiers, not stream stages (operator-modifiers.md)
                 raise TqlError(

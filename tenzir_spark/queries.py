@@ -2718,6 +2718,53 @@ FROM s5 ORDER BY doc_id
 """
 
 
+def q_dsir_weights(spark, sf):
+    """DSIR data selection (operators/selection.py dsir_weights — Xie
+    et al. 2023 hashed-ngram importance resampling): per-doc log
+    importance weight of the target distribution (source == 'src0')
+    over the raw corpus, d=512 md5-60bit n-gram buckets (n<=2),
+    Laplace smoothing 1. Weight rounded to 4 decimals (the method
+    needs weight ORDER; both engines sum doubles in different
+    orders)."""
+    from tenzir_spark.operators.selection import dsir_weights
+
+    docs = load(spark, sf, "documents")
+    return dsir_weights(
+        docs, "text", "doc_id", F.col("source") == "src0", d=512
+    ).orderBy("doc_id")
+
+SQL_DSIR_WEIGHTS = r"""
+WITH words AS (
+  SELECT doc_id, (source = 'src0') AS is_t,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+uni AS (
+  SELECT doc_id, is_t, ws[i] AS g
+  FROM words, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+bi AS (
+  SELECT doc_id, is_t, ws[i] || ' ' || ws[i + 1] AS g
+  FROM words, UNNEST(range(1, len(ws))) AS t(i)),
+occ AS (
+  SELECT doc_id, is_t,
+         ('0x' || substring(md5(g), 1, 15))::BIGINT % 512 AS h
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+  WHERE length(g) > 0),
+hist AS (
+  SELECT h, count(*) AS n_raw,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_tgt
+  FROM occ GROUP BY h),
+tot AS (SELECT sum(n_raw) AS tr, sum(n_tgt) AS tt FROM hist),
+lr AS (
+  SELECT h, ln((n_tgt + 1.0) / (tt + 512.0))
+           - ln((n_raw + 1.0) / (tr + 512.0)) AS lrat
+  FROM hist, tot)
+SELECT o.doc_id, round(sum(l.lrat), 4) AS dsir_weight,
+       bool_or(o.is_t) AS is_target
+FROM occ o JOIN lr l USING (h)
+GROUP BY o.doc_id ORDER BY o.doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # ---- positions 1-50: the driver's hard-verified correctness window.
     # Curated to cover one representative per operator FAMILY plus the
@@ -2750,7 +2797,7 @@ REGISTRY: dict[str, tuple] = {
     "stratified_mix": (q_stratified_mix, SQL_STRATIFIED_MIX),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "lang_id": (q_lang_id, SQL_LANG_ID),
-    "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "minhash_lsh_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "window_dedup": (q_window_dedup, SQL_WINDOW_DEDUP),
     "line_dedup_keep_first": (q_line_dedup, SQL_LINE_DEDUP),
@@ -2779,6 +2826,7 @@ REGISTRY: dict[str, tuple] = {
     # ---- past the 50-row window: family variants + remaining entries,
     # all still oracle-exact under the local gate
     "hash_sha256": (q_hash, SQL_HASH),
+    "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "summarize_aggs": (q_summarize_aggs, SQL_SUMMARIZE_AGGS),
     "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),

@@ -427,3 +427,70 @@ def test_line_dedup_pii_text_stages(spark):
         run_tql(df, "line-dedup text")
     with _pytest.raises(TqlError, match="unknown kinds"):
         run_tql(df, "redact-pii text kinds bogus")
+
+
+def test_dsir_weights_and_resample(spark):
+    from pyspark.sql import Row, functions as F
+
+    from tenzir_spark.operators.selection import dsir_resample, dsir_weights
+
+    # target vocabulary {alpha beta gamma}; raw-only vocabulary {noise...}
+    rows = [Row(doc_id=i, source="tgt",
+                text="alpha beta gamma alpha beta") for i in range(4)]
+    rows += [Row(doc_id=10 + i, source="raw",
+                 text="noise words entirely different here") for i in range(4)]
+    rows += [Row(doc_id=20, source="raw", text="alpha beta gamma alpha")]
+    rows += [Row(doc_id=21, source="raw", text="")]
+    df = spark.createDataFrame(rows)
+
+    w = {r["doc_id"]: r["dsir_weight"]
+         for r in dsir_weights(df, "text", "doc_id",
+                               F.col("source") == "tgt", d=256).collect()}
+    # target-vocabulary docs (wherever they live) score above raw-only docs
+    assert w[20] > w[10] and w[0] > w[10]
+    assert 21 not in w  # no n-grams -> absent, by contract
+    # weights are a pure function of the corpus: re-run identical
+    w2 = {r["doc_id"]: r["dsir_weight"]
+          for r in dsir_weights(df, "text", "doc_id",
+                                F.col("source") == "tgt", d=256).collect()}
+    assert w == w2
+
+    kept = dsir_resample(df, "text", "doc_id",
+                         F.col("source") == "tgt", fraction=0.5, d=256)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert len(ids) == 5 and kept.columns == df.columns  # ceil(0.5 * 10)
+    # deterministic: same selection on re-run
+    ids2 = sorted(r["doc_id"] for r in dsir_resample(
+        df, "text", "doc_id", F.col("source") == "tgt",
+        fraction=0.5, d=256).collect())
+    assert ids == ids2
+    # the high-weight target-vocab docs dominate the kept half
+    assert {0, 1, 2, 3} & set(ids) and 20 in ids or len(set(ids) & {0,1,2,3,20}) >= 4
+
+    # one exchange feeds both the histogram and the score aggregation
+    out = dsir_weights(df, "text", "doc_id", F.col("source") == "tgt", d=64)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_dsir_sample_text_stage(spark):
+    from pyspark.sql import Row
+
+    from tenzir_spark.operators.selection import dsir_resample
+    from tenzir_spark.plans.pipeline import run_tql
+
+    rows = [Row(doc_id=i, source="tgt", text="alpha beta gamma")
+            for i in range(4)]
+    rows += [Row(doc_id=10 + i, source="raw", text="noise words here")
+             for i in range(4)]
+    df = spark.createDataFrame(rows)
+    got = sorted(r["doc_id"] for r in run_tql(
+        df, 'dsir-sample 0.5 text by doc_id d 256 '
+            'target source == "tgt"').collect())
+    from pyspark.sql import functions as F
+
+    want = sorted(r["doc_id"] for r in dsir_resample(
+        df, "text", "doc_id", F.col("source") == "tgt",
+        fraction=0.5, d=256).collect())
+    assert got == want and len(got) == 4
