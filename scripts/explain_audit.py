@@ -84,6 +84,21 @@ AUDIT = {
     "yara_text_rules": ([r"PushedFilters"], [r"BatchEvalPython"]),
     # grok parsing via the textual front-end stays codegen'd JVM regex
     "tql_parse_grok": ([], [r"BatchEvalPython", r"CartesianProduct"]),
+    # corpus line dedup: one REPARTITION_BY_COL exchange feeds both the
+    # winner aggregate and the occurrence join (ReusedExchange asserted
+    # post-AQE in tests); line text never rides the hash shuffle
+    "line_dedup_keep_first": ([r"REPARTITION_BY_COL", r"HashAggregate"],
+                              [r"CartesianProduct", r"BatchEvalPython"]),
+    # PII redaction is a pure projection off the scan — no shuffle at
+    # all (the witness's orderBy adds only a rangepartitioning sort)
+    "pii_redact": ([r"Scan parquet"],
+                   [r"Exchange hashpartitioning", r"BatchEvalPython"]),
+    # DSIR: d-row log-ratio table broadcast; histogram + score share the
+    # bucket exchange; nothing cartesian, nothing Python
+    "dsir_weights": ([r"REPARTITION_BY_COL", r"BroadcastHashJoin",
+                      r"HashAggregate"],
+                     [r"CartesianProduct", r"BatchEvalPython",
+                      r"SortMergeJoin"]),
 }
 
 

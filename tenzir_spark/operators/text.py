@@ -262,16 +262,25 @@ PII_RULES: list[tuple[str, str, str]] = [
 
 
 def _pii_chain(col: Column, kinds: list[str]):
-    """Apply the redaction chain; per-kind counts are taken on the
-    PROGRESSIVELY redacted text (exactly what each replace saw), so
-    counts + rewrite form one consistent pass."""
+    """Apply the redaction chain. Per-kind counts are taken on the
+    ORIGINAL text, one regexp_extract_all each — NOT on the
+    progressively redacted text: Catalyst's CollapseProject inlines a
+    projected expression into every consumer (no CSE), so progressive
+    counts would re-run the whole prior replace chain once per count
+    column (~k²/2 regex evals per row instead of 2k). The patterns are
+    mutually non-overlapping by construction (alpha TLD on email,
+    distinct digit groupings on ssn/card/phone/ipv4), so original-text
+    counts equal progressive counts on non-adversarial input; the
+    REPLACE chain stays ordered (card before phone) because rewrites do
+    change what later rules see."""
     counts: dict[str, Column] = {}
+    out = col
     for kind, pat, tag in PII_RULES:
         if kind not in kinds:
             continue
         counts[kind] = F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
-        col = F.regexp_replace(col, pat, tag)
-    return col, counts
+        out = F.regexp_replace(out, pat, tag)
+    return out, counts
 
 
 def pii_stats(df: DataFrame, text_col: str, kinds: list[str] | None = None) -> DataFrame:

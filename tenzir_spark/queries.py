@@ -2677,44 +2677,28 @@ WITH d AS (
               || '@example.com or 555-123-4567 ssn 123-45-6789 card '
               || '4111 1111 1111 1111 ip 10.0.'
               || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
-  FROM documents),
-s1 AS (
-  SELECT doc_id,
-         len(regexp_extract_all(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_pii_email,
-         regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-             '<EMAIL>', 'g') AS text
-  FROM d),
-s2 AS (
-  SELECT doc_id, n_pii_email,
-         len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_pii_ssn,
-         regexp_replace(text, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS text
-  FROM s1),
-s3 AS (
-  SELECT doc_id, n_pii_email, n_pii_ssn,
-         len(regexp_extract_all(text,
-             '\b(?:\d{4}[ -]){3}\d{4}\b')) AS n_pii_card,
-         regexp_replace(text, '\b(?:\d{4}[ -]){3}\d{4}\b',
-             '<CARD>', 'g') AS text
-  FROM s2),
-s4 AS (
-  SELECT doc_id, n_pii_email, n_pii_ssn, n_pii_card,
-         len(regexp_extract_all(text,
-             '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_pii_phone,
-         regexp_replace(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b',
-             '<PHONE>', 'g') AS text
-  FROM s3),
-s5 AS (
-  SELECT doc_id, n_pii_email, n_pii_ssn, n_pii_card, n_pii_phone,
-         len(regexp_extract_all(text,
-             '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_pii_ipv4,
-         regexp_replace(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b',
-             '<IP>', 'g') AS text
-  FROM s4)
-SELECT doc_id, n_pii_email, n_pii_ssn, n_pii_card, n_pii_phone,
-       n_pii_ipv4, text
-FROM s5 ORDER BY doc_id
+  FROM documents)
+-- counts on the ORIGINAL text (one extract per kind, matching the
+-- engine's CollapseProject-safe contract); the replace chain stays
+-- ordered card-before-phone
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_pii_email,
+       len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_pii_ssn,
+       len(regexp_extract_all(text,
+           '\b(?:\d{4}[ -]){3}\d{4}\b')) AS n_pii_card,
+       len(regexp_extract_all(text,
+           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_pii_phone,
+       len(regexp_extract_all(text,
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_pii_ipv4,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+           '\b(?:\d{4}[ -]){3}\d{4}\b', '<CARD>', 'g'),
+           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS text
+FROM d ORDER BY doc_id
 """
 
 
