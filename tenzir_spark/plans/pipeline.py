@@ -905,6 +905,28 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                     d=int(m2.group(4) or 8192),
                     seed=int(m2.group(5) or 42))
                 order = None
+            elif name == "bpe":
+                # `bpe <text-field> by <id-field> [merges <n>]
+                #  [sample <mod>]` — train merges on the (sampled) input,
+                # add bpe_tokens (operators/bpe.py; two-pass by nature:
+                # tokenizer training IS a separate pass in any pipeline)
+                m2 = re.fullmatch(
+                    r"(\S+)\s+by\s+(\S+)(?:\s+merges\s+(\d+))?"
+                    r"(?:\s+sample\s+(\d+))?",
+                    args.strip())
+                if not m2:
+                    raise TqlError(
+                        "bpe: usage `bpe <text-field> by <id-field> "
+                        "[merges <n>] [sample <mod>]`")
+                from tenzir_spark.operators.bpe import bpe_encode, bpe_train
+
+                tcol = _one_path(schema, m2.group(1))
+                merges = bpe_train(
+                    df, tcol, num_merges=int(m2.group(3) or 256),
+                    sample_mod=int(m2.group(4) or 1),
+                    id_col=_one_path(schema, m2.group(2)))
+                df = bpe_encode(df, tcol, merges)
+                order = None  # mapInPandas re-emits; declared order leaves
             elif name in ("every", "cron"):
                 # source modifiers, not stream stages (operator-modifiers.md)
                 raise TqlError(

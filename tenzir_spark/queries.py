@@ -2702,6 +2702,27 @@ FROM d ORDER BY doc_id
 """
 
 
+def q_bpe_tokenize(spark, sf):
+    """BPE tokenization (operators/bpe.py — Sennrich 2016 / GPT-2
+    word-internal merges): merges learned driver-side from ONE
+    distributed word-frequency agg over a deterministic sample, encode
+    as an Arrow-batched pandas UDF with per-batch word memoization.
+    Rows-only: the data-dependent merge loop has no SQL form (the
+    whitespace/BPE-ish token COUNT estimators are the oracle-exact
+    twins, token_count/token_fingerprint_exact)."""
+    from tenzir_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load(spark, sf, "documents")
+    merges = bpe_train(docs, "text", num_merges=48, sample_mod=4,
+                       id_col="doc_id")
+    enc = bpe_encode(docs, "text", merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_bpe"),
+        F.slice("bpe_tokens", 1, 5).alias("head_tokens"),
+    ).orderBy("doc_id")
+
+
 def q_dsir_weights(spark, sf):
     """DSIR data selection (operators/selection.py dsir_weights — Xie
     et al. 2023 hashed-ngram importance resampling): per-doc log
@@ -2862,6 +2883,7 @@ REGISTRY: dict[str, tuple] = {
     "bloom_membership": (q_bloom_membership, None),
     "multimodal_features": (q_multimodal_features, None),
     "pseudonymize_ip": (q_pseudonymize, None),
+    "bpe_tokenize": (q_bpe_tokenize, None),
 }
 
 

@@ -89,3 +89,62 @@ def test_token_stats_jvm(spark):
     r = token_stats(df).collect()[0]
     assert (r["tok_len"], r["tok_min"], r["tok_max"]) == (3, 1, 9)
     assert r["tok_sum_weighted"] == 5 * 1 + 1 * 2 + 9 * 3
+
+
+def test_bpe_train_encode_roundtrip(spark):
+    from pyspark.sql import Row
+
+    from tenzir_spark.operators.bpe import (
+        bpe_decode_tokens, bpe_encode, bpe_train, bpe_vocab,
+    )
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="low lower lowest"),
+        Row(doc_id=2, text="low low newer newest"),
+        Row(doc_id=3, text="wider wide widest"),
+    ])
+    merges = bpe_train(df, "text", num_merges=40)
+    assert merges and merges == bpe_train(df, "text", num_merges=40)
+    # the most frequent word collapses to few symbols
+    enc = bpe_encode(df, "text", merges)
+    rows = {r["doc_id"]: r["bpe_tokens"] for r in enc.collect()}
+    assert rows[2][:1] == ["low</w>"] or "low</w>" in rows[2]
+    # open vocabulary: decode reproduces the normalized text exactly
+    for r in df.collect():
+        norm = " ".join(r["text"].lower().split())
+        assert bpe_decode_tokens(rows[r["doc_id"]]) == norm
+    # vocab table is deterministic and covers every emitted token
+    vocab = bpe_vocab(merges)
+    emitted = {t for toks in rows.values() for t in toks
+               if len(t.replace("</w>", "")) > 1 or t == "</w>"}
+    # multi-char tokens all come from merges; single chars are fallback
+    for t in emitted:
+        assert t in vocab or len(t) <= 2
+
+    # deterministic sampled build: same spec -> same merges
+    m1 = bpe_train(df, "text", num_merges=10, sample_mod=2, id_col="doc_id")
+    m2 = bpe_train(df, "text", num_merges=10, sample_mod=2, id_col="doc_id")
+    assert m1 == m2
+
+    # nulls and empty docs encode to []
+    df2 = spark.createDataFrame([Row(doc_id=1, text=None),
+                                 Row(doc_id=2, text="  ")])
+    got = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe_encode(df2, "text", merges).collect()}
+    assert got == {1: [], 2: []}
+
+
+def test_bpe_text_stage(spark):
+    from pyspark.sql import Row
+
+    from tenzir_spark.plans.pipeline import run_tql
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="low lower low"),
+        Row(doc_id=2, text="low lowest"),
+    ])
+    out = run_tql(df, "bpe text by doc_id merges 20")
+    rows = {r["doc_id"]: r["bpe_tokens"] for r in out.collect()}
+    assert set(rows) == {1, 2} and all(len(v) > 0 for v in rows.values())
+    from tenzir_spark.operators.bpe import bpe_decode_tokens
+    assert bpe_decode_tokens(rows[1]) == "low lower low"
