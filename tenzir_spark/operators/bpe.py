@@ -68,6 +68,7 @@ def bpe_train(
     sample_mod: int = 1,
     seed: int = 42,
     id_col: str | None = None,
+    max_words: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from word frequencies.
 
@@ -76,6 +77,14 @@ def bpe_train(
     ``id_col``) — the bounded-build path for big corpora. Ties on pair
     frequency break to the lexicographically smallest pair, so the
     learned merges are a pure function of the corpus.
+
+    The driver materializes at most ``max_words`` distinct words — the
+    most frequent, tie-broken lexicographically (TakeOrderedAndProject,
+    scale-safe). A web corpus has 10^7-10^8 distinct normalized words;
+    the frequency tail beyond the top million cannot influence early
+    merges, so the cap changes nothing in practice while making the
+    driver bound unconditional (not dependent on remembering
+    ``sample_mod``).
     """
     src = df
     if sample_mod > 1:
@@ -90,6 +99,8 @@ def bpe_train(
         src.select(F.explode(_words(F.col(text_col))).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("w").count()
+        .orderBy(F.desc("count"), F.asc("w"))
+        .limit(max_words)
         .collect()
     )
     vocab: dict[tuple[str, ...], int] = {}
@@ -127,18 +138,19 @@ def bpe_train(
     return merges
 
 
+_ALPHABET = tuple("abcdefghijklmnopqrstuvwxyz0123456789")
+
+
 def bpe_vocab(merges: Iterable[tuple[str, str]]) -> dict[str, int]:
-    """Token→id table: 0..255 byte/char fallback space is implicit; ids
-    here cover the end marker, single chars seen in merges, and every
-    merged symbol, in deterministic order."""
-    toks: list[str] = [_END]
-    seen = {_END}
+    """Token→id table covering EVERY token ``bpe_encode`` can emit: the
+    end marker, the full normalizer alphabet ([a-z0-9] — the only
+    single-char symbols that survive normalization), and every merged
+    symbol, ids assigned in deterministic sorted order."""
+    seen = {_END, *_ALPHABET}
     for a, b in merges:
         for t in (a, b, a + b):
-            if t not in seen:
-                seen.add(t)
-                toks.append(t)
-    return {t: i for i, t in enumerate(sorted(toks))}
+            seen.add(t)
+    return {t: i for i, t in enumerate(sorted(seen))}
 
 
 def bpe_encode(
@@ -152,6 +164,15 @@ def bpe_encode(
     Arrow-batched (mapInPandas); a per-batch word cache bounds the merge
     loop to distinct words. Unknown characters survive as single-char
     symbols (open vocabulary — nothing is dropped)."""
+    if text_col not in df.columns:
+        # pandas batches carry top-level columns only — a dotted nested
+        # path resolves in Catalyst but KeyErrors inside every task
+        raise ValueError(
+            f"bpe_encode needs a top-level text column, got {text_col!r} "
+            "(flatten/select the nested field first)")
+    if out in df.columns:
+        raise ValueError(
+            f"output column {out!r} already exists (same guard as extend)")
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     fields = df.schema.fields + [T.StructField(out, T.ArrayType(T.StringType()))]
     schema = T.StructType(fields)

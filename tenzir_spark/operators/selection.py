@@ -138,12 +138,19 @@ def dsir_resample(
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
     from tenzir_spark.operators.core import _global_positions
 
+    # persist the slim (id, weight) table: _global_positions runs two
+    # extra slim jobs (min/max, bucket counts) over `scored`, and without
+    # this the whole n-gram explode + bucket shuffle would re-execute
+    # once per job. Two narrow columns — safe under the no-wide-array
+    # cache rule; Spark evicts LRU so no explicit unpersist is needed
+    # for a returned-lazy result.
     w = dsir_weights(df, text_col, id_col, target, d, n_max, smoothing)
+    w = w.select(id_col, "dsir_weight").persist()
     u = (_md5_60bit(F.concat(F.lit(f"{seed}:"),
                              F.col(id_col).cast("string"))) + 0.5) / _HASH_SPACE
     gumbel = -F.log(-F.log(u))
     scored = (
-        df.join(w.select(id_col, "dsir_weight"), id_col, "left")
+        df.join(w, id_col, "left")
         .withColumn(
             "_gk",
             -(F.coalesce(F.col("dsir_weight"), F.lit(0.0)) + gumbel))

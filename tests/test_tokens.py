@@ -113,13 +113,12 @@ def test_bpe_train_encode_roundtrip(spark):
     for r in df.collect():
         norm = " ".join(r["text"].lower().split())
         assert bpe_decode_tokens(rows[r["doc_id"]]) == norm
-    # vocab table is deterministic and covers every emitted token
+    # vocab table is deterministic and covers EVERY emitted token (the
+    # alphabet chars are always present even when they never merged)
     vocab = bpe_vocab(merges)
-    emitted = {t for toks in rows.values() for t in toks
-               if len(t.replace("</w>", "")) > 1 or t == "</w>"}
-    # multi-char tokens all come from merges; single chars are fallback
-    for t in emitted:
-        assert t in vocab or len(t) <= 2
+    for toks in rows.values():
+        for t in toks:
+            assert t in vocab, t
 
     # deterministic sampled build: same spec -> same merges
     m1 = bpe_train(df, "text", num_merges=10, sample_mod=2, id_col="doc_id")
@@ -132,6 +131,14 @@ def test_bpe_train_encode_roundtrip(spark):
     got = {r["doc_id"]: r["bpe_tokens"]
            for r in bpe_encode(df2, "text", merges).collect()}
     assert got == {1: [], 2: []}
+
+    # clear errors instead of executor-side failures: nested paths and
+    # pre-existing output columns are rejected at plan time
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="top-level"):
+        bpe_encode(df, "payload.text", merges)
+    with _pytest.raises(ValueError, match="already exists"):
+        bpe_encode(enc, "text", merges)
 
 
 def test_bpe_text_stage(spark):
