@@ -93,6 +93,13 @@ AUDIT = {
     # all (the witness's orderBy adds only a rangepartitioning sort)
     "pii_redact": ([r"Scan parquet"],
                    [r"Exchange hashpartitioning", r"BatchEvalPython"]),
+    # SemDeDup: the argmax-assignment projection feeds the ONE cluster
+    # exchange (ReusedExchange across the self-join sides is asserted
+    # post-AQE in tests); cluster-keyed equi-join, never all-pairs, and
+    # the cosine math stays in codegen'd JVM expressions
+    "semdedup_flags": ([r"REPARTITION_BY_COL",
+                        r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin"],
+                       [r"CartesianProduct", r"BatchEvalPython"]),
     # DSIR: d-row log-ratio table broadcast; histogram + score share the
     # bucket exchange; nothing cartesian, nothing Python
     "dsir_weights": ([r"REPARTITION_BY_COL", r"BroadcastHashJoin",

@@ -246,7 +246,7 @@ _PIPELINE_OPERATORS = [
     "every", "cron", "python",
     # training-data curation extensions (not reference operators):
     "sample", "c4-filter", "window-dedup", "pack", "line-dedup",
-    "redact-pii", "dsir-sample", "bpe",
+    "redact-pii", "dsir-sample", "bpe", "semdedup",
 ]
 _FORMATS = [
     "json", "ndjson", "csv", "tsv", "ssv", "xsv", "parquet", "feather",

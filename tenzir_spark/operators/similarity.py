@@ -281,3 +281,101 @@ def cosine_near_dup_pairs(df: DataFrame, emb_col: str, id_col: str,
                 F.round(sim, 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semdedup_centroids(df: DataFrame, emb_col: str, id_col: str,
+                       n_clusters: int = 8) -> list:
+    """Deterministic, engine-portable centroid pick for semdedup: the
+    ``n_clusters`` vectors with the smallest md5(id) — a seedless stand-in
+    for k-means init (SemDeDup, Abbas et al. 2023, arXiv:2303.09540 §3
+    reports cluster quality barely moves the dedup decision; production
+    callers pass ivf_build() centroids instead for real k-means cells).
+    Only k×dim floats reach the driver (TakeOrderedAndProject)."""
+    rows = (
+        df.select(F.col(id_col), F.col(emb_col).cast("array<double>").alias("e"))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_clusters)
+        .collect()
+    )
+    return [list(r["e"]) for r in rows]
+
+
+def semdedup(df: DataFrame, emb_col: str, id_col: str,
+             centroids: list | None = None, n_clusters: int = 8,
+             threshold: float = 0.3) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings by nearest
+    centroid, then flag a row as a semantic duplicate when ANY
+    higher-ranked member of the SAME cluster is within ``threshold``
+    cosine. Rank = (cosine-to-centroid DESC, id ASC) — the paper's
+    keep-closest-to-centroid policy, made one-pass (a row dups against
+    any higher-ranked member, kept or not) so it stays a single
+    cluster-keyed self-join instead of a sequential sweep.
+
+    Engine-portable determinism (the whole operator is oracle-checkable):
+    centroids default to the md5-ranked pick above; assignment is argmax
+    cosine rounded to 6 dp with ties to the lowest centroid index; the
+    pair check rounds to 4 dp before comparing.
+
+    Scale shape: k×dim centroid literals broadcast inside the row
+    expression (no join for assignment); the argmax projection feeds
+    ONE explicit exchange on the cluster id, read by BOTH the self-join
+    build side and the final flag re-attach (ReusedExchange — the
+    emb_norm output column is the cheap e-consumer that keeps the two
+    branches' pruning identical, the hard-won branch-projection trick).
+    The semi-join probe side stays a plain map scan: Catalyst's
+    PushDownLeftSemiAntiJoin would hoist any repartition on it above
+    the join (a junk shuffle of the dup ids), so it deliberately gets
+    none — at scale EnsureRequirements gives it the cluster-keyed
+    exchange the join needs. Candidate pairs are ~n²/k, never
+    all-pairs; k scales with n in production (paper: 100k clusters)
+    keeping cluster groups bounded.
+
+    Parity: reference near-dup tooling stops at exact/minhash
+    (`/root/reference/web/docs/operators/deduplicate.md`); this is the
+    embedding-era extension the brief asks for.
+    """
+    if centroids is None:
+        centroids = semdedup_centroids(df, emb_col, id_col, n_clusters)
+    emb = F.col(emb_col).cast("array<double>")
+    # one array_max over (cos, -j, j) structs: max cosine, ties to the
+    # LOWEST centroid index (max -j), j rides along so the cluster id is
+    # a struct-FIELD alias downstream (AliasAware partitioning keeps the
+    # exchange reusable), not an arithmetic expression
+    best = F.array_max(F.array(*[
+        F.struct(F.round(cosine(emb, _vec_lit(c)), 6).alias("c"),
+                 F.lit(-j).alias("nj"), F.lit(j).alias("j"))
+        for j, c in enumerate(centroids)
+    ]))
+    # the explicit isNotNull mirrors the null-filter the semi-join infers
+    # for its sides: stated ONCE below the exchange, the shared branches
+    # stay byte-identical subtrees
+    plain = (
+        df.select(F.col(id_col).alias("id"), emb.alias("e"), best.alias("_best"))
+        .filter(F.col("_best").getField("j").isNotNull())
+    )
+    staged = plain.repartition(F.col("_best").getField("j"))
+
+    def _proj(s: DataFrame) -> DataFrame:
+        return s.select(
+            F.col("id"), F.col("e"),
+            F.col("_best").getField("j").alias("cluster"),
+            F.col("_best").getField("c").alias("cos_c"))
+
+    a, b = _proj(plain).alias("a"), _proj(staged).alias("b")
+    assigned = _proj(staged)
+    rank_before = (F.col("b.cos_c") > F.col("a.cos_c")) | (
+        (F.col("b.cos_c") == F.col("a.cos_c")) & (F.col("b.id") < F.col("a.id")))
+    dup_ids = (
+        a.join(b, on=(F.col("a.cluster") == F.col("b.cluster")) & rank_before
+               & (F.round(cosine(F.col("a.e"), F.col("b.e")), 4) >= threshold),
+               how="left_semi")
+        .select(F.col("id"), F.lit(True).alias("_dup"))
+    )
+    return (
+        assigned.join(dup_ids, on="id", how="left")
+        .select(F.col("id").alias(id_col), F.col("cluster"), F.col("cos_c"),
+                F.round(F.sqrt(F.aggregate(
+                    F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x)), 4
+                ).alias("emb_norm"),
+                F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"))
+    )

@@ -825,6 +825,26 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                     df, _one_path(schema, m2.group(1)),
                     _one_path(schema, m2.group(2)),
                     w=int(m2.group(3) or 8))
+            elif name == "semdedup":
+                # `semdedup <emb-field> by <id-field> [k <n>]
+                # [threshold <f>]` — SemDeDup semantic-duplicate flags
+                # (operators/similarity.py semdedup); schema changes, so
+                # any declared order leaves scope
+                m2 = re.fullmatch(
+                    r"(\S+)\s+by\s+(\S+)(?:\s+k\s+(\d+))?"
+                    r"(?:\s+threshold\s+([0-9.]+))?", args.strip())
+                if not m2:
+                    raise TqlError(
+                        "semdedup: usage `semdedup <emb-field> by "
+                        "<id-field> [k <n>] [threshold <f>]`")
+                from tenzir_spark.operators.similarity import semdedup
+
+                df = semdedup(
+                    df, _one_path(schema, m2.group(1)),
+                    _one_path(schema, m2.group(2)),
+                    n_clusters=int(m2.group(3) or 8),
+                    threshold=float(m2.group(4) or 0.3))
+                order = None
             elif name == "pack":
                 # `pack <count-field> by <id-field> [block <n>]` — span
                 # assignment (id, block_id, offsets); schema changes, so

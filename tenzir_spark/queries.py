@@ -1075,6 +1075,49 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.3
 """
 
 
+def q_semdedup(spark, sf):
+    """SemDeDup semantic dedup (similarity.py semdedup — Abbas et al.
+    2023): md5-ranked deterministic centroids, argmax-cosine cluster
+    assignment, one-pass within-cluster duplicate flagging. The whole
+    decision — centroid pick, assignment, rank, pair threshold — is
+    engine-portable, so the flags are value-checked, not rows-only."""
+    em = load(spark, sf, "embeddings")
+    return sim.semdedup(em, "embedding", "vec_id",
+                        n_clusters=8, threshold=0.3)
+
+
+SQL_SEMDEDUP = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, emb
+  FROM base
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8
+),
+scored AS (
+  SELECT b.vec_id, b.emb, c.cid,
+         round(list_cosine_similarity(b.emb, c.emb), 6) AS cos_c,
+         row_number() OVER (PARTITION BY b.vec_id
+                            ORDER BY round(list_cosine_similarity(b.emb, c.emb), 6) DESC,
+                                     c.cid ASC) AS rn
+  FROM base b CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, emb, cid AS cluster, cos_c FROM scored WHERE rn = 1),
+dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster
+   AND (b.cos_c > a.cos_c OR (b.cos_c = a.cos_c AND b.vec_id < a.vec_id))
+   AND round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.3
+)
+SELECT a.vec_id, a.cluster, a.cos_c,
+       round(sqrt(list_dot_product(a.emb, a.emb)), 4) AS emb_norm,
+       (d.vec_id IS NOT NULL) AS is_dup
+FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+"""
+
+
 # ---- rows-only (non-SQL-expressible: vectorized UDFs / stub decoders)
 
 
@@ -2808,8 +2851,8 @@ REGISTRY: dict[str, tuple] = {
     "line_dedup_keep_first": (q_line_dedup, SQL_LINE_DEDUP),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "cosine_near_dup_lsh": (q_cosine_pairs_lsh, SQL_COSINE_PAIRS_LSH),
+    "semdedup_flags": (q_semdedup, SQL_SEMDEDUP),
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH),
-    "median_exact": (q_median_exact, SQL_MEDIAN_EXACT),
     "parse_kv": (q_parse_kv, SQL_PARSE_KV),
     "parse_grok": (q_parse_grok, SQL_PARSE_GROK),
     "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
@@ -2836,6 +2879,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "materialize_blocks": (q_materialize_blocks, SQL_MATERIALIZE_BLOCKS),
+    "median_exact": (q_median_exact, SQL_MEDIAN_EXACT),
     "head_n": (q_head, SQL_HEAD),
     "rename_fields": (q_rename, SQL_RENAME),
     "enumerate_rows": (q_enumerate, SQL_ENUMERATE),

@@ -494,3 +494,75 @@ def test_dsir_sample_text_stage(spark):
         df, "text", "doc_id", F.col("source") == "tgt",
         fraction=0.5, d=256).collect())
     assert got == want and len(got) == 4
+
+
+def test_semdedup_flags_match_bruteforce(spark):
+    import itertools
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from tenzir_spark.operators.similarity import semdedup, semdedup_centroids
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((6, 8))
+    vecs = []
+    for i in range(6):
+        vecs.append(base[i])
+        # a near-duplicate of each: same direction + tiny noise
+        vecs.append(base[i] + rng.standard_normal(8) * 0.01)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v])
+         for i, v in enumerate(vecs)])
+    cents = semdedup_centroids(df, "embedding", "vec_id", n_clusters=3)
+    out = semdedup(df, "embedding", "vec_id", centroids=cents,
+                   threshold=0.9)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == 12 and out.columns == [
+        "vec_id", "cluster", "cos_c", "emb_norm", "is_dup"]
+
+    # brute-force replay of the declared semantics in numpy
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    V = [np.array(v) for v in vecs]
+    C = [np.array(c) for c in cents]
+    assign = {}
+    for i, v in enumerate(V):
+        scored = sorted(((round(cos(v, c), 6), -j) for j, c in enumerate(C)),
+                        reverse=True)
+        assign[i] = -scored[0][1]
+    for i, r in rows.items():
+        assert r["cluster"] == assign[i], i
+    rank = {i: (-round(cos(V[i], C[assign[i]]), 6), i) for i in range(12)}
+    for i in range(12):
+        expect = any(
+            assign[j] == assign[i] and rank[j] < rank[i]
+            and round(cos(V[i], V[j]), 4) >= 0.9
+            for j in range(12))
+        assert rows[i]["is_dup"] == expect, i
+
+    # every near-dup partner pair that landed in one cluster: exactly one
+    # of the two is flagged (the higher-ranked survivor is kept)
+    for i in range(0, 12, 2):
+        if assign[i] == assign[i + 1]:
+            assert rows[i]["is_dup"] != rows[i + 1]["is_dup"]
+
+    # the shared argmax exchange must be REUSED between the self-join
+    # build side and the flag re-attach (never recomputed) post-AQE
+    out2 = semdedup(df, "embedding", "vec_id", centroids=cents)
+    out2.collect()
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_semdedup_pipeline_stage(spark, sf_dir):
+    from tenzir_spark.operators.similarity import semdedup
+    from tenzir_spark.plans.pipeline import run_tql
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = run_tql(em, "semdedup embedding by vec_id k 4 threshold 0.35")
+    direct = semdedup(em, "embedding", "vec_id", n_clusters=4,
+                      threshold=0.35)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, direct.collect()))
