@@ -19,7 +19,14 @@ Grammar implemented (the documented, stable core):
 Operators: where, select, drop, head, tail, sort (`-field` descending),
 summarize (bare selector args = group keys, assignments = aggregates —
 `summarize src, n=count(), total=sum(x)`), set (assignment statement),
-rename (new=old), from "<path>" / to "<path>" in run_tql2_source.
+rename (new=old), from "<path>" / to "<path>" in run_tql2_source; plus
+the order-sensitive family threaded through the same declared-order
+accounting the TQL1 front-end uses (`run_tql2(df, text, order_by=...)`):
+slice (begin/end/stride named args, python-exact negatives), taste,
+enumerate, reverse, unique, deduplicate (selectors + limit=), top, rare,
+unroll, flatten, unflatten. A `sort` on a single ascending key
+re-declares the order for downstream order-sensitive statements;
+summarize/unroll/reverse clear it (same rules as plans/pipeline.py).
 
 Each statement compiles to the SAME DataFrame operator library the TQL1
 front-end uses — one engine, two surface syntaxes. `if` splits the
@@ -394,8 +401,15 @@ _METHODS = {
     "upper": lambda c, a: F.upper(c),
     "length": lambda c, a: F.length(c),
     "trim": lambda c, a: F.trim(c),
+    "trim_start": lambda c, a: F.ltrim(c),
+    "trim_end": lambda c, a: F.rtrim(c),
     "abs": lambda c, a: F.abs(c),
     "round": lambda c, a: F.round(c, *[int(x) for x in a[:1]] or [0]),
+    "split": lambda c, a: F.split(c, re.escape(a[0])),
+    "replace": lambda c, a: F.replace(c, F.lit(a[0]), F.lit(a[1])),
+    "capitalize": lambda c, a: F.initcap(c),
+    "to_int": lambda c, a: c.cast("long"),
+    "to_string": lambda c, a: c.cast("string"),
 }
 
 _AGGS = {
@@ -419,6 +433,17 @@ _FUNCS = {
     "upper": lambda a: F.upper(a[0]),
     "coalesce": lambda a: F.coalesce(*a),
     "concat": lambda a: F.concat(*a),
+    "sqrt": lambda a: F.sqrt(a[0]),
+    "ceil": lambda a: F.ceil(a[0]),
+    "floor": lambda a: F.floor(a[0]),
+    "exp": lambda a: F.exp(a[0]),
+    "ln": lambda a: F.log(a[0]),
+    "min": lambda a: F.least(*a),
+    "max": lambda a: F.greatest(*a),
+    # type constructors (functions.md int/uint/float/string families)
+    "int": lambda a: a[0].cast("long"),
+    "float": lambda a: a[0].cast("double"),
+    "string": lambda a: a[0].cast("string"),
 }
 
 
@@ -500,7 +525,8 @@ def _const_eval(e, env: dict):
     raise TqlError("tql2: let bindings must be constant expressions")
 
 
-def _apply_statements(df: DataFrame, body: list, env: dict) -> DataFrame:
+def _apply_statements(df: DataFrame, body: list, env: dict,
+                      order: str | None = None) -> tuple:
     from tenzir_spark.operators import aggregate as agg_ops
     from tenzir_spark.operators import core as ops
 
@@ -519,7 +545,10 @@ def _apply_statements(df: DataFrame, body: list, env: dict) -> DataFrame:
                                    "record expression")
                 df = df.select(
                     *[_compile(x, env).alias(n) for n, x in st[2][1]])
+                order = None  # the record replaced every column
             elif len(path) == 1:
+                if path[0] == order:
+                    order = None  # the order column was overwritten
                 df = df.withColumn(path[0], _compile(st[2], env))
             else:
                 # nested target: withField on the root struct column
@@ -533,32 +562,40 @@ def _apply_statements(df: DataFrame, body: list, env: dict) -> DataFrame:
                         ".".join(path[1:]), _compile(st[2], env)))
         elif kind == "if":
             cond = _compile(st[1], env)
-            then_df = _apply_statements(df.filter(cond), st[2], dict(env))
-            else_df = _apply_statements(
-                df.filter(~F.coalesce(cond, F.lit(False))), st[3], dict(env))
+            then_df, o1 = _apply_statements(
+                df.filter(cond), st[2], dict(env), order)
+            else_df, o2 = _apply_statements(
+                df.filter(~F.coalesce(cond, F.lit(False))), st[3],
+                dict(env), order)
             df = then_df.unionByName(else_df, allowMissingColumns=True)
+            # the union keeps the declared order only if BOTH branches did
+            order = order if o1 == order and o2 == order else None
         elif kind == "match":
             # first-match-wins routing; unmatched events drop (docstring —
             # the reference parses match but ships no executor for it).
             subject = _compile(st[1], env)
             matched_so_far = F.lit(False)
-            parts = []
+            parts, orders = [], []
             for filters, body in st[2]:
                 cond = subject == _compile(filters[0], env)
                 for f in filters[1:]:
                     cond = cond | (subject == _compile(f, env))
                 eff = cond & ~matched_so_far
-                parts.append(_apply_statements(df.filter(eff), body, dict(env)))
+                p, o = _apply_statements(df.filter(eff), body, dict(env),
+                                         order)
+                parts.append(p)
+                orders.append(o)
                 matched_so_far = matched_so_far | F.coalesce(cond, F.lit(False))
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p, allowMissingColumns=True)
             df = out
+            order = order if all(o == order for o in orders) else None
         elif kind == "invoke":
-            df = _invoke(df, st[1], st[2], env, ops, agg_ops)
+            df, order = _invoke(df, st[1], st[2], env, ops, agg_ops, order)
         else:  # pragma: no cover
             raise TqlError(f"tql2: unknown statement {kind!r}")
-    return df
+    return df, order
 
 
 def _sel_name(e, what: str) -> str:
@@ -567,38 +604,124 @@ def _sel_name(e, what: str) -> str:
     raise TqlError(f"tql2: {what} expects field names")
 
 
-def _invoke(df, name, args, env, ops, agg_ops) -> DataFrame:
+def _int_lit(args, i, name, default=None):
+    if len(args) <= i:
+        if default is None:
+            raise TqlError(f"tql2: {name} expects an integer literal")
+        return default
+    a = args[i]
+    if a[0] == "neg" and a[1][0] == "lit" and isinstance(a[1][1], int):
+        return -a[1][1]
+    if a[0] != "lit" or not isinstance(a[1], int):
+        raise TqlError(f"tql2: {name} expects an integer literal")
+    return a[1]
+
+
+def _need_order(order, name):
+    if order is None:
+        raise TqlError(
+            f"tql2: {name} needs stream order — pass order_by= to "
+            f"run_tql2 or put an ascending single-key `sort` before it")
+    return order
+
+
+def _invoke(df, name, args, env, ops, agg_ops, order) -> tuple:
     if name == "where":
         if len(args) != 1:
             raise TqlError("tql2: where expects one expression")
-        return df.filter(_compile(args[0], env))
+        return df.filter(_compile(args[0], env)), order
     if name == "select":
-        return df.select(*[_sel_name(a, "select") for a in args])
+        cols = [_sel_name(a, "select") for a in args]
+        return (df.select(*cols),
+                order if order in cols else None)
     if name == "drop":
-        return df.drop(*[_sel_name(a, "drop") for a in args])
-    if name in ("head", "tail"):
-        if args and (args[0][0] != "lit" or not isinstance(args[0][1], int)):
-            raise TqlError(f"tql2: {name} expects an integer literal")
-        n = args[0][1] if args else 10
-        return (ops.head if name == "head" else ops.tail)(df, n)
+        cols = [_sel_name(a, "drop") for a in args]
+        return df.drop(*cols), (None if order in cols else order)
+    if name == "head":
+        return ops.head(df, _int_lit(args, 0, "head", 10),
+                        order_by=order), order
+    if name == "tail":
+        return ops.tail(df, _int_lit(args, 0, "tail", 10),
+                        order_by=_need_order(order, "tail")), order
     if name == "sort":
-        cols = []
+        cols, keys = [], []
         for a in args:
             if a[0] == "neg":
                 cols.append(F.col(_sel_name(a[1], "sort")).desc())
+                keys.append(None)
             else:
                 cols.append(F.col(_sel_name(a, "sort")).asc())
-        return df.orderBy(*cols)
+                keys.append(_sel_name(a, "sort"))
+        # an ascending first key re-declares the stream order downstream;
+        # a descending one does not (same rule as plans/pipeline.py)
+        return df.orderBy(*cols), (keys[0] if keys else None)
+    if name == "slice":
+        spec = {"begin": None, "end": None, "stride": None}
+        for i, a in enumerate(args):
+            if a[0] == "named" and a[1] in spec:
+                spec[a[1]] = _int_lit([a[2]], 0, f"slice {a[1]}=")
+            else:
+                pos = ("begin", "end", "stride")
+                if i >= 3:
+                    raise TqlError("tql2: slice takes begin, end, stride")
+                spec[pos[i]] = _int_lit(args, i, "slice")
+        return ops.slice_rows(df, spec["begin"], spec["end"], spec["stride"],
+                              order_by=_need_order(order, "slice")), order
+    if name == "taste":
+        n = _int_lit(args, 0, "taste", 10)
+        sel = [a for a in args if a[0] == "sel"]
+        schema_col = sel[0][1] if sel else df.columns[0]
+        return ops.taste(df, n, schema_col=schema_col,
+                         order_by=_need_order(order, "taste")), order
+    if name == "enumerate":
+        field = _sel_name(args[0], "enumerate") if args else "index"
+        return ops.enumerate_rows(df, field=field, order_by=order), order
+    if name == "reverse":
+        return ops.reverse(df, order_by=_need_order(order, "reverse")), None
+    if name == "unique":
+        cols = [_sel_name(a, "unique") for a in args] or None
+        return ops.unique_adjacent(df, cols,
+                                   order_by=_need_order(order, "unique")), order
+    if name == "deduplicate":
+        keys, limit = [], 1
+        for a in args:
+            if a[0] == "named" and a[1] == "limit":
+                limit = _int_lit([a[2]], 0, "deduplicate limit=")
+            else:
+                keys.append(_sel_name(a, "deduplicate"))
+        if not keys:
+            raise TqlError("tql2: deduplicate expects at least one field")
+        return ops.deduplicate(df, keys, limit=limit,
+                               order_by=_need_order(order, "deduplicate")), order
+    if name in ("top", "rare"):
+        if not args or args[0][0] != "sel":
+            raise TqlError(f"tql2: {name} expects a field")
+        n = _int_lit(args, 1, name, 0) or None
+        fn = agg_ops.top if name == "top" else agg_ops.rare
+        return fn(df, args[0][1], n), None
+    if name == "unroll":
+        from tenzir_spark.operators.structural import unroll
+
+        if len(args) != 1 or args[0][0] != "sel":
+            raise TqlError("tql2: unroll expects one field")
+        # exploded siblings share one order value — order leaves scope
+        return unroll(df, args[0][1]), None
+    if name in ("flatten", "unflatten"):
+        from tenzir_spark.operators import structural
+
+        return getattr(structural, name)(df), order
     if name == "summarize":
-        return _summarize(df, args, env)
+        return _summarize(df, args, env), None
     if name == "rename":
         for a in args:
             if a[0] != "named" or a[2][0] != "sel":
                 raise TqlError("tql2: rename expects new_name=old_name pairs")
+            if a[2][1] == order:
+                order = a[1]
             df = df.withColumnRenamed(a[2][1], a[1])
-        return df
+        return df, order
     if name == "pass":
-        return df
+        return df, order
     raise TqlError(f"tql2: unknown operator {name!r}")
 
 
@@ -623,10 +746,16 @@ def _summarize(df, args, env):
 
 
 # ------------------------------------------------------------------- API
-def run_tql2(df: DataFrame, text: str) -> DataFrame:
-    """Apply a TQL2 pipeline (subset above) to a DataFrame."""
+def run_tql2(df: DataFrame, text: str,
+             order_by: str | None = None) -> DataFrame:
+    """Apply a TQL2 pipeline (subset above) to a DataFrame.
+
+    ``order_by`` declares the stream-position column for the
+    order-sensitive statements (tail/slice/taste/enumerate/reverse/
+    unique/deduplicate) — same contract as plans.pipeline.run_tql."""
     body = _Parser(_tokenize(text)).pipeline()
-    return _apply_statements(df, body, {})
+    out, _order = _apply_statements(df, body, {}, order_by)
+    return out
 
 
 def run_tql2_source(spark, text: str) -> DataFrame:
@@ -641,4 +770,5 @@ def run_tql2_source(spark, text: str) -> DataFrame:
     from tenzir_spark.plans.pipeline import _read_source
 
     df = _read_source(spark, args[0][1], None)
-    return _apply_statements(df, body[1:], {})
+    out, _order = _apply_statements(df, body[1:], {})
+    return out

@@ -138,3 +138,93 @@ def test_string_escapes_keep_unicode(df):
     assert out.collect()[0]["txt"] == "café\n"
     with pytest.raises(TqlError, match="integer literal"):
         run_tql2(df, "head src")
+
+
+@pytest.fixture()
+def seqdf(spark):
+    return spark.createDataFrame([
+        Row(seq=i, src=("web" if i % 2 == 0 else "code"), n=i * 10)
+        for i in range(10)
+    ])
+
+
+def test_order_sensitive_operators(seqdf):
+    # tail/slice/taste/deduplicate thread the declared order column
+    out = run_tql2(seqdf, "tail 3", order_by="seq").collect()
+    assert [r["seq"] for r in out] == [7, 8, 9]
+
+    out = run_tql2(seqdf, "slice begin=2, end=8, stride=2",
+                   order_by="seq").collect()
+    assert sorted(r["seq"] for r in out) == [2, 4, 6]
+
+    out = run_tql2(seqdf, "slice 1, 4", order_by="seq").collect()
+    assert sorted(r["seq"] for r in out) == [1, 2, 3]
+
+    out = run_tql2(seqdf, "taste 2, src", order_by="seq").collect()
+    assert sorted((r["src"], r["seq"]) for r in out) == [
+        ("code", 1), ("code", 3), ("web", 0), ("web", 2)]
+
+    out = run_tql2(seqdf, "deduplicate src, limit=1",
+                   order_by="seq").collect()
+    assert sorted(r["seq"] for r in out) == [0, 1]
+
+    out = run_tql2(seqdf, "enumerate idx | where idx < 2",
+                   order_by="seq").collect()
+    assert sorted(r["seq"] for r in out) == [0, 1]
+
+
+def test_order_redeclared_by_sort_and_cleared_by_select(seqdf):
+    # no declared order: tail raises the targeted error …
+    with pytest.raises(TqlError, match="needs stream order"):
+        run_tql2(seqdf, "tail 2")
+    # … an ascending single-key sort re-declares it
+    out = run_tql2(seqdf, "sort n | tail 2").collect()
+    assert sorted(r["n"] for r in out) == [80, 90]
+    # a select that drops the order column clears it again
+    with pytest.raises(TqlError, match="needs stream order"):
+        run_tql2(seqdf, "select src, n | tail 2", order_by="seq")
+    # renaming the order column re-points the declaration
+    out = run_tql2(seqdf, "rename pos=seq | tail 2", order_by="seq").collect()
+    assert sorted(r["pos"] for r in out) == [8, 9]
+
+
+def test_top_rare_unroll_flatten(spark, seqdf):
+    out = run_tql2(seqdf, "top src").collect()
+    assert sorted(tuple(r) for r in out) == [("code", 5), ("web", 5)]
+    out = run_tql2(seqdf, "where n > 0 | top src, 1").collect()
+    assert [tuple(r) for r in out] == [("code", 5)]
+    out = run_tql2(seqdf, "where n > 0 | rare src, 1").collect()
+    assert [tuple(r) for r in out] == [("web", 4)]
+
+    df = spark.createDataFrame([Row(a=1, xs=[10, 20])])
+    out = run_tql2(df, "unroll xs | where xs > 10").collect()
+    assert out == [Row(a=1, xs=20)]
+
+    df = spark.createDataFrame([Row(a=Row(b=1, c="x"))])
+    flat = run_tql2(df, "flatten")
+    assert flat.columns == ["a.b", "a.c"]
+    assert (run_tql2(flat, "unflatten").schema.simpleString()
+            == df.schema.simpleString())
+
+
+def test_reverse_consumes_order(seqdf):
+    out = run_tql2(seqdf, "reverse | head 2", order_by="seq").collect()
+    assert [r["seq"] for r in out] == [9, 8]
+    with pytest.raises(TqlError, match="needs stream order"):
+        run_tql2(seqdf, "reverse | tail 2", order_by="seq")
+
+
+def test_new_functions_and_methods(df):
+    out = run_tql2(df, '''
+r = floor(sqrt(float(n)))
+lo = txt.trim().capitalize()
+parts = txt.split(" ")
+k = max(n, 5)
+select src, r, lo, parts, k
+where src == "web" and n == 3
+''').collect()[0]
+    assert out["r"] == 1 and out["k"] == 5
+    assert out["lo"] == "Hello World" and out["parts"] == ["hello", "world"]
+
+    out = run_tql2(df, 'y = txt.replace("hello", "bye") | select y | head 1',
+                   ).collect()
