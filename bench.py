@@ -177,6 +177,23 @@ def main() -> None:
         warm_timings[name] = round(time.monotonic() - t0, 3)
 
     extra: dict = {}
+    # stall re-run rule, query edition (the CDC segment has had one since
+    # r4): when the host probe reads degraded, give the expensive queries
+    # one more isolated execution — a host stall during the timed loop
+    # must not stand as the only number for a query. Both readings are
+    # reported; queries/queries_warm stay the unchanged primary maps.
+    if (health.get("box_spark_job_ms") or 0) > 80:
+        rerun: dict[str, float] = {}
+        for name, w in warm_timings.items():
+            if w > 3.0:
+                fn = reg.get(name)
+                t0 = time.monotonic()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                rerun[name] = round(time.monotonic() - t0, 3)
+        if rerun:
+            extra["queries_rerun"] = rerun
+            extra["queries_rerun_reason"] = (
+                f"box_spark_job_ms {health['box_spark_job_ms']} > 80")
     if os.environ.get("BENCH_SKIP_CDC", "") != "1":
         from tenzir_spark.cdc.changegen import generate_changes
         from tenzir_spark.cdc.runner import IngestRunner

@@ -46,6 +46,9 @@ AUDIT = {
                      [r"CartesianProduct", r"BatchEvalPython"]),
     "summarize_resolution": ([r"HashAggregate"], []),
     "top_values": ([r"HashAggregate", r"TakeOrderedAndProject|Sort"], []),
+    # global top-k: per-partition TakeOrdered + bounded merge; the rank
+    # window runs on the LIMITED 500 rows, never the full table
+    "sort_ranked": ([r"TakeOrderedAndProject"], []),
     "minhash_lsh_pairs": ([r"HashAggregate|SortAggregate"], [r"CartesianProduct"]),
     "ann_cosine_topk": ([], [r"CartesianProduct"]),  # broadcast NL join on 1-row query side is fine
     "token_count": ([r"codegen id"], [r"BatchEvalPython"]),

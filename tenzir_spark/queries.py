@@ -354,12 +354,20 @@ GROUP BY event_type ORDER BY count ASC, event_type
 
 
 def q_sort_ranked(spark, sf):
+    """Global top-k with ranks. The naive form (row_number over an
+    unpartitioned Window, then filter rank<=500) drags EVERY row through
+    one task — the 100 TB serialization point. Instead: orderBy+limit
+    compiles to TakeOrderedAndProject (each partition keeps 500 rows,
+    only n_partitions*500 reach the merge), and the rank window runs on
+    the bounded 500-row result. Identical output: rank<=500 under a
+    total order (full deterministic tie-break) IS the limit-500 set."""
     li = load(spark, sf, "lineitem")
-    w = Window.orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber"))
+    keys = [F.col("l_extendedprice").desc(), F.col("l_orderkey"),
+            F.col("l_linenumber")]
     return (
         li.select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 500)
+        .orderBy(*keys).limit(500)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*keys)))
     )
 
 SQL_SORT_RANKED = """
@@ -1115,6 +1123,39 @@ SELECT a.vec_id, a.cluster, a.cos_c,
        round(sqrt(list_dot_product(a.emb, a.emb)), 4) AS emb_norm,
        (d.vec_id IS NOT NULL) AS is_dup
 FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+"""
+
+
+def q_tql2_order_ops(spark, sf):
+    """TQL2 order-sensitive operator family (plans/tql2.py): declared
+    stream order threads through deduplicate/slice/enumerate/tail — all
+    backed by the two-phase distributed numbering, no SinglePartition
+    exchange (the TQL1 audits cover the shared operators)."""
+    from tenzir_spark.plans.tql2 import run_tql2
+
+    ev = load(spark, sf, "events")
+    return run_tql2(ev, '''
+where value > 10.0
+deduplicate user_id, event_type, limit=2
+slice begin=0, end=500
+enumerate idx
+select idx, event_id, user_id, event_type, value
+tail 200
+''', order_by="event_id")
+
+
+SQL_TQL2_ORDER_OPS = """
+WITH d AS (
+  SELECT event_id, user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY event_id) AS rn
+  FROM events WHERE value > 10),
+s AS (
+  SELECT event_id, user_id, event_type, value,
+         row_number() OVER (ORDER BY event_id) - 1 AS idx
+  FROM d WHERE rn <= 2)
+SELECT idx, event_id, user_id, event_type, value
+FROM s WHERE idx >= 300 AND idx < 500
 """
 
 
@@ -2918,6 +2959,7 @@ REGISTRY: dict[str, tuple] = {
     "parse_suricata": (q_parse_suricata, SQL_PARSE_SURICATA),
     "parse_zeek_json": (q_parse_zeek_json, SQL_PARSE_ZEEK_JSON),
     "tql_python": (q_tql_python, SQL_TQL_PYTHON),
+    "tql2_order_ops": (q_tql2_order_ops, SQL_TQL2_ORDER_OPS),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.
