@@ -44,6 +44,10 @@ AUDIT = {
     # no cartesian, no Python, and the window build stays in codegen
     "window_dedup": ([r"REPARTITION_BY_COL", r"HashAggregate"],
                      [r"CartesianProduct", r"BatchEvalPython"]),
+    # token-array twin: same one-exchange contract, windows sliced from
+    # the array<int> payload in codegen'd expressions
+    "token_window_dedup": ([r"REPARTITION_BY_COL", r"HashAggregate"],
+                           [r"CartesianProduct", r"BatchEvalPython"]),
     "summarize_resolution": ([r"HashAggregate"], []),
     "top_values": ([r"HashAggregate", r"TakeOrderedAndProject|Sort"], []),
     # global top-k: per-partition TakeOrdered + bounded merge; the rank

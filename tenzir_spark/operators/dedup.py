@@ -477,3 +477,80 @@ def line_dedup(
     if drop_empty_docs:
         out = out.filter(F.length(F.trim(F.col(text_col))) > 0)
     return out.select(*df.columns)
+
+
+def token_window_dedup_stats(
+    df: DataFrame, tokens_col: str, id_col: str, w: int = 50
+) -> DataFrame:
+    """Lee et al. 2021 window dedup on PRE-TOKENIZED sequences — the
+    lake table's native payload shape (doc_id, tokens:array<int>): a
+    document is flagged per rolling w-TOKEN window it shares verbatim
+    with any other window occurrence corpus-wide (the paper's 50-token
+    granularity; window_dedup_stats is the raw-text twin).
+
+    Returns (id_col, n_dup_windows); docs with no duplicated window are
+    absent. Same 100 TB contract as window_dedup_stats: windows slice
+    the token array directly in codegen'd slice/sequence expressions (no
+    text normalization, no Python), occurrences shuffle as
+    (id, xxhash64(window)) — 16 bytes/row — through ONE exchange read by
+    both the corpus-wide count and the per-doc re-aggregation
+    (ReusedExchange via the count(id) column-pruning trick)."""
+    toks = F.col(tokens_col)
+    # sequence(1, k) DESCENDS when k < 1 — guard short docs explicitly.
+    # The otherwise branch must be an EMPTY array<array<elem>> (a
+    # singleton holding an empty window would give every short doc a
+    # shared bogus occurrence): slice the singleton back to length 0.
+    wins = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+            lambda i: F.slice(toks, i, w),
+        ),
+    ).otherwise(F.slice(F.array(F.slice(toks, 1, 0)), 1, 0))
+    occ = df.select(
+        F.col(id_col),
+        F.explode(wins).alias("win"),
+    ).select(id_col, F.xxhash64("win").alias("h")).repartition("h")
+    dup_h = occ.groupBy("h").agg(F.count(id_col).alias("cnt")).filter("cnt >= 2")
+    return (
+        occ.join(dup_h.select("h"), "h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+
+
+def token_window_dedup(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    w: int = 50,
+    max_dup_frac: float = 0.0,
+    mode: str = "drop",
+) -> DataFrame:
+    """Drop (or mark) pre-tokenized documents whose duplicated-window
+    fraction exceeds ``max_dup_frac`` — the array<int> twin of
+    window_dedup, same modes and scale shape."""
+    if mode not in ("drop", "mark"):
+        raise ValueError(f"mode must be 'drop' or 'mark', got {mode!r}")
+    stats = token_window_dedup_stats(df, tokens_col, id_col, w)
+    n_windows = F.greatest(F.size(F.col(tokens_col)) - (w - 1), F.lit(0))
+    if mode == "drop":
+        if max_dup_frac == 0.0:
+            return df.join(stats.select(id_col), id_col, "left_anti")
+        marked = df.withColumn("_nw", n_windows).join(stats, id_col, "left")
+        return (
+            marked.filter(
+                F.coalesce(F.col("n_dup_windows"), F.lit(0))
+                <= F.lit(max_dup_frac) * F.col("_nw"))
+            .select(*df.columns)
+        )
+    marked = df.withColumn("_nw", n_windows).join(stats, id_col, "left")
+    return (
+        marked.withColumn(
+            "n_dup_windows", F.coalesce("n_dup_windows", F.lit(0)))
+        .withColumn(
+            "dup_window_frac",
+            F.when(F.col("_nw") > 0,
+                   F.col("n_dup_windows") / F.col("_nw")).otherwise(0.0))
+        .drop("_nw")
+    )

@@ -819,12 +819,20 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                     raise TqlError(
                         "window-dedup: usage `window-dedup <text-field> "
                         "by <id-field> [w <n>]`")
-                from tenzir_spark.operators.dedup import window_dedup
+                from pyspark.sql.types import ArrayType
 
-                df = window_dedup(
-                    df, _one_path(schema, m2.group(1)),
-                    _one_path(schema, m2.group(2)),
-                    w=int(m2.group(3) or 8))
+                from tenzir_spark.operators.dedup import (
+                    token_window_dedup, window_dedup,
+                )
+
+                fld = _one_path(schema, m2.group(1))
+                # an array-typed field is a pre-tokenized sequence —
+                # dispatch to the token-array twin (w in tokens)
+                is_tokens = isinstance(
+                    df.select(fld).schema[0].dataType, ArrayType)
+                fn = token_window_dedup if is_tokens else window_dedup
+                df = fn(df, fld, _one_path(schema, m2.group(2)),
+                        w=int(m2.group(3) or (50 if is_tokens else 8)))
             elif name == "semdedup":
                 # `semdedup <emb-field> by <id-field> [k <n>]
                 # [threshold <f>]` — SemDeDup semantic-duplicate flags

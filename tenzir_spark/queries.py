@@ -1126,6 +1126,41 @@ FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
 """
 
 
+def q_token_window_dedup(spark, sf):
+    """Window dedup over PRE-TOKENIZED sequences (dedup.py
+    token_window_dedup_stats — the north-star input shape,
+    tokens:array<int>). The witness derives token ids from words
+    injectively (md5-28bit per word, fits int32), so w-token-window
+    equality over ids == equality over the word sequences — the oracle
+    replays the count on the word windows themselves (same counts absent
+    a hash collision, the caveat window_dedup already documents)."""
+    docs = load(spark, sf, "documents")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+        " ")
+    tokens = F.transform(
+        words, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10)
+        .cast("int"))
+    toked = docs.select("doc_id", tokens.alias("tokens"))
+    return dd.token_window_dedup_stats(
+        toked, "tokens", "doc_id", w=8).orderBy("doc_id")
+
+
+SQL_TOKEN_WINDOW_DEDUP = """
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+wins AS (
+  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS win
+  FROM norm, UNNEST(range(1, greatest(len(ws) - 6, 1))) AS t(i)),
+c AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2)
+SELECT doc_id, count(*) AS n_dup_windows
+FROM wins JOIN c USING (win)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_tql2_order_ops(spark, sf):
     """TQL2 order-sensitive operator family (plans/tql2.py): declared
     stream order threads through deduplicate/slice/enumerate/tail — all
@@ -2960,6 +2995,7 @@ REGISTRY: dict[str, tuple] = {
     "parse_zeek_json": (q_parse_zeek_json, SQL_PARSE_ZEEK_JSON),
     "tql_python": (q_tql_python, SQL_TQL_PYTHON),
     "tql2_order_ops": (q_tql2_order_ops, SQL_TQL2_ORDER_OPS),
+    "token_window_dedup": (q_token_window_dedup, SQL_TOKEN_WINDOW_DEDUP),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.

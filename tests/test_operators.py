@@ -566,3 +566,77 @@ def test_semdedup_pipeline_stage(spark, sf_dir):
                       threshold=0.35)
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, direct.collect()))
+
+
+def test_token_window_dedup_stats(spark):
+    from pyspark.sql import Row
+
+    from tenzir_spark.operators.dedup import token_window_dedup_stats
+
+    shared = [1, 2, 3, 4]
+    df = spark.createDataFrame([
+        Row(doc_id=1, tokens=shared + [9]),
+        Row(doc_id=2, tokens=[8] + shared),
+        Row(doc_id=3, tokens=[5, 6, 7, 8, 9]),
+        Row(doc_id=4, tokens=shared + shared),   # within-doc repeat
+        Row(doc_id=5, tokens=[1, 2]),            # shorter than w: no windows
+        Row(doc_id=6, tokens=[]),                # empty: no windows
+    ])
+    out = token_window_dedup_stats(df, "tokens", "doc_id", w=4)
+    stats = {r["doc_id"]: r["n_dup_windows"] for r in out.collect()}
+    assert stats[1] >= 1 and stats[2] >= 1 and stats[4] >= 2
+    # short/empty docs must NOT appear (a bogus shared empty window
+    # would flag 5 and 6 as mutual duplicates)
+    assert 3 not in stats and 5 not in stats and 6 not in stats
+
+    # one exchange, both consumers reuse it post-AQE
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_token_window_dedup_matches_text_twin(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from tenzir_spark.operators.dedup import (
+        token_window_dedup_stats, window_dedup_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+        " ")
+    tokens = F.transform(
+        words, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10)
+        .cast("int"))
+    toked = docs.select("doc_id", tokens.alias("tokens"))
+    via_tokens = sorted(map(tuple, token_window_dedup_stats(
+        toked, "tokens", "doc_id", w=8).collect()))
+    via_text = sorted(map(tuple, window_dedup_stats(
+        docs, "text", "doc_id", w=8).collect()))
+    assert via_tokens == via_text
+
+
+def test_token_window_dedup_modes_and_pipeline(spark):
+    from pyspark.sql import Row
+
+    from tenzir_spark.operators.dedup import token_window_dedup
+    from tenzir_spark.plans.pipeline import run_tql
+
+    shared = [1, 2, 3, 4]
+    df = spark.createDataFrame([
+        Row(doc_id=1, tokens=shared + [9]),
+        Row(doc_id=2, tokens=[8] + shared),
+        Row(doc_id=3, tokens=[5, 6, 7, 8, 9]),
+    ])
+    kept = token_window_dedup(df, "tokens", "doc_id", w=4)
+    assert [r["doc_id"] for r in kept.collect()] == [3]
+
+    marked = {r["doc_id"]: r for r in token_window_dedup(
+        df, "tokens", "doc_id", w=4, mode="mark").collect()}
+    assert marked[1]["dup_window_frac"] == 0.5  # 1 of 2 windows
+    assert marked[3]["n_dup_windows"] == 0
+
+    # pipeline text dispatches to the token twin on array-typed fields
+    via_text = run_tql(df, "window-dedup tokens by doc_id w 4")
+    assert [r["doc_id"] for r in via_text.collect()] == [3]
