@@ -48,10 +48,35 @@ def _word_ngrams(col, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def array_windows(col, n: int):
+    """Array of length-n rolling windows of an ARRAY column (token ids) —
+    the pre-tokenized twin of _word_ngrams. sequence(1, k) DESCENDS when
+    k < 1, and the otherwise branch must be an EMPTY array-of-windows
+    (a singleton empty window would alias every short doc), hence the
+    slice-the-singleton-to-zero construction."""
+    return F.when(
+        F.size(col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(col) - (n - 1)),
+            lambda i: F.slice(col, i, n),
+        ),
+    ).otherwise(F.slice(F.array(F.slice(col, 1, 0)), 1, 0))
+
+
+def _ngrams_for(df: DataFrame, col_name: str, n: int):
+    """Dispatch on the column's dtype: text → word n-grams, array →
+    token-id windows (joinable directly — Spark equi-joins on arrays)."""
+    from pyspark.sql.types import ArrayType
+
+    if isinstance(df.select(col_name).schema[0].dataType, ArrayType):
+        return array_windows(F.col(col_name), n)
+    return _word_ngrams(F.col(col_name), n)
+
+
 def eval_ngrams(eval_df: DataFrame, text_col: str, n: int) -> DataFrame:
     """Distinct n-grams of the evaluation set, as one column `ng`."""
     return (
-        eval_df.select(F.explode(_word_ngrams(F.col(text_col), n)).alias("ng"))
+        eval_df.select(F.explode(_ngrams_for(eval_df, text_col, n)).alias("ng"))
         .distinct()
     )
 
@@ -69,7 +94,7 @@ def contamination_hits(
     ev = eval_ngrams(eval_df, text_col, n)
     corp = corpus.select(
         F.col(id_col),
-        F.explode(_word_ngrams(F.col(text_col), n)).alias("ng"),
+        F.explode(_ngrams_for(corpus, text_col, n)).alias("ng"),
     )
     return (
         corp.join(F.broadcast(ev), "ng")

@@ -495,18 +495,9 @@ def token_window_dedup_stats(
     (id, xxhash64(window)) — 16 bytes/row — through ONE exchange read by
     both the corpus-wide count and the per-doc re-aggregation
     (ReusedExchange via the count(id) column-pruning trick)."""
-    toks = F.col(tokens_col)
-    # sequence(1, k) DESCENDS when k < 1 — guard short docs explicitly.
-    # The otherwise branch must be an EMPTY array<array<elem>> (a
-    # singleton holding an empty window would give every short doc a
-    # shared bogus occurrence): slice the singleton back to length 0.
-    wins = F.when(
-        F.size(toks) >= w,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (w - 1)),
-            lambda i: F.slice(toks, i, w),
-        ),
-    ).otherwise(F.slice(F.array(F.slice(toks, 1, 0)), 1, 0))
+    from tenzir_spark.operators.decontaminate import array_windows
+
+    wins = array_windows(F.col(tokens_col), w)
     occ = df.select(
         F.col(id_col),
         F.explode(wins).alias("win"),

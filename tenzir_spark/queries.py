@@ -1161,6 +1161,33 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_token_decontaminate(spark, sf):
+    """Decontamination over PRE-TOKENIZED sequences (decontaminate.py
+    _ngrams_for array dispatch): same eval/corpus split as
+    decontaminate_ngrams but the n-gram match joins on token-id WINDOW
+    ARRAYS (Spark equi-joins arrays) — token ids derived injectively
+    from words (md5-28bit), so the oracle replays the count on the word
+    n-grams themselves."""
+    from tenzir_spark.operators.decontaminate import contamination_hits
+
+    docs = load(spark, sf, "documents")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+        " ")
+    tokens = F.transform(
+        words, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10)
+        .cast("int"))
+    toked = docs.select("doc_id", tokens.alias("tokens"))
+    hits = contamination_hits(
+        toked.filter(F.col("doc_id") % 47 != 0),
+        toked.filter(F.col("doc_id") % 47 == 0),
+        text_col="tokens", id_col="doc_id", n=4)
+    return hits.orderBy("doc_id")
+
+
+SQL_TOKEN_DECONTAMINATE = SQL_DECONTAMINATE
+
+
 def q_tql2_order_ops(spark, sf):
     """TQL2 order-sensitive operator family (plans/tql2.py): declared
     stream order threads through deduplicate/slice/enumerate/tail — all
@@ -2996,6 +3023,7 @@ REGISTRY: dict[str, tuple] = {
     "tql_python": (q_tql_python, SQL_TQL_PYTHON),
     "tql2_order_ops": (q_tql2_order_ops, SQL_TQL2_ORDER_OPS),
     "token_window_dedup": (q_token_window_dedup, SQL_TOKEN_WINDOW_DEDUP),
+    "token_decontaminate": (q_token_decontaminate, SQL_TOKEN_DECONTAMINATE),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.

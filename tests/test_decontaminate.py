@@ -66,3 +66,24 @@ def test_eval_side_is_broadcast(spark, corpus, eval_df):
     plan = contamination_hits(corpus, eval_df, n=4)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_token_array_decontamination(spark):
+    from pyspark.sql import Row
+
+    from tenzir_spark.operators.decontaminate import (
+        contamination_hits, ngram_decontaminate,
+    )
+
+    leak = [11, 12, 13, 14, 15]
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, tokens=[1, 2] + leak + [3]),
+        Row(doc_id=2, tokens=[4, 5, 6, 7, 8, 9, 10]),
+        Row(doc_id=3, tokens=[1, 2, 3]),           # shorter than n
+    ])
+    eval_df = spark.createDataFrame([Row(tokens=[99] + leak + [98])])
+    hits = {r["doc_id"]: r["n_hits"] for r in contamination_hits(
+        corpus, eval_df, "tokens", "doc_id", n=5).collect()}
+    assert hits == {1: 1}
+    kept = ngram_decontaminate(corpus, eval_df, "tokens", "doc_id", n=5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
