@@ -150,11 +150,11 @@ def window_dedup_stats(
       (what fixed-granularity production dedup pipelines ship) and find
       exactly the >= w-token shared substrings.
     """
-    from tenzir_spark.operators.decontaminate import _word_ngrams
+    from tenzir_spark.operators.decontaminate import _ngrams_for
 
     occ = df.select(
         F.col(id_col),
-        F.explode(_word_ngrams(F.col(text_col), w)).alias("win"),
+        F.explode(_ngrams_for(df, text_col, w)).alias("win"),
     ).select(id_col, F.xxhash64("win").alias("h")).repartition("h")
     # count(id) not count(*): ids are non-null by contract and the column
     # reference keeps this branch's pruned projection IDENTICAL to the
@@ -173,20 +173,31 @@ def window_dedup(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    w: int = 8,
+    w: int | None = None,
     max_dup_frac: float = 0.0,
     mode: str = "drop",
 ) -> DataFrame:
     """Drop (or mark) documents whose duplicated-window fraction exceeds
     ``max_dup_frac`` (0.0 = any shared w-token span disqualifies).
     mode="mark" keeps all rows and adds n_dup_windows / dup_window_frac.
+    Array-typed columns (pre-tokenized sequences) window the token ids
+    directly; ``w`` defaults to 8 words for text, 50 tokens (the Lee et
+    al. granularity) for arrays.
     """
     if mode not in ("drop", "mark"):
-        raise ValueError(f"mode must be 'drop' or 'mark', got {mode!r}")
-    from tenzir_spark.operators.decontaminate import _word_ngrams
+        raise ValueError(f"mode must be 'mark' or 'drop', got {mode!r}")
+    from pyspark.sql.types import ArrayType
 
+    from tenzir_spark.operators.decontaminate import _ngrams_for
+
+    is_tokens = isinstance(df.select(text_col).schema[0].dataType, ArrayType)
+    if w is None:
+        w = 50 if is_tokens else 8
     stats = window_dedup_stats(df, text_col, id_col, w)
-    n_windows = F.size(_word_ngrams(F.col(text_col), w))
+    # token arrays know their window count arithmetically — no need to
+    # materialize the windows just to size them
+    n_windows = (F.greatest(F.size(F.col(text_col)) - (w - 1), F.lit(0))
+                 if is_tokens else F.size(_ngrams_for(df, text_col, w)))
     if mode == "drop":
         if max_dup_frac == 0.0:
             # anti join on the (small) flagged-id set — no n_windows needed
@@ -483,31 +494,11 @@ def token_window_dedup_stats(
     df: DataFrame, tokens_col: str, id_col: str, w: int = 50
 ) -> DataFrame:
     """Lee et al. 2021 window dedup on PRE-TOKENIZED sequences — the
-    lake table's native payload shape (doc_id, tokens:array<int>): a
-    document is flagged per rolling w-TOKEN window it shares verbatim
-    with any other window occurrence corpus-wide (the paper's 50-token
-    granularity; window_dedup_stats is the raw-text twin).
-
-    Returns (id_col, n_dup_windows); docs with no duplicated window are
-    absent. Same 100 TB contract as window_dedup_stats: windows slice
-    the token array directly in codegen'd slice/sequence expressions (no
-    text normalization, no Python), occurrences shuffle as
-    (id, xxhash64(window)) — 16 bytes/row — through ONE exchange read by
-    both the corpus-wide count and the per-doc re-aggregation
-    (ReusedExchange via the count(id) column-pruning trick)."""
-    from tenzir_spark.operators.decontaminate import array_windows
-
-    wins = array_windows(F.col(tokens_col), w)
-    occ = df.select(
-        F.col(id_col),
-        F.explode(wins).alias("win"),
-    ).select(id_col, F.xxhash64("win").alias("h")).repartition("h")
-    dup_h = occ.groupBy("h").agg(F.count(id_col).alias("cnt")).filter("cnt >= 2")
-    return (
-        occ.join(dup_h.select("h"), "h")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_dup_windows"))
-    )
+    lake table's native payload shape (doc_id, tokens:array<int>), the
+    paper's 50-token granularity. Alias of window_dedup_stats, which
+    dispatches on the column dtype (array -> token-id windows sliced in
+    codegen'd slice/sequence expressions; same one-exchange contract)."""
+    return window_dedup_stats(df, tokens_col, id_col, w)
 
 
 def token_window_dedup(
@@ -519,29 +510,6 @@ def token_window_dedup(
     mode: str = "drop",
 ) -> DataFrame:
     """Drop (or mark) pre-tokenized documents whose duplicated-window
-    fraction exceeds ``max_dup_frac`` — the array<int> twin of
-    window_dedup, same modes and scale shape."""
-    if mode not in ("drop", "mark"):
-        raise ValueError(f"mode must be 'drop' or 'mark', got {mode!r}")
-    stats = token_window_dedup_stats(df, tokens_col, id_col, w)
-    n_windows = F.greatest(F.size(F.col(tokens_col)) - (w - 1), F.lit(0))
-    if mode == "drop":
-        if max_dup_frac == 0.0:
-            return df.join(stats.select(id_col), id_col, "left_anti")
-        marked = df.withColumn("_nw", n_windows).join(stats, id_col, "left")
-        return (
-            marked.filter(
-                F.coalesce(F.col("n_dup_windows"), F.lit(0))
-                <= F.lit(max_dup_frac) * F.col("_nw"))
-            .select(*df.columns)
-        )
-    marked = df.withColumn("_nw", n_windows).join(stats, id_col, "left")
-    return (
-        marked.withColumn(
-            "n_dup_windows", F.coalesce("n_dup_windows", F.lit(0)))
-        .withColumn(
-            "dup_window_frac",
-            F.when(F.col("_nw") > 0,
-                   F.col("n_dup_windows") / F.col("_nw")).otherwise(0.0))
-        .drop("_nw")
-    )
+    fraction exceeds ``max_dup_frac`` — window_dedup with the Lee et al.
+    50-token default (the operator itself dispatches on dtype)."""
+    return window_dedup(df, tokens_col, id_col, w, max_dup_frac, mode)

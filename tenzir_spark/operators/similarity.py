@@ -336,6 +336,10 @@ def semdedup(df: DataFrame, emb_col: str, id_col: str,
     """
     if centroids is None:
         centroids = semdedup_centroids(df, emb_col, id_col, n_clusters)
+    if not centroids:
+        raise ValueError(
+            "semdedup: need at least one centroid — the input DataFrame "
+            "is empty (or an empty centroid list was passed)")
     emb = F.col(emb_col).cast("array<double>")
     # one array_max over (cos, -j, j) structs: max cosine, ties to the
     # LOWEST centroid index (max -j), j rides along so the cluster id is

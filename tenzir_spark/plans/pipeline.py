@@ -520,6 +520,13 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                     raise TqlError(f"slice: expected a:b[:c], got {args!r}")
                 b, e, s = (int(g) if g is not None else None for g in m.groups())
                 df = core.slice_rows(df, b, e, s, order_by=need_order("slice"))
+                if (s or 1) < 0:
+                    # a negative stride REVERSES the stream (slice ::-1 ==
+                    # reverse): the ascending order column no longer
+                    # describes downstream positions — clear it, like
+                    # `reverse` does, instead of silently handing tail/
+                    # taste the wrong end of the stream
+                    order = None
             elif name == "reverse":
                 df = core.reverse(df, order_by=need_order("reverse"))
                 order = None
@@ -819,20 +826,15 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                     raise TqlError(
                         "window-dedup: usage `window-dedup <text-field> "
                         "by <id-field> [w <n>]`")
-                from pyspark.sql.types import ArrayType
+                from tenzir_spark.operators.dedup import window_dedup
 
-                from tenzir_spark.operators.dedup import (
-                    token_window_dedup, window_dedup,
-                )
-
-                fld = _one_path(schema, m2.group(1))
-                # an array-typed field is a pre-tokenized sequence —
-                # dispatch to the token-array twin (w in tokens)
-                is_tokens = isinstance(
-                    df.select(fld).schema[0].dataType, ArrayType)
-                fn = token_window_dedup if is_tokens else window_dedup
-                df = fn(df, fld, _one_path(schema, m2.group(2)),
-                        w=int(m2.group(3) or (50 if is_tokens else 8)))
+                # the operator dispatches on dtype itself (array-typed
+                # fields are pre-tokenized sequences; w defaults to 8
+                # words / 50 tokens accordingly)
+                df = window_dedup(
+                    df, _one_path(schema, m2.group(1)),
+                    _one_path(schema, m2.group(2)),
+                    w=int(m2.group(3)) if m2.group(3) else None)
             elif name == "semdedup":
                 # `semdedup <emb-field> by <id-field> [k <n>]
                 # [threshold <f>]` — SemDeDup semantic-duplicate flags

@@ -405,12 +405,27 @@ _METHODS = {
     "trim_end": lambda c, a: F.rtrim(c),
     "abs": lambda c, a: F.abs(c),
     "round": lambda c, a: F.round(c, *[int(x) for x in a[:1]] or [0]),
-    "split": lambda c, a: F.split(c, re.escape(a[0])),
-    "replace": lambda c, a: F.replace(c, F.lit(a[0]), F.lit(a[1])),
+    "split": lambda c, a: F.split(c, re.escape(_str_args("split", a, 1)[0])),
+    "replace": lambda c, a: F.replace(
+        c, *[F.lit(x) for x in _str_args("replace", a, 2)]),
     "capitalize": lambda c, a: F.initcap(c),
     "to_int": lambda c, a: c.cast("long"),
     "to_string": lambda c, a: c.cast("string"),
 }
+
+
+def _arity(name: str):
+    raise TqlError(f"tql2: {name}() expects at least two arguments")
+
+
+def _str_args(name: str, a: list, n: int) -> list:
+    """Methods that need n LITERAL string arguments raise the front-end's
+    TqlError (with usage) on wrong arity or computed arguments, never a
+    raw IndexError/TypeError from the compile internals."""
+    if len(a) != n or not all(isinstance(x, str) for x in a):
+        raise TqlError(
+            f"tql2: .{name}() expects {n} string literal argument(s)")
+    return a
 
 _AGGS = {
     "count": lambda a: F.count(a[0]) if a else F.count("*"),
@@ -438,8 +453,8 @@ _FUNCS = {
     "floor": lambda a: F.floor(a[0]),
     "exp": lambda a: F.exp(a[0]),
     "ln": lambda a: F.log(a[0]),
-    "min": lambda a: F.least(*a),
-    "max": lambda a: F.greatest(*a),
+    "min": lambda a: F.least(*a) if len(a) >= 2 else _arity("min"),
+    "max": lambda a: F.greatest(*a) if len(a) >= 2 else _arity("max"),
     # type constructors (functions.md int/uint/float/string families)
     "int": lambda a: a[0].cast("long"),
     "float": lambda a: a[0].cast("double"),
@@ -665,10 +680,18 @@ def _invoke(df, name, args, env, ops, agg_ops, order) -> tuple:
                 if i >= 3:
                     raise TqlError("tql2: slice takes begin, end, stride")
                 spec[pos[i]] = _int_lit(args, i, "slice")
-        return ops.slice_rows(df, spec["begin"], spec["end"], spec["stride"],
-                              order_by=_need_order(order, "slice")), order
+        out = ops.slice_rows(df, spec["begin"], spec["end"], spec["stride"],
+                             order_by=_need_order(order, "slice"))
+        # a negative stride reverses the stream (slice ::-1 == reverse):
+        # the ascending order column no longer describes downstream
+        # positions, so it leaves scope — same rule as `reverse`
+        return out, (None if (spec["stride"] or 1) < 0 else order)
     if name == "taste":
-        n = _int_lit(args, 0, "taste", 10)
+        # `taste [n][, discriminator]` in either order: the count is the
+        # first integer literal (default 10), the discriminator the
+        # first selector (default: first column)
+        ints = [a for a in args if a[0] != "sel"]
+        n = _int_lit(ints, 0, "taste", 10)
         sel = [a for a in args if a[0] == "sel"]
         schema_col = sel[0][1] if sel else df.columns[0]
         return ops.taste(df, n, schema_col=schema_col,

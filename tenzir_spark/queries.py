@@ -1215,9 +1215,13 @@ WITH d AS (
 s AS (
   SELECT event_id, user_id, event_type, value,
          row_number() OVER (ORDER BY event_id) - 1 AS idx
-  FROM d WHERE rn <= 2)
+  FROM d WHERE rn <= 2),
+-- encode the pipeline's own arithmetic (slice to 500, tail 200) instead
+-- of baking in idx in [300, 500): the gate must hold for ANY deduped
+-- row count, not just the 1500 this testdata happens to yield
+c AS (SELECT least(count(*), 500) AS cap FROM s)
 SELECT idx, event_id, user_id, event_type, value
-FROM s WHERE idx >= 300 AND idx < 500
+FROM s, c WHERE idx < cap AND idx >= greatest(cap - 200, 0)
 """
 
 

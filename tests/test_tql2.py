@@ -228,3 +228,41 @@ where src == "web" and n == 3
 
     out = run_tql2(df, 'y = txt.replace("hello", "bye") | select y | head 1',
                    ).collect()
+
+
+def test_review_fixes_round4(spark, seqdf, df):
+    # negative-stride slice selects in REVERSED traversal (a filter, not
+    # a sort): the ascending order column no longer describes stream
+    # positions, so it leaves scope and order-sensitive ops refuse
+    out = run_tql2(seqdf, "slice begin=-1, end=-6, stride=-2",
+                   order_by="seq").collect()
+    assert sorted(r["seq"] for r in out) == [5, 7, 9]
+    with pytest.raises(TqlError, match="needs stream order"):
+        run_tql2(seqdf, "slice stride=-1 | tail 2", order_by="seq")
+
+    # method arg validation raises the front-end error, not raw internals
+    for bad in ('p = txt.split()', 'p = txt.split(src)',
+                'p = txt.replace("a")'):
+        with pytest.raises(TqlError, match="string literal"):
+            run_tql2(df, bad)
+    with pytest.raises(TqlError, match="at least two"):
+        run_tql2(df, "m = min(n)")
+
+    # taste with a discriminator but no count uses the default n
+    out = run_tql2(seqdf, "taste src", order_by="seq").collect()
+    assert len(out) == 10
+
+
+def test_tql1_slice_negative_stride_clears_order(spark, seqdf):
+    from tenzir_spark.plans.pipeline import run_tql
+
+    with pytest.raises(TqlError, match="stream order"):
+        run_tql(seqdf, "slice ::-1 | tail 2", order_by="seq")
+
+
+def test_semdedup_empty_input_guard(spark):
+    from tenzir_spark.operators.similarity import semdedup
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="at least one centroid"):
+        semdedup(df, "embedding", "vec_id")
