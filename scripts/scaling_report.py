@@ -136,6 +136,17 @@ def main() -> None:
     probe_after = box_probe()
     print(json.dumps({"probe_after": probe_after}), flush=True)
     results["box_probe"] = {"before": probe_before, "after": probe_after}
+    # self-describing validity: efficiency measured under host stalls is
+    # unusable (stalls are host-side, they do not scale with cores) —
+    # say so IN the artifact instead of leaving the reader to correlate
+    degraded = max(probe_before["box_spark_job_ms"],
+                   probe_after["box_spark_job_ms"]) > 80
+    results["box_degraded"] = degraded
+    if degraded:
+        results["validity_note"] = (
+            "box_spark_job_ms > 80 during this run (healthy: 30-60): "
+            "host-side stall state documented in BASELINE.md — re-run on "
+            "a healthy box before citing the efficiency number")
     with open(os.path.join(ROOT, args.out), "w") as f:
         json.dump(results, f, indent=1)
 

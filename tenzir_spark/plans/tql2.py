@@ -781,17 +781,28 @@ def run_tql2(df: DataFrame, text: str,
     return out
 
 
+def _one_quoted_path(args, name: str) -> str:
+    if len(args) != 1 or args[0][0] != "lit" or not isinstance(args[0][1], str):
+        raise TqlError(f'tql2: {name} expects one quoted path')
+    return args[0][1]
+
+
 def run_tql2_source(spark, text: str) -> DataFrame:
     """TQL2 pipeline starting with `from "<path>"` (parquet/json/csv by
-    extension, the TQL1 front door's inference)."""
+    extension, the TQL1 front door's inference). A trailing
+    `to "<path>"` writes through the shared sink (same formats/
+    transports as the TQL1 `to`) and returns the written DataFrame."""
     body = _Parser(_tokenize(text)).pipeline()
     if not body or body[0][0] != "invoke" or body[0][1] != "from":
         raise TqlError('tql2: source pipeline must start with from "<path>"')
-    args = body[0][2]
-    if len(args) != 1 or args[0][0] != "lit" or not isinstance(args[0][1], str):
-        raise TqlError('tql2: from expects one quoted path')
-    from tenzir_spark.plans.pipeline import _read_source
+    from tenzir_spark.plans.pipeline import _read_source, _write_sink
 
-    df = _read_source(spark, args[0][1], None)
+    sink = None
+    if body[-1][0] == "invoke" and body[-1][1] == "to":
+        sink = _one_quoted_path(body[-1][2], "to")
+        body = body[:-1]
+    df = _read_source(spark, _one_quoted_path(body[0][2], "from"), None)
     out, _order = _apply_statements(df, body[1:], {})
+    if sink is not None:
+        _write_sink(out, sink, None)
     return out

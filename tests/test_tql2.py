@@ -266,3 +266,12 @@ def test_semdedup_empty_input_guard(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="at least one centroid"):
         semdedup(df, "embedding", "vec_id")
+
+
+def test_source_pipeline_with_sink(spark, tmp_path):
+    src = str(tmp_path / "in.parquet")
+    dst = str(tmp_path / "out.parquet")
+    spark.createDataFrame([Row(a=1), Row(a=5), Row(a=9)]).write.parquet(src)
+    out = run_tql2_source(spark, f'from "{src}" | where a > 2 | to "{dst}"')
+    assert sorted(r["a"] for r in out.collect()) == [5, 9]
+    assert sorted(r["a"] for r in spark.read.parquet(dst).collect()) == [5, 9]
