@@ -6,7 +6,8 @@ Grammar implemented (the documented, stable core):
 
     pipeline   = statement (NEWLINE | "|" statement)*
     statement  = "let" "$"ident "=" expr          (constant binding)
-               | "if" expr "{" pipeline "}" ["else" "{" pipeline "}"]
+               | "if" expr "{" pipeline "}"
+                 ["else" ("{" pipeline "}" | if-statement)]   (else-if chains)
                | selector "=" expr                (assignment → set column)
                | ident args                       (operator invocation)
     args       = expr ("," expr)*
@@ -211,9 +212,13 @@ class _Parser:
             self.expect("op", "}")
             alt = []
             if self.accept("else"):
-                self.expect("op", "{")
-                alt = self.pipeline(stop_at_rbrace=True)
-                self.expect("op", "}")
+                if self.peek()[0] == "if":
+                    # `else if …` chains desugar to a nested if statement
+                    alt = [self.statement()]
+                else:
+                    self.expect("op", "{")
+                    alt = self.pipeline(stop_at_rbrace=True)
+                    self.expect("op", "}")
             return ("if", cond, cons, alt)
         if self.peek()[0] == "match":
             return self._match_stmt()

@@ -275,3 +275,13 @@ def test_source_pipeline_with_sink(spark, tmp_path):
     out = run_tql2_source(spark, f'from "{src}" | where a > 2 | to "{dst}"')
     assert sorted(r["a"] for r in out.collect()) == [5, 9]
     assert sorted(r["a"] for r in spark.read.parquet(dst).collect()) == [5, 9]
+
+
+def test_else_if_chain(df):
+    got = run_tql2(df, '''
+if n > 8 { band = "hi" } else if n > 4 { band = "mid" } else { band = "lo" }
+summarize band, c=count()
+sort band
+''').collect()
+    assert [(r["band"], r["c"]) for r in got] == [
+        ("hi", 1), ("lo", 2), ("mid", 1)]
