@@ -113,6 +113,20 @@ AUDIT = {
                       r"HashAggregate"],
                      [r"CartesianProduct", r"BatchEvalPython",
                       r"SortMergeJoin"]),
+    # duplicate-cluster attach: component table (≤2×|pairs| rows) rides a
+    # broadcast join onto the corpus — never a corpus-wide shuffle, and
+    # the label-propagation loop itself is checkpointed out of this plan
+    "dup_clusters": ([r"BroadcastHashJoin"],
+                     [r"CartesianProduct", r"BatchEvalPython",
+                      r"SortMergeJoin"]),
+    # LM scoring: count-table joins are hash joins (AQE broadcasts when
+    # the model fits; shuffle join is the at-scale fallback), totals ride
+    # a 1-row broadcast, per-doc mean is a partial agg — no cartesian,
+    # no Python
+    "lm_perplexity": ([r"HashAggregate",
+                       r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin",
+                       r"BroadcastNestedLoopJoin"],
+                      [r"CartesianProduct", r"BatchEvalPython"]),
 }
 
 

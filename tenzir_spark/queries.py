@@ -2920,6 +2920,103 @@ GROUP BY o.doc_id ORDER BY o.doc_id
 """
 
 
+def q_dup_clusters(spark, sf):
+    """Duplicate-cluster resolution (operators/clustering.py — the
+    keep-one-per-cluster step after pairwise near-dup detection):
+    connected components over the minhash LSH pairs via hash-min label
+    propagation, canonical member = smallest doc_id. The DuckDB oracle
+    replays the full pipeline with a recursive CTE over the identical
+    minhash pair SQL."""
+    from tenzir_spark.operators.clustering import dup_clusters
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    pairs = dd.minhash_near_dup_pairs(
+        docs, "doc_id", "text", k=5, num_hashes=16, bands=4,
+        jaccard_threshold=0.5)
+    out = dup_clusters(docs, "doc_id", pairs)
+    return out.select(
+        "doc_id", "component", "cluster_size", "is_canonical"
+    ).orderBy("doc_id")
+
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+{SQL_MINHASH_PAIRS}
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(n, c) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.c FROM reach r JOIN edges e ON e.s = r.n),
+comp AS (SELECT n, min(c) AS component FROM reach GROUP BY n),
+sized AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+SELECT d.doc_id,
+       coalesce(comp.component, d.doc_id) AS component,
+       coalesce(sized.cluster_size, 1) AS cluster_size,
+       coalesce(comp.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d
+LEFT JOIN comp ON d.doc_id = comp.n
+LEFT JOIN sized ON comp.component = sized.component
+ORDER BY doc_id
+"""
+
+
+def q_lm_perplexity(spark, sf):
+    """CCNet-style LM quality scoring (operators/lm.py lm_score —
+    stupid-backoff bigram model trained on the trusted subset
+    source == 'src0', Laplace-smoothed unigram backoff): per-doc mean
+    ln S and perplexity, rounded to 4 decimals on both engines (the
+    dsir_weights float convention)."""
+    from tenzir_spark.operators.lm import lm_score
+
+    docs = load(spark, sf, "documents")
+    return lm_score(
+        docs, "text", "doc_id", F.col("source") == "src0"
+    ).orderBy("doc_id")
+
+SQL_LM_PERPLEXITY = r"""
+WITH words AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+bw AS (
+  SELECT doc_id, source,
+         CASE WHEN len(ws) >= 2 THEN
+           list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+         ELSE [] END AS bigrams,
+         list_filter(ws, w -> length(w) > 0) AS unis
+  FROM words),
+cnt1 AS (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(unis) AS w FROM bw WHERE source = 'src0')
+  GROUP BY w),
+cnt2 AS (
+  SELECT g, count(*) AS c2
+  FROM (SELECT unnest(bigrams) AS g FROM bw WHERE source = 'src0')
+  GROUP BY g),
+tot AS (SELECT sum(c1) AS n_tok, count(*) AS n_vocab FROM cnt1),
+occ AS (SELECT doc_id, unnest(bigrams) AS g FROM bw),
+scored AS (
+  SELECT occ.doc_id, count(*) AS n_scored,
+         round(avg(CASE WHEN c2 IS NOT NULL AND ctx.c1 > 0
+                        THEN ln(c2 / ctx.c1)
+                        ELSE ln(0.4 * (coalesce(cw.c1, 0) + 1)
+                                / (n_tok + n_vocab)) END), 4) AS lm_logprob
+  FROM occ
+  LEFT JOIN cnt2 USING (g)
+  LEFT JOIN cnt1 ctx ON ctx.w = split_part(g, ' ', 1)
+  LEFT JOIN cnt1 cw ON cw.w = split_part(g, ' ', 2)
+  CROSS JOIN tot
+  GROUP BY occ.doc_id)
+SELECT d.doc_id, coalesce(s.n_scored, 0) AS n_scored, s.lm_logprob,
+       round(exp(-s.lm_logprob), 4) AS lm_ppl
+FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # ---- positions 1-50: the driver's hard-verified correctness window.
     # Curated to cover one representative per operator FAMILY plus the
@@ -3028,6 +3125,8 @@ REGISTRY: dict[str, tuple] = {
     "tql2_order_ops": (q_tql2_order_ops, SQL_TQL2_ORDER_OPS),
     "token_window_dedup": (q_token_window_dedup, SQL_TOKEN_WINDOW_DEDUP),
     "token_decontaminate": (q_token_decontaminate, SQL_TOKEN_DECONTAMINATE),
+    "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.
