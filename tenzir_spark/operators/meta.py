@@ -246,7 +246,8 @@ _PIPELINE_OPERATORS = [
     "every", "cron", "python",
     # training-data curation extensions (not reference operators):
     "sample", "c4-filter", "window-dedup", "pack", "line-dedup",
-    "redact-pii", "dsir-sample", "bpe", "semdedup",
+    "redact-pii", "dsir-sample", "bpe", "semdedup", "cluster-dedup",
+    "lm-filter",
 ]
 _FORMATS = [
     "json", "ndjson", "csv", "tsv", "ssv", "xsv", "parquet", "feather",

@@ -855,6 +855,54 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                     n_clusters=int(m2.group(3) or 8),
                     threshold=float(m2.group(4) or 0.3))
                 order = None
+            elif name == "cluster-dedup":
+                # `cluster-dedup <text-field> by <id-field>
+                #  [threshold <f>]` — minhash near-dup pairs grouped into
+                # connected components (operators/clustering.py); adds
+                # component/cluster_size/is_canonical flag columns, so
+                # `where is_canonical` downstream is keep-one-per-cluster.
+                # Schema changes and the attach joins, so declared order
+                # leaves scope.
+                m2 = re.fullmatch(
+                    r"(\S+)\s+by\s+(\S+)(?:\s+threshold\s+([0-9.]+))?",
+                    args.strip())
+                if not m2:
+                    raise TqlError(
+                        "cluster-dedup: usage `cluster-dedup <text-field> "
+                        "by <id-field> [threshold <f>]`")
+                from tenzir_spark.operators.clustering import dup_clusters
+                from tenzir_spark.operators.dedup import (
+                    minhash_near_dup_pairs,
+                )
+
+                idc = _one_path(schema, m2.group(2))
+                pairs = minhash_near_dup_pairs(
+                    df, idc, _one_path(schema, m2.group(1)),
+                    jaccard_threshold=float(m2.group(3) or 0.5))
+                df = dup_clusters(df, idc, pairs)
+                order = None
+            elif name == "lm-filter":
+                # `lm-filter <text-field> by <id-field> ref <f>=<v>
+                #  max-ppl <f>` — CCNet-style stupid-backoff bigram LM
+                # perplexity filter (operators/lm.py) trained on the rows
+                # where field <f> equals <v>; keeps the input schema but
+                # joins, so declared order leaves scope
+                m2 = re.fullmatch(
+                    r"(\S+)\s+by\s+(\S+)\s+ref\s+(\S+?)=(\S+)"
+                    r"\s+max-ppl\s+([0-9.]+)", args.strip())
+                if not m2:
+                    raise TqlError(
+                        "lm-filter: usage `lm-filter <text-field> by "
+                        "<id-field> ref <field>=<value> max-ppl <f>`")
+                from tenzir_spark.operators.lm import lm_filter
+
+                df = lm_filter(
+                    df, _one_path(schema, m2.group(1)),
+                    _one_path(schema, m2.group(2)),
+                    _field_col(schema, _one_path(schema, m2.group(3)))
+                    == m2.group(4),
+                    max_ppl=float(m2.group(5)))
+                order = None
             elif name == "pack":
                 # `pack <count-field> by <id-field> [block <n>]` — span
                 # assignment (id, block_id, offsets); schema changes, so

@@ -613,3 +613,38 @@ def test_curation_text_stages(spark, sf_dir):
     from tenzir_spark.plans.pipeline import TqlError
     with _pytest.raises(TqlError, match="usage"):
         run_tql(docs, "sample doc_id")
+
+
+def test_cluster_dedup_and_lm_filter_text_stages(spark, sf_dir):
+    """cluster-dedup / lm-filter as pipeline text."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tenzir_spark.plans.pipeline import TqlError, run_tql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # NB `where is_canonical` alone would be the reference's EXISTENCE
+    # predicate (bare field → field != null, expressions.md:181); the
+    # truth test needs the explicit comparison
+    cd = run_tql(docs, "cluster-dedup text by doc_id | where is_canonical == true")
+    assert set(cd.columns) == set(docs.columns) | {
+        "component", "cluster_size", "is_canonical"}
+    # keep-one-per-cluster never grows the corpus, and every kept row is
+    # its own component's canonical member
+    n = cd.count()
+    assert 0 < n <= docs.count()
+    assert cd.filter(F.col("component") != F.col("doc_id")).count() == 0
+
+    from tenzir_spark.operators.lm import lm_filter
+
+    lf = run_tql(
+        docs, "lm-filter text by doc_id ref source=src0 max-ppl 500")
+    assert lf.columns == docs.columns
+    want = lm_filter(docs, "text", "doc_id",
+                     F.col("source") == "src0", max_ppl=500.0).count()
+    assert lf.count() == want
+
+    with _pytest.raises(TqlError, match="usage"):
+        run_tql(docs, "cluster-dedup text")
+    with _pytest.raises(TqlError, match="usage"):
+        run_tql(docs, "lm-filter text by doc_id")
