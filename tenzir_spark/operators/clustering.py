@@ -51,10 +51,15 @@ def connected_components(
 ) -> DataFrame:
     """Connected components of the undirected graph given by pair rows.
 
-    Returns (node:int64, component:int64) for every node that appears in
-    at least one pair; ``component`` is the smallest node id in the
-    component. Nodes absent from ``pairs`` are singletons — attach them
-    with a left join + coalesce (see :func:`dup_clusters`).
+    Returns (node, component) — same type as the id columns (numeric or
+    string; min over strings elects the lexicographically smallest id) —
+    for every node that appears in at least one pair; ``component`` is
+    the smallest node id in the component. Nodes absent from ``pairs``
+    are singletons — attach them with a left join + coalesce (see
+    :func:`dup_clusters`). Raises if the propagation has not reached a
+    fixpoint after ``max_iter`` rounds (rounds needed = graph diameter;
+    raise ``max_iter`` for pathological long-chain graphs) — a silent
+    partial result would elect several "canonical" members per cluster.
     """
     edges = (
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -65,21 +70,17 @@ def connected_components(
     labels = edges.select(F.col("s").alias("n")).distinct().withColumn(
         "c", F.col("n"))
     labels = labels.localCheckpoint(eager=True)
-    # labels only decrease, so sum(label) strictly decreases until the
-    # fixpoint — a 1-row scalar agg per round is the convergence probe.
-    # decimal(38,0) keeps the sum exact for any int64 node-id population.
-    def _label_sum(ls: DataFrame) -> int:
-        return ls.agg(
-            F.sum(F.col("c").cast("decimal(38,0)")).alias("s")
-        ).head()[0] or 0
-
-    prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["d"] == labels["n"])
             .groupBy("s")
             .agg(F.min("c").alias("_nc"))
         )
+        # labels only ever decrease, so "no label changed this round" ⇔
+        # fixpoint. The change flag rides the same select (works for any
+        # id type — no numeric cast) and is read back as ONE scalar agg
+        # over the checkpointed round result.
         labels = (
             labels.join(nbr_min, labels["n"] == nbr_min["s"], "left")
             .select(
@@ -87,13 +88,21 @@ def connected_components(
                 F.least(
                     labels["c"], F.coalesce(F.col("_nc"), labels["c"])
                 ).alias("c"),
+                (F.coalesce(nbr_min["_nc"] < labels["c"], F.lit(False))
+                 ).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = _label_sum(labels)
-        if cur_sum == prev_sum:
+        n_changed = labels.agg(
+            F.sum(F.col("_chg").cast("long")).alias("k")).head()[0] or 0
+        labels = labels.drop("_chg")
+        if n_changed == 0:
+            converged = True
             break
-        prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter")
     return labels.select(F.col("n").alias("node"), F.col("c").alias("component"))
 
 
@@ -104,6 +113,7 @@ def dup_clusters(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    broadcast_rows: int = 10_000_000,
 ) -> DataFrame:
     """Attach duplicate-cluster columns to ``df`` from near-dup ``pairs``:
 
@@ -116,17 +126,25 @@ def dup_clusters(
 
     The component table is ≤ 2×|pairs| rows (only pair-connected nodes),
     and cluster sizes are computed from IT — each node appears exactly
-    once — so the corpus side is ONE broadcast join: no corpus-wide
-    shuffle anywhere in the attach.
+    once — so the corpus side is ONE join, broadcast when the component
+    table is small (the common case: duplicates are a fraction of the
+    corpus) and a shuffle join past ``broadcast_rows`` (a heavily-
+    duplicated web crawl can connect most of the corpus; force-
+    broadcasting an unbounded table would OOM the driver).
     """
+    for col in ("component", "cluster_size", "is_canonical"):
+        if col in df.columns:
+            raise ValueError(
+                f"dup_clusters: input already has a {col!r} column — "
+                "drop or rename it first")
     comp = connected_components(pairs, src, dst, max_iter)
-    sized = comp.join(
-        F.broadcast(
-            comp.groupBy("component").agg(F.count("*").alias("cluster_size"))),
-        "component",
-    )
+    # comp is checkpointed by the loop, so the row count is a cheap probe
+    small = comp.count() <= broadcast_rows
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    sized = comp.join(F.broadcast(sizes) if small else sizes, "component")
+    attach = F.broadcast(sized) if small else sized
     return (
-        df.join(F.broadcast(sized), df[id_col] == sized["node"], "left")
+        df.join(attach, df[id_col] == sized["node"], "left")
         .select(
             df["*"],
             F.coalesce(sized["component"], df[id_col]).alias("component"),

@@ -64,6 +64,13 @@ def lm_score(
     n_scored = 0.
     """
     ref = df.filter(ref_filter)
+    if ref.isEmpty():
+        # without this, every score would be NULL (the totals aggregate
+        # over an empty model is NULL) and a downstream lm_filter would
+        # silently keep everything — fail loud on the misconfiguration
+        raise ValueError(
+            "lm_score: ref_filter matches no rows — the model has no "
+            "training corpus (check the field/value)")
     uni = (
         ref.select(F.explode(
             F.filter(_word_ngrams(F.col(text_col), 1),
@@ -133,9 +140,13 @@ def lm_filter(
     at most ``max_ppl`` (short docs with no bigrams are kept — they have
     no evidence either way; CCNet routes them to a separate bucket).
     Preserves the input schema."""
-    scores = lm_score(df, text_col, id_col, ref_filter, alpha)
+    scores = lm_score(df, text_col, id_col, ref_filter, alpha).select(
+        F.col(id_col).alias("_lm_id"), "lm_ppl")
+    # null-safe LEFT join: a NULL id row must pass through like any other
+    # unscorable doc, not vanish in an inner equi-join. (Ids are assumed
+    # unique — duplicate ids would fan out here, as in any keyed attach.)
     return (
-        df.join(scores, id_col)
+        df.join(scores, df[id_col].eqNullSafe(F.col("_lm_id")), "left")
         .filter(F.col("lm_ppl").isNull() | (F.col("lm_ppl") <= max_ppl))
         .select(*df.columns)
     )

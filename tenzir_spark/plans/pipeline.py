@@ -896,11 +896,28 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                         "<id-field> ref <field>=<value> max-ppl <f>`")
                 from tenzir_spark.operators.lm import lm_filter
 
+                # the ref value is a literal: strip quotes / parse
+                # numbers and bools so `ref source="src0"` and
+                # `ref shard=3` both select the intended subset
+                val: object = m2.group(4)
+                if (len(val) >= 2 and val[0] == val[-1]
+                        and val[0] in "\"'"):
+                    val = val[1:-1]
+                elif val in ("true", "false"):
+                    val = val == "true"
+                else:
+                    try:
+                        val = int(val)
+                    except ValueError:
+                        try:
+                            val = float(val)
+                        except ValueError:
+                            pass
                 df = lm_filter(
                     df, _one_path(schema, m2.group(1)),
                     _one_path(schema, m2.group(2)),
                     _field_col(schema, _one_path(schema, m2.group(3)))
-                    == m2.group(4),
+                    == F.lit(val),
                     max_ppl=float(m2.group(5)))
                 order = None
             elif name == "pack":

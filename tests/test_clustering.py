@@ -50,6 +50,29 @@ def test_dup_clusters_attach(spark):
     assert kept == 4  # {1,2,3} -> 1, {5,6} -> 5, singletons 4 and 7
 
 
+def test_string_ids(spark):
+    # labels are type-agnostic: string ids elect the lexicographically
+    # smallest member as canonical (URL/hash doc ids)
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("x", "y")], "id_a string, id_b string")
+    comp = connected_components(pairs)
+    got = {r["node"]: r["component"] for r in comp.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_non_convergence_raises(spark):
+    edges = [(i, i + 1) for i in range(1, 12)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_pairs(spark, edges), max_iter=2)
+
+
+def test_collision_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 0)], "doc_id long, text string, component int")
+    with pytest.raises(ValueError, match="already has a 'component'"):
+        dup_clusters(df, "doc_id", _pairs(spark, []))
+
+
 def test_empty_pairs(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
     out = dup_clusters(df, "doc_id", _pairs(spark, []))

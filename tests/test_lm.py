@@ -62,6 +62,21 @@ def test_oov_uses_laplace_backoff(spark):
     assert row["lm_logprob"] == pytest.approx(round(expect, 4), abs=1e-9)
 
 
+def test_empty_ref_corpus_raises(spark):
+    with pytest.raises(ValueError, match="matches no rows"):
+        lm_score(_docs(spark), "text", "doc_id",
+                 F.col("source") == "nope")
+
+
+def test_null_id_passes_through_filter(spark):
+    df = _docs(spark).union(spark.createDataFrame(
+        [(None, "mystery doc here", "web")],
+        "doc_id long, text string, source string"))
+    out = lm_filter(df, "text", "doc_id", F.col("source") == "ref",
+                    max_ppl=1e9)
+    assert out.count() == df.count()  # NULL-id row not dropped
+
+
 def test_lm_filter_keeps_schema_and_short_docs(spark):
     df = _docs(spark)
     out = lm_filter(df, "text", "doc_id", F.col("source") == "ref",
