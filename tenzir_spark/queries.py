@@ -3056,8 +3056,8 @@ REGISTRY: dict[str, tuple] = {
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "cosine_near_dup_lsh": (q_cosine_pairs_lsh, SQL_COSINE_PAIRS_LSH),
     "semdedup_flags": (q_semdedup, SQL_SEMDEDUP),
-    "simhash_fingerprint": (q_simhash, SQL_SIMHASH),
-    "parse_kv": (q_parse_kv, SQL_PARSE_KV),
+    "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "parse_grok": (q_parse_grok, SQL_PARSE_GROK),
     "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
     "parse_syslog5424": (q_parse_syslog5424, SQL_PARSE_SYSLOG5424),
@@ -3125,8 +3125,8 @@ REGISTRY: dict[str, tuple] = {
     "tql2_order_ops": (q_tql2_order_ops, SQL_TQL2_ORDER_OPS),
     "token_window_dedup": (q_token_window_dedup, SQL_TOKEN_WINDOW_DEDUP),
     "token_decontaminate": (q_token_decontaminate, SQL_TOKEN_DECONTAMINATE),
-    "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
-    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "simhash_fingerprint": (q_simhash, SQL_SIMHASH),
+    "parse_kv": (q_parse_kv, SQL_PARSE_KV),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.
