@@ -247,7 +247,7 @@ _PIPELINE_OPERATORS = [
     # training-data curation extensions (not reference operators):
     "sample", "c4-filter", "window-dedup", "pack", "line-dedup",
     "redact-pii", "dsir-sample", "bpe", "semdedup", "cluster-dedup",
-    "lm-filter",
+    "lm-filter", "gopher-filter", "repetition-filter",
 ]
 _FORMATS = [
     "json", "ndjson", "csv", "tsv", "ssv", "xsv", "parquet", "feather",

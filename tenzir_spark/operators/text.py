@@ -237,6 +237,95 @@ def repetition_filter(
     return kept.select(*df.columns)
 
 
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_BULLET_PREFIXES = ["- ", "* ", "•", "‣", "●"]
+
+
+def gopher_quality_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher/MassiveText QUALITY signals (Rae et al. 2021 §A1.1 — the
+    rule family next to the repetition filters in
+    :func:`repetition_stats`), pure Catalyst, one projection:
+
+    - ``n_words``            whitespace-token count
+    - ``mean_word_len``      mean characters per word
+    - ``symbol_word_ratio``  (# + ellipsis occurrences) / words
+    - ``bullet_line_frac``   fraction of non-empty lines starting with a
+                             bullet marker
+    - ``ellipsis_line_frac`` fraction of non-empty lines ending in an
+                             ellipsis
+    - ``alpha_word_frac``    fraction of words containing >= 1 letter
+    - ``gopher_stop_hits``   how many of the 8 required stopwords occur
+    - ``gopher_keep``        the conjunction of the published thresholds
+
+    Fractions round to 4 decimals (engine-portable; the DuckDB oracle
+    replays every rule). Like the repetition stats this is a pure
+    projection — no exchange, linear in input splits at 100 TB."""
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.size(words)
+    sum_len = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+    mean_word_len = F.when(n_words > 0, sum_len / n_words).otherwise(0.0)
+    n_sym = (
+        F.size(F.regexp_extract_all(t, F.lit("#"), 0))
+        + F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), 0))
+        + F.size(F.regexp_extract_all(t, F.lit("…"), 0))
+    )
+    symbol_ratio = F.when(n_words > 0, n_sym / n_words).otherwise(0.0)
+    lines = F.filter(F.split(t, "\n", -1), lambda x: F.length(x) > 0)
+    n_lines = F.size(lines)
+
+    def _is_bullet(x):
+        pred = x.startswith(_BULLET_PREFIXES[0])
+        for p in _BULLET_PREFIXES[1:]:
+            pred = pred | x.startswith(p)
+        return pred
+
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, _is_bullet)) / n_lines).otherwise(0.0)
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda x: x.endswith("...") | x.endswith("…")))
+        / n_lines).otherwise(0.0)
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words,
+    ).otherwise(0.0)
+    stop_hits = None
+    for w in _GOPHER_STOPS:
+        hit = (_word_regex_count(F.lower(t), w) > 0).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    keep = (
+        (n_words >= 50) & (n_words <= 100_000)
+        & (mean_word_len >= 3) & (mean_word_len <= 10)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", F.round(mean_word_len, 4))
+        .withColumn("symbol_word_ratio", F.round(symbol_ratio, 4))
+        .withColumn("bullet_line_frac", F.round(bullet_frac, 4))
+        .withColumn("ellipsis_line_frac", F.round(ellipsis_frac, 4))
+        .withColumn("alpha_word_frac", F.round(alpha_frac, 4))
+        .withColumn("gopher_stop_hits", stop_hits)
+        .withColumn("gopher_keep", keep)
+    )
+
+
+def gopher_quality_filter(df: DataFrame, text_col: str) -> DataFrame:
+    """Drop documents failing the Gopher §A1.1 quality thresholds;
+    keeps the input schema (stat columns removed)."""
+    return (
+        gopher_quality_stats(df, text_col)
+        .filter(F.col("gopher_keep"))
+        .select(*df.columns)
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str, out: str = "fingerprint") -> DataFrame:
     """Deterministic content fingerprint: md5 of case-folded,
     whitespace-collapsed text (the exact-dedup normalization step)."""

@@ -818,6 +818,19 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
 
                 df = c4_filter(
                     df, _one_path(schema, args.strip() or "text"))
+            elif name == "gopher-filter":
+                # Gopher §A1.1 quality thresholds (operators/text.py
+                # gopher_quality_filter); the repetition thresholds are
+                # the sibling stage `repetition-filter`
+                from tenzir_spark.operators.text import gopher_quality_filter
+
+                df = gopher_quality_filter(
+                    df, _one_path(schema, args.strip() or "text"))
+            elif name == "repetition-filter":
+                from tenzir_spark.operators.text import repetition_filter
+
+                df = repetition_filter(
+                    df, _one_path(schema, args.strip() or "text"))
             elif name == "window-dedup":
                 # `window-dedup <text-field> by <id-field> [w <n>]`
                 m2 = re.fullmatch(

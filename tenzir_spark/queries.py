@@ -2920,6 +2920,93 @@ GROUP BY o.doc_id ORDER BY o.doc_id
 """
 
 
+def q_gopher_quality(spark, sf):
+    """Gopher §A1.1 QUALITY rules (operators/text.py
+    gopher_quality_stats — word-count/mean-word-length/symbol-ratio/
+    bullet/ellipsis/alpha-word/required-stopword thresholds; the
+    repetition rules are the sibling entry repetition_stats). The
+    witness derives deterministic per-doc variants (doc_id % 4:
+    stopword-padded long doc, bullet list, ellipsis-heavy) so every
+    rule's keep AND drop branches fire."""
+    docs = load(spark, sf, "documents")
+    t = F.col("text")
+    m = F.col("doc_id") % 4
+    wt = docs.withColumn(
+        "text",
+        F.when(m == 1, F.concat(
+            F.expr("repeat('the be to of and that have with words here ', 8)"),
+            t))
+        .when(m == 2, F.lit("- item one\n- item two\n- item three\nplain line"))
+        .when(m == 3, F.concat(t, F.lit(" trailing...\nmore stuff...\nthe end…")))
+        .otherwise(t))
+    return tx.gopher_quality_stats(wt, "text").select(
+        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "gopher_stop_hits", "gopher_keep").orderBy("doc_id")
+
+SQL_GOPHER_QUALITY = r"""
+WITH d AS (
+  SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+    WHEN 1 THEN repeat('the be to of and that have with words here ', 8) || text
+    WHEN 2 THEN '- item one' || chr(10) || '- item two' || chr(10)
+             || '- item three' || chr(10) || 'plain line'
+    WHEN 3 THEN text || ' trailing...' || chr(10) || 'more stuff...'
+             || chr(10) || 'the end…'
+    ELSE text END AS text
+  FROM documents),
+s AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\s+') AS ws,
+         list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS lines
+  FROM d),
+calc AS (
+  SELECT doc_id, len(ws) AS n_words,
+    CASE WHEN len(ws) > 0 THEN
+      CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws)
+    ELSE 0.0 END AS mwl,
+    CASE WHEN len(ws) > 0 THEN
+      CAST(len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\.\.\.'))
+           + len(regexp_extract_all(text, '…')) AS DOUBLE) / len(ws)
+    ELSE 0.0 END AS swr,
+    CASE WHEN len(lines) > 0 THEN
+      CAST(len(list_filter(lines, x -> starts_with(x, '- ')
+           OR starts_with(x, '* ') OR starts_with(x, '•')
+           OR starts_with(x, '‣') OR starts_with(x, '●'))) AS DOUBLE)
+      / len(lines)
+    ELSE 0.0 END AS blf,
+    CASE WHEN len(lines) > 0 THEN
+      CAST(len(list_filter(lines, x -> ends_with(x, '...')
+           OR ends_with(x, '…'))) AS DOUBLE) / len(lines)
+    ELSE 0.0 END AS elf,
+    CASE WHEN len(ws) > 0 THEN
+      CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+           AS DOUBLE) / len(ws)
+    ELSE 0.0 END AS awf,
+    (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END
+    ) AS hits
+  FROM s)
+SELECT doc_id, n_words,
+       round(mwl, 4) AS mean_word_len,
+       round(swr, 4) AS symbol_word_ratio,
+       round(blf, 4) AS bullet_line_frac,
+       round(elf, 4) AS ellipsis_line_frac,
+       round(awf, 4) AS alpha_word_frac,
+       hits AS gopher_stop_hits,
+       (n_words >= 50 AND n_words <= 100000 AND mwl >= 3 AND mwl <= 10
+        AND swr <= 0.1 AND blf <= 0.9 AND elf <= 0.3 AND awf >= 0.8
+        AND hits >= 2) AS gopher_keep
+FROM calc ORDER BY doc_id
+"""
+
+
 def q_dup_clusters(spark, sf):
     """Duplicate-cluster resolution (operators/clustering.py — the
     keep-one-per-cluster step after pairwise near-dup detection):
@@ -3127,6 +3214,7 @@ REGISTRY: dict[str, tuple] = {
     "token_decontaminate": (q_token_decontaminate, SQL_TOKEN_DECONTAMINATE),
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH),
     "parse_kv": (q_parse_kv, SQL_PARSE_KV),
+    "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.
