@@ -69,7 +69,15 @@ def main() -> None:
         shutil.rmtree(d, ignore_errors=True)
     os.makedirs(chg, exist_ok=True)
 
+    # 8g driver heap OOMs 32-thread runs at >=4M-event batches (async
+    # compaction overlaps the apply; batch size, not doc count, drives
+    # heap — see CLAUDE.md perf facts). Default up to 14g for big
+    # batches; an explicit TENZIR_SPARK_DRIVER_MEM still wins.
+    per_batch = args.events // max(args.batches, 1)
+    mem = os.environ.get(
+        "TENZIR_SPARK_DRIVER_MEM", "14g" if per_batch >= 3_000_000 else None)
     spark = get_spark("endurance_stream", cores=args.cores,
+                      driver_memory=mem,
                       extra_conf={"spark.local.dir": local})
     gen = StreamedChangeGen(
         n_events=args.events, n_docs=args.docs, n_parts=args.parts,

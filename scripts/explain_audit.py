@@ -113,6 +113,10 @@ AUDIT = {
                       r"HashAggregate"],
                      [r"CartesianProduct", r"BatchEvalPython",
                       r"SortMergeJoin"]),
+    # Gopher quality rules are a pure projection off the scan — no
+    # exchange at all (witness orderBy adds only a range sort), no Python
+    "gopher_quality": ([r"Scan parquet"],
+                       [r"Exchange hashpartitioning", r"BatchEvalPython"]),
     # duplicate-cluster attach: component table (≤2×|pairs| rows) rides a
     # broadcast join onto the corpus — never a corpus-wide shuffle, and
     # the label-propagation loop itself is checkpointed out of this plan
