@@ -798,8 +798,21 @@ class LakeTable:
                     "deleted_bytes": n_bytes}
 
     def _prune_empty_data_dirs(self) -> None:
-        for dirpath, dirnames, filenames in os.walk(self.data_dir, topdown=False):
-            if dirpath != self.data_dir and not dirnames and not filenames:
+        """Remove empty ``_commit=/_bucket=`` dirs left behind by file
+        deletion. MUST skip committer staging trees: a concurrent delta
+        write (async-compaction mode runs expiry on the fold thread while
+        the foreground apply is mid-write) holds momentarily-empty
+        ``_temporary/<app>/_temporary/attempt_*`` dirs, and rmdir'ing one
+        makes the in-flight task's output create/chmod fail, aborting the
+        whole batch job (observed at 10^9-event endurance scale)."""
+        for dirpath, _dirnames, _filenames in os.walk(self.data_dir, topdown=False):
+            rel = os.path.relpath(dirpath, self.data_dir)
+            parts = rel.split(os.sep)
+            if any(p.startswith(("_temporary", ".")) for p in parts):
+                continue
+            # live listdir, not the walk's snapshot: children pruned this
+            # pass already left the directory, so parents fold up in one go
+            if dirpath != self.data_dir and not os.listdir(dirpath):
                 try:
                     os.rmdir(dirpath)
                 except OSError:

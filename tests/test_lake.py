@@ -282,6 +282,36 @@ def test_expire_refuses_mid_fold(tmp_path):
     assert t.expire_snapshots(keep_last=1)["expired_versions"] == []
 
 
+def test_prune_skips_inflight_staging_dirs(tmp_path):
+    """The empty-dir prune after expire/orphan GC must NEVER remove a
+    Hadoop committer staging tree: with async compaction the fold thread
+    runs expiry while the foreground apply is mid-write, and its
+    ``_temporary/<app>/_temporary/attempt_*`` dirs are momentarily empty
+    — rmdir'ing one aborts the in-flight batch job (observed at
+    10^9-event endurance scale: chmod on the attempt dir fails with
+    ENOENT and the whole stage is cancelled)."""
+    import os
+
+    t = LakeTable(str(tmp_path), "t_prune")
+    t.create(SCHEMA, n_buckets=4)
+    staging = os.path.join(
+        t.data_dir, "_commit=73", "_temporary", "0", "_temporary",
+        "attempt_202608190548_0390_m_000011_15708")
+    os.makedirs(staging)
+    dot_staging = os.path.join(t.data_dir, "_commit=74",
+                               ".spark-staging-abc", "part")
+    os.makedirs(dot_staging)
+    genuinely_empty = os.path.join(t.data_dir, "_commit=5", "_bucket=1")
+    os.makedirs(genuinely_empty)
+
+    t._prune_empty_data_dirs()
+
+    assert os.path.isdir(staging), "in-flight committer dir was pruned"
+    assert os.path.isdir(dot_staging), "dot-staging dir was pruned"
+    assert not os.path.exists(genuinely_empty)
+    assert not os.path.exists(os.path.dirname(genuinely_empty))
+
+
 def test_remove_orphan_files(spark, tmp_path):
     """Crash leftovers (files in no retained manifest) are GC'd only once
     older than the safety threshold — an in-flight commit's files are
