@@ -131,6 +131,20 @@ AUDIT = {
                        r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin",
                        r"BroadcastNestedLoopJoin"],
                       [r"CartesianProduct", r"BatchEvalPython"]),
+    # HTML strip is a pure regexp projection — no exchange (witness
+    # orderBy adds only a range sort), no Python
+    "html_extract": ([r"Scan parquet"],
+                     [r"Exchange hashpartitioning", r"BatchEvalPython"]),
+    # URL curation: the blocklist is the BROADCAST side of an anti-join;
+    # the corpus never shuffles
+    "url_filter": ([r"BroadcastHashJoin [^\n]*LeftAnti"],
+                   [r"Exchange hashpartitioning", r"SortMergeJoin",
+                    r"BatchEvalPython"]),
+    # classifier scoring is a per-row aggregate over the feature array —
+    # pure projection, no exchange, no Python
+    "quality_classifier": ([r"Scan parquet"],
+                           [r"Exchange hashpartitioning",
+                            r"BatchEvalPython"]),
 }
 
 

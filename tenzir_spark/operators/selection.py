@@ -118,6 +118,52 @@ def dsir_weights(
     )
 
 
+def quality_classifier(
+    df: DataFrame,
+    text_col: str,
+    d: int = 4096,
+    n_max: int = 2,
+) -> DataFrame:
+    """Classifier-based quality filtering, fastText inference shape
+    (Joulin et al. 2016: bag of hashed word n-grams → linear layer →
+    sigmoid), the architecture GPT-3/CCNet used for their quality
+    classifiers. Weights here are DERIVED from the feature hash (a fixed
+    integer mix) instead of loaded from a trained model — deterministic
+    and engine-portable, so the DuckDB oracle verifies the exact scoring
+    path end to end; swapping in trained weights is a broadcast join on
+    the bucket id with zero plan change.
+
+    Per-feature integer vote  w(h) = (h*2654435761 + 40503) % 1997 - 998
+    (h < d, so the product stays far below int64); the doc margin is the
+    exact integer sum over its n-gram occurrences — no float in the
+    decision path.  prob = sigmoid(margin / (1000 * n_features)) is
+    emitted rounded to 4 decimals for inspection only.
+
+    Adds (n_features, qc_margin, qc_prob, qc_keep). Pure projection —
+    per-row aggregate over the feature array, no shuffle, linear at
+    100 TB. Empty documents (no features) get margin 0 / prob 0.5 /
+    keep=true, stated rather than accidental.
+    """
+    b = _bucket_ids(F.col(text_col), d, n_max)
+    n = F.size(b)
+    margin = F.aggregate(
+        b,
+        F.lit(0).cast("long"),
+        lambda acc, h: acc + (F.pmod(h * F.lit(2654435761) + F.lit(40503),
+                                     F.lit(1997)) - 998),
+    )
+    prob = F.when(
+        n == 0, F.lit(0.5)
+    ).otherwise(
+        F.round(1.0 / (1.0 + F.exp(-(margin / (1000.0 * n)))), 4))
+    return (
+        df.withColumn("n_features", n)
+        .withColumn("qc_margin", margin)
+        .withColumn("qc_prob", prob)
+        .withColumn("qc_keep", margin >= 0)
+    )
+
+
 def dsir_resample(
     df: DataFrame,
     text_col: str,

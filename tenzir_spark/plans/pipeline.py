@@ -831,6 +831,50 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
 
                 df = repetition_filter(
                     df, _one_path(schema, args.strip() or "text"))
+            elif name == "html-extract":
+                # `html-extract [<field>]` — C4/RefinedWeb boilerplate
+                # strip (operators/web.py html_extract); rewrites the
+                # field in place and adds n_links/n_tags
+                from tenzir_spark.operators.web import html_extract
+
+                fld = _one_path(schema, args.strip() or "text")
+                df = html_extract(df, fld, out=fld)
+            elif name == "url-filter":
+                # `url-filter <field> block <d1,d2,...>` — scheme/IP/
+                # blocklist URL curation (operators/web.py url_filter;
+                # broadcast anti-join). Adds the url_* parse columns.
+                m2 = re.fullmatch(r"(\S+)\s+block\s+(\S+)", args.strip())
+                if not m2:
+                    raise TqlError(
+                        "url-filter: usage `url-filter <field> "
+                        "block <domain1,domain2,...>`")
+                from tenzir_spark.operators.web import url_filter
+
+                df = url_filter(
+                    df, _one_path(schema, m2.group(1)),
+                    [d for d in m2.group(2).split(",") if d])
+            elif name == "quality-filter":
+                # `quality-filter [<field>] [min-prob <f>]` — fastText-
+                # shape hashed-ngram classifier (operators/selection.py
+                # quality_classifier); keeps rows the classifier accepts
+                # and drops the scoring columns (filter semantics, like
+                # c4-filter / gopher-filter)
+                m2 = re.fullmatch(
+                    r"(?:(\S+))?(?:\s+min-prob\s+([0-9.]+))?",
+                    args.strip())
+                if not m2:
+                    raise TqlError(
+                        "quality-filter: usage `quality-filter "
+                        "[<field>] [min-prob <f>]`")
+                from tenzir_spark.operators.selection import (
+                    quality_classifier,
+                )
+
+                fld = _one_path(schema, m2.group(1) or "text")
+                scored = quality_classifier(df, fld)
+                pred = (F.col("qc_prob") >= float(m2.group(2))
+                        if m2.group(2) else F.col("qc_keep"))
+                df = scored.filter(pred).select(*df.columns)
             elif name == "window-dedup":
                 # `window-dedup <text-field> by <id-field> [w <n>]`
                 m2 = re.fullmatch(

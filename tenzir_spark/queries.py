@@ -3104,6 +3104,196 @@ FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY doc_id
 """
 
 
+def q_html_extract(spark, sf):
+    """HTML → text extraction (operators/web.py html_extract — the
+    C4/RefinedWeb boilerplate-strip stage): script/style/comment blocks
+    removed WITH content, remaining tags stripped and counted, the six
+    common entities decoded (&amp; LAST — the witness embeds `&amp;lt;`
+    which must surface as the literal `&lt;`, catching a wrong decode
+    order), whitespace collapsed. The witness derives an HTML page from
+    each document with the same expression in both engines, so tag
+    nesting, `<` inside script bodies, link counting and entity decoding
+    are all value-checked."""
+    from tenzir_spark.operators.web import html_extract
+
+    docs = load(spark, sf, "documents")
+    html = F.concat(
+        F.lit('<html><head><style a="b">.x{p:1}</style>'
+              '<script type="t">if(1<2){x="&amp;"}</script>'
+              '</head><body><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.regexp_replace(F.col("text"), r"((\S+\s+){4}\S+)\s+",
+                         "$1</p><p>"),
+        F.lit('</p><a href="/l/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">x</a><!-- note --> &amp;lt;tag'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&gt;&nbsp;&quot;q&#39;</body></html>"),
+    )
+    return (
+        html_extract(docs.withColumn("html", html), "html")
+        .select("doc_id", "n_links", "n_tags", "extracted")
+        .orderBy("doc_id")
+    )
+
+SQL_HTML_EXTRACT = r"""
+WITH h AS (
+  SELECT doc_id,
+    '<html><head><style a="b">.x{p:1}</style>'
+    || '<script type="t">if(1<2){x="&amp;"}</script>'
+    || '</head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+    || regexp_replace(text, '((\S+\s+){4}\S+)\s+', '\1</p><p>', 'g')
+    || '</p><a href="/l/' || CAST(doc_id AS VARCHAR)
+    || '">x</a><!-- note --> &amp;lt;tag' || CAST(doc_id % 5 AS VARCHAR)
+    || '&gt;&nbsp;&quot;q&#39;</body></html>' AS html
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(html, '(?i)<a[\s>]')) AS n_links,
+         regexp_replace(regexp_replace(regexp_replace(html,
+           '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+           '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+           '(?s)<!--.*?-->', ' ', 'g') AS stripped
+  FROM h),
+s2 AS (
+  SELECT doc_id, n_links,
+         len(regexp_extract_all(stripped, '<[^>]*>')) AS n_tags,
+         regexp_replace(stripped, '<[^>]*>', ' ', 'g') AS t
+  FROM s1),
+s3 AS (
+  SELECT doc_id, n_links, n_tags,
+         replace(replace(replace(replace(replace(replace(t,
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', chr(39)), '&amp;', '&') AS t2
+  FROM s2)
+SELECT doc_id, n_links, n_tags,
+       trim(regexp_replace(t2, '\s+', ' ', 'g')) AS extracted
+FROM s3 ORDER BY doc_id
+"""
+
+
+_URL_HOSTS = [
+    "news.example.com", "ads.tracker.net", "www.example.co.uk",
+    "sub.a.example.org", "spam.badsite.io", "203.0.113.7",
+    "Blog.Example.COM", "shop.example.com.au",
+]
+_URL_BLOCKED = ["tracker.net", "badsite.io"]
+
+
+def q_url_filter(spark, sf):
+    """URL curation (operators/web.py url_filter — the C4 blocklist
+    stage): scheme allowlist (https only here; every 11th doc gets ftp),
+    IPv4-literal hosts dropped, registrable-domain extraction with
+    two-level public suffixes (co.uk/com.au witnesses), case folding
+    (one host is mixed-case), ports excluded from the host (every 13th
+    doc carries :8080), and a BROADCAST anti-join against the blocked
+    domains. The oracle replays the parse and the anti-join as NOT IN."""
+    from tenzir_spark.operators.web import url_filter
+
+    docs = load(spark, sf, "documents")
+    scheme = F.when(F.col("doc_id") % 11 == 0, F.lit("ftp")) \
+        .otherwise(F.lit("https"))
+    host = F.element_at(
+        F.array([F.lit(h) for h in _URL_HOSTS]),
+        (F.col("doc_id") % 8 + 1).cast("int"))
+    port = F.when(F.col("doc_id") % 13 == 0, F.lit(":8080")) \
+        .otherwise(F.lit(""))
+    url = F.concat(scheme, F.lit("://"), host, port,
+                   F.lit("/p/"), F.col("doc_id").cast("string"))
+    return (
+        url_filter(docs.withColumn("url", url), "url", list(_URL_BLOCKED))
+        .select("doc_id", "url_scheme", "url_host", "url_domain")
+        .orderBy("doc_id")
+    )
+
+SQL_URL_FILTER = r"""
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 11 = 0 THEN 'ftp' ELSE 'https' END) || '://'
+    || (['news.example.com','ads.tracker.net','www.example.co.uk',
+         'sub.a.example.org','spam.badsite.io','203.0.113.7',
+         'Blog.Example.COM','shop.example.com.au'])[(doc_id % 8) + 1]
+    || (CASE WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END)
+    || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+p AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+      AS url_scheme,
+    lower(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1))
+      AS url_host
+  FROM u),
+d AS (SELECT *, string_split(url_host, '.') AS parts FROM p),
+dom AS (
+  SELECT doc_id, url_scheme, url_host,
+    CASE WHEN len(parts) <= 1 THEN url_host
+         WHEN len(parts) >= 3 AND parts[-2] || '.' || parts[-1] IN
+           ('co.uk','org.uk','gov.uk','ac.uk','com.au','net.au',
+            'co.jp','com.br','co.in')
+           THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+         ELSE parts[-2] || '.' || parts[-1] END AS url_domain,
+    regexp_matches(url_host,
+      '^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$') AS is_ip
+  FROM d)
+SELECT doc_id, url_scheme, url_host, url_domain
+FROM dom
+WHERE url_host <> '' AND url_scheme IN ('http', 'https') AND NOT is_ip
+  AND url_domain NOT IN ('tracker.net', 'badsite.io')
+ORDER BY doc_id
+"""
+
+
+def q_quality_classifier(spark, sf):
+    """Classifier-based quality filtering (operators/selection.py
+    quality_classifier — fastText inference shape: hashed word n-gram
+    bag → linear layer, Joulin et al. 2016; the GPT-3/CCNet quality-
+    classifier stage). Weights derive from the md5-60bit feature hash
+    (integer mix), so the margin is an EXACT integer in both engines;
+    the sigmoid probability is rounded to 4 decimals (the decision
+    never touches float)."""
+    from tenzir_spark.operators.selection import quality_classifier
+
+    docs = load(spark, sf, "documents")
+    return (
+        quality_classifier(docs, "text", d=512)
+        .select("doc_id", "n_features", "qc_margin", "qc_prob", "qc_keep")
+        .orderBy("doc_id")
+    )
+
+SQL_QUALITY_CLASSIFIER = r"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                          'g')), ' ') AS ws
+  FROM documents),
+uni AS (
+  SELECT doc_id, ws[i] AS g
+  FROM words, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+bi AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+  FROM words, UNNEST(range(1, len(ws))) AS t(i)),
+occ AS (
+  SELECT doc_id, ('0x' || substring(md5(g), 1, 15))::BIGINT % 512 AS h
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+  WHERE length(g) > 0),
+m AS (
+  SELECT doc_id, count(*) AS n_features,
+         CAST(sum((h * 2654435761 + 40503) % 1997 - 998) AS BIGINT)
+           AS qc_margin
+  FROM occ GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(m.n_features, 0) AS INT) AS n_features,
+       coalesce(m.qc_margin, 0) AS qc_margin,
+       CASE WHEN coalesce(m.n_features, 0) = 0 THEN 0.5
+            ELSE round(1.0 / (1.0 + exp(-(m.qc_margin
+                 / (1000.0 * m.n_features)))), 4) END AS qc_prob,
+       coalesce(m.qc_margin, 0) >= 0 AS qc_keep
+FROM documents d LEFT JOIN m USING (doc_id) ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # ---- positions 1-50: the driver's hard-verified correctness window.
     # Curated to cover one representative per operator FAMILY plus the
@@ -3215,6 +3405,9 @@ REGISTRY: dict[str, tuple] = {
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH),
     "parse_kv": (q_parse_kv, SQL_PARSE_KV),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+    "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
+    "url_filter": (q_url_filter, SQL_URL_FILTER),
+    "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.

@@ -648,3 +648,36 @@ def test_cluster_dedup_and_lm_filter_text_stages(spark, sf_dir):
         run_tql(docs, "cluster-dedup text")
     with _pytest.raises(TqlError, match="usage"):
         run_tql(docs, "lm-filter text by doc_id")
+
+
+def test_web_curation_text_stages(spark):
+    """html-extract / url-filter / quality-filter as pipeline text."""
+    import pytest as _pytest
+
+    from tenzir_spark.plans.pipeline import TqlError, run_tql
+
+    df = spark.createDataFrame(
+        [(1, "<p>hello &amp; world</p>", "https://good.example.com/a"),
+         (2, "<script>x</script><b>kept</b>", "https://ads.tracker.net/b"),
+         (3, "plain", "ftp://files.example.com/c")],
+        "doc_id int, text string, url string")
+
+    he = run_tql(df, "html-extract text | select doc_id, text")
+    got = {r["doc_id"]: r["text"] for r in he.collect()}
+    assert got == {1: "hello & world", 2: "kept", 3: "plain"}
+
+    uf = run_tql(df, "url-filter url block tracker.net | select doc_id")
+    assert sorted(r["doc_id"] for r in uf.collect()) == [1]
+
+    qf = run_tql(df, "quality-filter text")
+    assert qf.columns == df.columns
+    from tenzir_spark.operators.selection import quality_classifier
+    from pyspark.sql import functions as F
+
+    want = quality_classifier(df, "text").filter(F.col("qc_keep")).count()
+    assert qf.count() == want
+    # min-prob 1.01 is unreachable -> empty
+    assert run_tql(df, "quality-filter text min-prob 1.01").count() == 0
+
+    with _pytest.raises(TqlError, match="usage"):
+        run_tql(df, "url-filter url")
