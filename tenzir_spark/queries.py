@@ -3313,14 +3313,12 @@ REGISTRY: dict[str, tuple] = {
     "sort_ranked": (q_sort_ranked, SQL_SORT_RANKED),
     "parse_json": (q_parse_json, SQL_PARSE_JSON),
     "flatten_unflatten": (q_flatten_roundtrip, SQL_FLATTEN_ROUNDTRIP),
-    "unroll_list": (q_unroll, SQL_UNROLL),
     "enrich_lookup": (q_enrich, SQL_ENRICH),
     "join_q3": (q_join_q3, SQL_JOIN_Q3),
     "timeshift": (q_timeshift, SQL_TIMESHIFT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "decontaminate_ngrams": (q_decontaminate, SQL_DECONTAMINATE),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
-    "quality_score": (q_quality, SQL_QUALITY),
     "repetition_stats": (q_repetition, SQL_REPETITION),
     "c4_stats": (q_c4_stats, SQL_C4_STATS),
     "stratified_mix": (q_stratified_mix, SQL_STRATIFIED_MIX),
@@ -3343,7 +3341,6 @@ REGISTRY: dict[str, tuple] = {
     "lake_rebucket": (q_lake_rebucket, SQL_LAKE_REBUCKET),
     "tql_summarize_pipeline": (q_tql_summarize, SQL_TQL_SUMMARIZE),
     "tql2_pipeline": (q_tql2_pipeline, SQL_TQL2_PIPELINE),
-    "tql2_match_record": (q_tql2_match_record, SQL_TQL2_MATCH_RECORD),
     "tql_changelog": (q_tql_changelog, SQL_TQL_CHANGELOG),
     "python_transform": (q_python_transform, SQL_PYTHON_TRANSFORM),
     "fluentbit_forward": (q_fluentbit_forward, SQL_FLUENTBIT_FORWARD),
@@ -3352,8 +3349,14 @@ REGISTRY: dict[str, tuple] = {
     "bitz_roundtrip": (q_bitz_roundtrip, SQL_BITZ_ROUNDTRIP),
     "token_fingerprint_exact": (q_token_fingerprint_oracle, SQL_TOKEN_FINGERPRINT),
     "stream_deduplicate": (q_stream_deduplicate, SQL_STREAM_DEDUPLICATE),
+    "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
+    "url_filter": (q_url_filter, SQL_URL_FILTER),
+    "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     # ---- past the 50-row window: family variants + remaining entries,
     # all still oracle-exact under the local gate
+    "tql2_match_record": (q_tql2_match_record, SQL_TQL2_MATCH_RECORD),
+    "unroll_list": (q_unroll, SQL_UNROLL),
+    "quality_score": (q_quality, SQL_QUALITY),
     "hash_sha256": (q_hash, SQL_HASH),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "summarize_aggs": (q_summarize_aggs, SQL_SUMMARIZE_AGGS),
@@ -3405,9 +3408,6 @@ REGISTRY: dict[str, tuple] = {
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH),
     "parse_kv": (q_parse_kv, SQL_PARSE_KV),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
-    "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
-    "url_filter": (q_url_filter, SQL_URL_FILTER),
-    "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.
