@@ -140,6 +140,11 @@ AUDIT = {
     "url_filter": ([r"BroadcastHashJoin [^\n]*LeftAnti"],
                    [r"Exchange hashpartitioning", r"SortMergeJoin",
                     r"BatchEvalPython"]),
+    # cross-corpus dedup: anti-join on 16-byte hashes (AQE broadcasts the
+    # small prior here; shuffle anti-join is the at-scale fallback) —
+    # never cartesian, never Python
+    "cross_dedup": ([r"LeftAnti"],
+                    [r"CartesianProduct", r"BatchEvalPython"]),
     # classifier scoring is a per-row aggregate over the feature array —
     # pure projection, no exchange, no Python
     "quality_classifier": ([r"Scan parquet"],

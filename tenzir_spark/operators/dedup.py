@@ -122,6 +122,32 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def cross_dedup(df: DataFrame, prior: DataFrame, text_col: str,
+                prior_text_col: str | None = None) -> DataFrame:
+    """Cross-corpus exact dedup: keep only rows whose content does NOT
+    appear in ``prior`` — the RefinedWeb/Dolma "dedup each dump against
+    all previous dumps" stage (Penedo et al. 2023 §3.3), distinct from
+    within-corpus :func:`exact_dedup` (an aggregation) in plan shape: a
+    LEFT ANTI join on the content hash.
+
+    Scale shape: both sides project to (hash) before the join — 16
+    bytes/row through any shuffle, never the text; the prior side is
+    additionally made distinct (its duplicates are irrelevant to the
+    anti-join and would bloat the exchange). AQE broadcasts the hash set
+    when the prior corpus is small; co-partitioned shuffle anti-join is
+    the correct at-scale fallback when both sides are 100 TB-class.
+    Keeps the input schema.
+    """
+    pcol = prior_text_col or text_col
+    h = F.md5(F.col(text_col)).alias("_ch")
+    seen = prior.select(F.md5(F.col(pcol)).alias("_ch")).distinct()
+    return (
+        df.withColumn("_ch", h)
+        .join(seen, "_ch", "left_anti")
+        .drop("_ch")
+    )
+
+
 def window_dedup_stats(
     df: DataFrame, text_col: str, id_col: str, w: int = 8
 ) -> DataFrame:

@@ -248,7 +248,7 @@ _PIPELINE_OPERATORS = [
     "sample", "c4-filter", "window-dedup", "pack", "line-dedup",
     "redact-pii", "dsir-sample", "bpe", "semdedup", "cluster-dedup",
     "lm-filter", "gopher-filter", "repetition-filter",
-    "html-extract", "url-filter", "quality-filter",
+    "html-extract", "url-filter", "quality-filter", "cross-dedup",
 ]
 _FORMATS = [
     "json", "ndjson", "csv", "tsv", "ssv", "xsv", "parquet", "feather",

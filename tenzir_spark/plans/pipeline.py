@@ -831,6 +831,20 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
 
                 df = repetition_filter(
                     df, _one_path(schema, args.strip() or "text"))
+            elif name == "cross-dedup":
+                # `cross-dedup <field> against <path>` — drop rows whose
+                # content appears in a PRIOR corpus (parquet path);
+                # operators/dedup.py cross_dedup, anti-join on md5
+                m2 = re.fullmatch(r"(\S+)\s+against\s+(\S+)", args.strip())
+                if not m2:
+                    raise TqlError(
+                        "cross-dedup: usage `cross-dedup <field> "
+                        "against <parquet-path>`")
+                from tenzir_spark.operators.dedup import cross_dedup
+
+                prior = df.sparkSession.read.parquet(m2.group(2))
+                df = cross_dedup(
+                    df, prior, _one_path(schema, m2.group(1)))
             elif name == "html-extract":
                 # `html-extract [<field>]` — C4/RefinedWeb boilerplate
                 # strip (operators/web.py html_extract); rewrites the

@@ -3294,6 +3294,31 @@ FROM documents d LEFT JOIN m USING (doc_id) ORDER BY doc_id
 """
 
 
+def q_cross_dedup(spark, sf):
+    """Cross-corpus dedup (operators/dedup.py cross_dedup — the
+    RefinedWeb 'dedup this dump against previous dumps' stage): keep
+    documents whose content hash is absent from the prior corpus (here:
+    the src0 slice plays the prior dump). LEFT ANTI join on md5 — both
+    sides slim to 16-byte hashes before any exchange."""
+    from tenzir_spark.operators.dedup import cross_dedup
+
+    docs = load(spark, sf, "documents")
+    prior = docs.filter(F.col("source") == "src0")
+    return (
+        cross_dedup(docs, prior, "text")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+SQL_CROSS_DEDUP = r"""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE md5(text) NOT IN (
+  SELECT DISTINCT md5(text) FROM documents WHERE source = 'src0')
+ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # ---- positions 1-50: the driver's hard-verified correctness window.
     # Curated to cover one representative per operator FAMILY plus the
@@ -3408,6 +3433,7 @@ REGISTRY: dict[str, tuple] = {
     "simhash_fingerprint": (q_simhash, SQL_SIMHASH),
     "parse_kv": (q_parse_kv, SQL_PARSE_KV),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+    "cross_dedup": (q_cross_dedup, SQL_CROSS_DEDUP),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.

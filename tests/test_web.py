@@ -125,3 +125,25 @@ def test_quality_classifier_no_shuffle(spark):
     plan = (quality_classifier(df, "text")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_cross_dedup(spark, tmp_path):
+    from tenzir_spark.operators.dedup import cross_dedup
+
+    cur = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "beta")],
+        "doc_id int, text string")
+    prior = spark.createDataFrame(
+        [(90, "beta"), (91, "delta"), (92, "beta")],
+        "doc_id int, text string")
+    kept = cross_dedup(cur, prior, "text")
+    assert kept.columns == cur.columns
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+    # pipeline text: prior corpus from a parquet path
+    p = str(tmp_path / "prior")
+    prior.write.parquet(p)
+    from tenzir_spark.plans.pipeline import run_tql
+
+    got = run_tql(cur, f"cross-dedup text against {p} | select doc_id")
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 3]
