@@ -51,9 +51,17 @@ nested assignment targets (`x.y = e`, `this.x.y = e`) compile to
 withField on the root struct column, and `this = {record}` replaces
 the whole event with the record's fields.
 
-Not implemented (clear TqlError): lambdas `=>` in expressions,
-subpipeline `{...}` arguments — experimental edges that changed across
-reference releases.
+Lambdas `x => expr` (parser.cpp:340-360) are valid ONLY as the argument
+of the list methods `.map(x => e)` / `.where(x => p)` — the two lambda
+consumers the reference documents (web/docs/functions/map.md,
+where.md). They compile to Catalyst higher-order functions
+(``F.transform`` / ``F.filter``): the body runs JVM-side inside
+whole-stage codegen, the parameter shadows any same-named column, and
+outer columns stay referencable (same-row correlation). A lambda in
+any other position is a clear TqlError.
+
+Not implemented (clear TqlError): subpipeline `{...}` arguments — an
+experimental edge that changed across reference releases.
 """
 
 from __future__ import annotations
@@ -322,12 +330,23 @@ class _Parser:
                     while not self.accept("op", ")"):
                         if args:
                             self.expect("op", ",")
-                        args.append(self.expr())
+                        args.append(self._arg_expr())
                     e = ("method", name, e, args)
                 else:
                     e = ("field", e, name)
             else:
                 return e
+
+    def _arg_expr(self):
+        """An argument position admits a lambda `x => expr`
+        (parser.cpp:340-360); everywhere else `=>` is a tokenize-level
+        stray."""
+        if (self.peek()[0] == "ident"
+                and self.toks[self.i + 1] == ("op", "=>")):
+            param = self.next()[1]
+            self.next()  # '=>'
+            return ("lambda", param, self.expr())
+        return self.expr()
 
     def _primary(self):
         k, v = self.peek()
@@ -368,7 +387,7 @@ class _Parser:
                 while not self.accept("op", ")"):
                     if args:
                         self.expect("op", ",")
-                    args.append(self.expr())
+                    args.append(self._arg_expr())
                 return ("call", name, args)
             return ("sel", name)
         raise TqlError(f"tql2: unexpected token {v!r} in expression")
@@ -471,6 +490,18 @@ def _lit(v):
     return F.lit(v)
 
 
+def _hof_fn(param: str, body, env: dict):
+    """Closure factory for Catalyst higher-order functions. MUST be a
+    factory with a single-positional-arg inner fn: pyspark inspects the
+    signature, and a default arg (``lambda x, b=body:``) is read as the
+    (element, index) form — the documented shadowing pitfall."""
+    def fn(x):
+        inner = dict(env)
+        inner[("local", param)] = x
+        return _compile(body, inner)
+    return fn
+
+
 def _compile(e, env: dict):
     kind = e[0]
     if kind == "lit":
@@ -480,6 +511,8 @@ def _compile(e, env: dict):
             raise TqlError(f"tql2: unbound binding {e[1]} (declare with let)")
         return _lit(env[e[1]])
     if kind == "sel":
+        if ("local", e[1]) in env:  # lambda parameter shadows columns
+            return env[("local", e[1])]
         if e[1] == "this":
             raise TqlError("tql2: bare `this` is only valid as an "
                            "assignment target (`this = {...}`) or a "
@@ -516,11 +549,28 @@ def _compile(e, env: dict):
             "+": l + r, "-": l - r, "*": l * r, "/": l / r,
         }[op]
     if kind == "method":
-        name, recv, args = e[1], _compile(e[2], env), e[3]
+        name, recv_ast, args = e[1], e[2], e[3]
+        if name in ("map", "where"):
+            # list HOFs (web/docs/functions/map.md, where.md): the only
+            # lambda consumers. Catalyst transform/filter — the body is
+            # a same-row JVM expression, never a Python UDF.
+            if len(args) != 1 or args[0][0] != "lambda":
+                raise TqlError(
+                    f"tql2: .{name}() expects exactly one lambda "
+                    f"argument (`.{name}(x => expr)`)")
+            fn = _hof_fn(args[0][1], args[0][2], env)
+            recv = _compile(recv_ast, env)
+            return F.transform(recv, fn) if name == "map" else \
+                F.filter(recv, fn)
+        recv = _compile(recv_ast, env)
         if name not in _METHODS:
             raise TqlError(f"tql2: unknown method .{name}()")
         cargs = [a[1] if a[0] == "lit" else _compile(a, env) for a in args]
         return _METHODS[name](recv, cargs)
+    if kind == "lambda":
+        raise TqlError(
+            "tql2: lambdas `x => expr` are only valid as the argument of "
+            ".map() / .where() on a list")
     if kind == "call":
         name, args = e[1], [_compile(a, env) for a in e[2]]
         if name in _FUNCS:

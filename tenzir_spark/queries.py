@@ -2746,6 +2746,37 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_tql2_lambda(spark, sf):
+    """TQL2 list lambdas `.map(x => e)` / `.where(x => p)`
+    (plans/tql2.py; reference grammar libtenzir/src/tql2/parser.cpp:
+    340-360, functions map.md/where.md): compile to Catalyst
+    higher-order functions (transform/filter) — JVM-side, no Python
+    UDF. `salted` exercises outer-column correlation inside the lambda
+    body; `caps` chains filter into transform."""
+    from tenzir_spark.plans.tql2 import run_tql2
+
+    docs = load(spark, sf, "documents")
+    return run_tql2(docs, '''
+words = text.split(" ")
+lens = words.map(w => w.length())
+caps = words.where(w => w.length() >= 7).map(w => w.upper())
+salted = words.map(w => w.length() + doc_id)
+select doc_id, lens, caps, salted
+sort doc_id
+''')
+
+SQL_TQL2_LAMBDA = """
+SELECT doc_id,
+       list_transform(string_split(text, ' '), w -> length(w)) AS lens,
+       list_transform(list_filter(string_split(text, ' '),
+                                  w -> length(w) >= 7),
+                      w -> upper(w)) AS caps,
+       list_transform(string_split(text, ' '),
+                      w -> length(w) + doc_id) AS salted
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_line_dedup(spark, sf):
     """Corpus-level line dedup (operators/dedup.py line_dedup —
     CCNet/RefinedWeb paragraph dedup: a trimmed line occurring >= 2
@@ -3380,6 +3411,7 @@ REGISTRY: dict[str, tuple] = {
     # ---- past the 50-row window: family variants + remaining entries,
     # all still oracle-exact under the local gate
     "tql2_match_record": (q_tql2_match_record, SQL_TQL2_MATCH_RECORD),
+    "tql2_lambda": (q_tql2_lambda, SQL_TQL2_LAMBDA),
     "unroll_list": (q_unroll, SQL_UNROLL),
     "quality_score": (q_quality, SQL_QUALITY),
     "hash_sha256": (q_hash, SQL_HASH),

@@ -285,3 +285,33 @@ sort band
 ''').collect()
     assert [(r["band"], r["c"]) for r in got] == [
         ("hi", 1), ("lo", 2), ("mid", 1)]
+
+
+def test_list_lambdas_map_where(df):
+    out = run_tql2(df, '''
+words = txt.lower().split(" ")
+lens = words.map(w => w.length())
+big = words.where(n => n.length() >= 5).map(w => w.upper())
+salted = words.map(w => w.length() + n)
+select src, n, lens, big, salted
+where src == "web"
+sort n
+''').collect()
+    # "hello world" (n=3): lens [5,5]; lambda param `n` SHADOWS column n
+    # inside the .where body; outer column n stays referencable (salted)
+    assert out[0]["lens"] == [5, 5]
+    assert out[0]["big"] == ["HELLO", "WORLD"]
+    assert out[0]["salted"] == [8, 8]
+    # "Hi" (n=7): one short word -> filtered away
+    assert out[1]["lens"] == [2]
+    assert out[1]["big"] == []
+    assert out[1]["salted"] == [9]
+
+
+def test_lambda_clear_errors(df):
+    with pytest.raises(TqlError, match="only valid as the argument"):
+        run_tql2(df, "y = length(x => 1) | select y")
+    with pytest.raises(TqlError, match="expects exactly one lambda"):
+        run_tql2(df, 'y = txt.split(" ").map(3) | select y')
+    with pytest.raises(TqlError, match="expects exactly one lambda"):
+        run_tql2(df, 'y = txt.split(" ").where(txt) | select y')
