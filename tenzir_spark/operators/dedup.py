@@ -139,12 +139,17 @@ def cross_dedup(df: DataFrame, prior: DataFrame, text_col: str,
     Keeps the input schema.
     """
     pcol = prior_text_col or text_col
-    h = F.md5(F.col(text_col)).alias("_ch")
-    seen = prior.select(F.md5(F.col(pcol)).alias("_ch")).distinct()
+    # collision-safe scratch name: a user column literally named "_ch"
+    # (case-insensitive resolution!) must survive untouched
+    lower = {c.lower() for c in df.columns}
+    ch = "_ch"
+    while ch in lower:
+        ch += "_"
+    seen = prior.select(F.md5(F.col(pcol)).alias(ch)).distinct()
     return (
-        df.withColumn("_ch", h)
-        .join(seen, "_ch", "left_anti")
-        .drop("_ch")
+        df.withColumn(ch, F.md5(F.col(text_col)))
+        .join(seen, ch, "left_anti")
+        .drop(ch)
     )
 
 

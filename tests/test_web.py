@@ -147,3 +147,10 @@ def test_cross_dedup(spark, tmp_path):
 
     got = run_tql(cur, f"cross-dedup text against {p} | select doc_id")
     assert sorted(r["doc_id"] for r in got.collect()) == [1, 3]
+
+    # a user column literally named _ch must survive (scratch-name dodge)
+    cur2 = cur.withColumn("_ch", cur.doc_id * 10)
+    kept2 = cross_dedup(cur2, prior, "text")
+    assert kept2.columns == cur2.columns
+    assert sorted((r["doc_id"], r["_ch"]) for r in kept2.collect()) == [
+        (1, 10), (3, 30)]
