@@ -1283,6 +1283,13 @@ def _parse_export_opts(tail: str | None) -> tuple[int | None, int | None]:
 _IMPORT_RE = re.compile(r"import\s+(\S+)\s*$")
 _SUBSCRIBE_RE = re.compile(r"subscribe\s+(\S+)\s*$")
 _METRICS_RE = re.compile(r"metrics\s+(\S+)\s*$")
+# `show <aspect> [<table_root>]` — introspection as a pipeline SOURCE
+# (show.md: "show <aspect> | where …"); registry aspects
+# (operators/formats/connectors) need no table, lake aspects do
+_SHOW_RE = re.compile(r"show\s+(\S+)(?:\s+(\S+))?\s*$")
+# host-inventory sources (files.md/processes.md/sockets.md/nics.md):
+# `files <root>` walks a directory; the other three take no argument
+_HOST_RE = re.compile(r"(files|processes|sockets|nics)(?:\s+(\S+))?\s*$")
 
 
 def _lake_table(root: str):
@@ -1312,10 +1319,39 @@ def run_tql_source(spark, text: str, order_by: str | None = None,
     em = _EXPORT_RE.fullmatch(head)
     sm = _SUBSCRIBE_RE.fullmatch(head)
     km = _METRICS_RE.fullmatch(head)
-    if source_df is not None and not (m or em or sm or km):
+    wm = _SHOW_RE.fullmatch(head)
+    hm = _HOST_RE.fullmatch(head)
+    if source_df is not None and not (m or em or sm or km or wm or hm):
         df = source_df
         stages = ["__source__", *stages]  # operator stages start at [1]
-        m = em = sm = km = None
+        m = em = sm = km = wm = hm = None
+    elif wm:
+        # `show <aspect> [<table_root>]` — introspection rows as events
+        from tenzir_spark.operators import meta as _meta
+
+        aspect, root = wm.group(1), wm.group(2)
+        if aspect in ("operators", "formats", "connectors"):
+            df = _meta.show_registry(spark, aspect)
+        elif aspect == "version":
+            df = _meta.show(spark, "version")
+        else:
+            if not root:
+                raise TqlError(
+                    f"show {aspect}: needs a lake table root "
+                    f"(`show {aspect} <warehouse>/<table>`)")
+            df = _meta.show(spark, aspect, _lake_table(root))
+    elif hm:
+        from tenzir_spark.sources import host as _host
+
+        kind, arg = hm.group(1), hm.group(2)
+        if kind == "files":
+            if not arg:
+                raise TqlError("files: needs a root directory")
+            df = _host.files(spark, arg)
+        elif arg:
+            raise TqlError(f"{kind}: takes no argument")
+        else:
+            df = getattr(_host, kind)(spark)
     elif km:
         # `metrics <warehouse>` — the engine's own ingest telemetry as a
         # pipeline source (reference: operators/metrics.cpp feeds node
@@ -1383,9 +1419,11 @@ def run_tql_source(spark, text: str, order_by: str | None = None,
             df = _lake_table(em.group(1)).read(spark).drop(BUCKET_COL, COMMIT_COL)
     else:
         raise TqlError(
-            "pipeline must start with `from <path> [read <format>]` or "
-            f"`export <table_root>` (got {stages[0]!r}); use run_tql() to "
-            "apply operator text to an existing DataFrame")
+            "pipeline must start with `from <path> [read <format>]`, "
+            "`export <table_root>`, `subscribe`, `metrics`, `show "
+            "<aspect>`, or a host source (files/processes/sockets/nics) "
+            f"(got {stages[0]!r}); use run_tql() to apply operator text "
+            "to an existing DataFrame")
     rest = stages[1:]
     sink = None
     if rest:

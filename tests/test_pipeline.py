@@ -681,3 +681,33 @@ def test_web_curation_text_stages(spark):
 
     with _pytest.raises(TqlError, match="usage"):
         run_tql(df, "url-filter url")
+
+
+def test_show_and_host_source_heads(spark, tmp_path):
+    """`show <aspect>` and files/processes/sockets/nics run as pipeline
+    SOURCE heads (show.md: "show operators | where …"; files.md)."""
+    import pytest as _pytest
+
+    from tenzir_spark.plans.pipeline import TqlError, run_tql_source
+
+    ops = run_tql_source(
+        spark, "show operators | where name == \"where\"").collect()
+    assert [r["name"] for r in ops] == ["where"]
+    assert run_tql_source(spark, "show formats | head 3").count() == 3
+
+    (tmp_path / "a.txt").write_text("x")
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "b.txt").write_text("yy")
+    names = {r["name"] for r in run_tql_source(
+        spark, f"files {tmp_path} | where type == \"regular\" | "
+               "select name").collect()}
+    assert names == {"a.txt", "b.txt"}
+
+    assert run_tql_source(spark, "processes | head 1").count() == 1
+    assert run_tql_source(spark, "nics | measure").first()["events"] >= 1
+
+    # lake aspects still need a table root; registry aspects reject args
+    with _pytest.raises(TqlError, match="needs a lake table root"):
+        run_tql_source(spark, "show partitions")
+    with _pytest.raises(TqlError, match="takes no argument"):
+        run_tql_source(spark, "processes now")
