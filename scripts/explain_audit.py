@@ -48,6 +48,11 @@ AUDIT = {
     # the array<int> payload in codegen'd expressions
     "token_window_dedup": ([r"REPARTITION_BY_COL", r"HashAggregate"],
                            [r"CartesianProduct", r"BatchEvalPython"]),
+    # as-of join: union + per-key running last() — a keyed Window behind
+    # ONE hash exchange; never a join node (a range sort-merge would
+    # degenerate per key, a cartesian is out of the question)
+    "asof_join": ([r"Window", r"hashpartitioning"],
+                  [r"Join", r"CartesianProduct", r"BatchEvalPython"]),
     "summarize_resolution": ([r"HashAggregate"], []),
     "top_values": ([r"HashAggregate", r"TakeOrderedAndProject|Sort"], []),
     # global top-k: per-partition TakeOrdered + bounded merge; the rank

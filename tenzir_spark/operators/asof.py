@@ -1,0 +1,108 @@
+"""Distributed as-of (temporal) join — attach to each left row the most
+recent right row at-or-before its timestamp, per key.
+
+The canonical enrichment for event streams ("what was the config /
+price / context when this event happened") that plain equi-joins can't
+express. The reference reaches the same shape through context time
+travel (`/root/reference/web/docs/contexts.md`, lookup --retro);
+here it is a first-class relational operator with pandas.merge_asof
+semantics (backward/forward, tolerance), re-expressed Spark-first.
+
+Plan shape — NO join node at all: both sides are union'd on
+(key, ts, side-tag) and the match is a per-key running ``last(payload,
+ignorenulls=True)`` window. That is ONE hash exchange on the key and
+one in-partition sort; candidate work is O(|L|+|R|) rows, never
+|L|x|R| pairs, and there is no build-side to broadcast or spill — the
+scale-safe shape for 10^9-row event tables (a sort-merge join with an
+inequality would degenerate to a range scan per key; a cartesian is
+out of the question). A hot key serializes inside its partition — an
+inherent property of per-key temporal order (same bound the reference's
+ordered per-schema evaluation has).
+
+Determinism: when several right rows share (key, ts), the LARGEST
+payload struct wins (lexicographic across payload fields) — the window
+orders by the payload struct within equal (ts, side) so the running
+last() lands on it; the result never depends on partition layout and
+costs no extra exchange or aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
+              left_ts: str, right_ts: str | None = None,
+              direction: str = "backward",
+              tolerance_s: float | None = None,
+              suffix: str = "_r") -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` <= ``left_ts`` (direction="backward", equal ts
+    matches) or the smallest ``right_ts`` >= ``left_ts`` ("forward")
+    sharing the key column(s) ``on``. Unmatched left rows keep nulls
+    (left-outer semantics, like pandas.merge_asof).
+
+    ``tolerance_s`` (seconds, or plain units for numeric ts columns)
+    nulls the match when the timestamp gap exceeds it. Right non-key
+    columns that collide with left names get ``suffix``; the matched
+    right timestamp is always emitted as ``{right_ts}{suffix}``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: direction must be backward or "
+                         f"forward, got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    payload_cols = [c for c in right.columns
+                    if c not in keys and c != right_ts]
+
+    # carry the matched right timestamp inside the payload so one
+    # running last() resolves both the row and its ts; (key, ts)
+    # duplicates need NO pre-aggregation — the window below orders by
+    # the payload struct within equal (ts, side), so the running last()
+    # lands on the max struct (same comparator as F.max over structs)
+    rd = right.select(
+        *keys, F.col(right_ts).alias("_ts"),
+        F.struct(F.col(right_ts).alias("_mts"),
+                 F.struct(*[F.col(c) for c in payload_cols]).alias("_pv")
+                 ).alias("_p"))
+
+    ld = left.select(*left.columns, F.col(left_ts).alias("_ts"),
+                     F.lit(None).cast(rd.schema["_p"].dataType).alias("_p"),
+                     F.lit(1).alias("_is_left"))
+    rd = rd.select(*[F.col(c) if c in keys
+                     else F.lit(None).cast(left.schema[c].dataType).alias(c)
+                     for c in left.columns],
+                   "_ts", "_p", F.lit(0).alias("_is_left"))
+
+    # backward: scan time ascending, right rows sort BEFORE left rows at
+    # equal ts (equal matches); forward: scan descending, same tie rule
+    ts_ord = F.col("_ts").asc() if direction == "backward" \
+        else F.col("_ts").desc()
+    w = (Window.partitionBy(*keys)
+         .orderBy(ts_ord, F.col("_is_left").asc(), F.col("_p").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = (ld.unionByName(rd)
+               .withColumn("_m", F.last("_p", ignorenulls=True).over(w))
+               .filter(F.col("_is_left") == 1))
+
+    def _num(c: Column) -> Column:
+        return c.cast("double")
+
+    m_ts = F.col("_m").getField("_mts")
+    if tolerance_s is not None:
+        gap = (_num(F.col("_ts")) - _num(m_ts)) if direction == "backward" \
+            else (_num(m_ts) - _num(F.col("_ts")))
+        matched = matched.withColumn(
+            "_m", F.when(gap <= F.lit(float(tolerance_s)), F.col("_m")))
+        m_ts = F.col("_m").getField("_mts")
+
+    taken = set(left.columns)
+    out_ts = right_ts + suffix if right_ts in taken or right_ts in payload_cols \
+        else right_ts
+    cols = [F.col(c) for c in left.columns]
+    cols.append(m_ts.alias(out_ts))
+    for c in payload_cols:
+        name = c + suffix if c in taken else c
+        cols.append(F.col("_m").getField("_pv").getField(c).alias(name))
+    return matched.select(*cols)

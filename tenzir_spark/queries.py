@@ -1126,6 +1126,42 @@ FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
 """
 
 
+def q_asof_join(spark, sf):
+    """Distributed as-of join (operators/asof.py): attach to every event
+    the most recent per-user 'snapshot' event at-or-before its own ts.
+    Union + per-key running last() — ONE hash exchange, no join node.
+    Snapshot rows are pre-deduped on (user_id, ts) by max(value) in BOTH
+    engines so DuckDB's ASOF JOIN (nondeterministic on right-ts ties)
+    compares apples to apples."""
+    from tenzir_spark.operators.asof import asof_join
+
+    ev = load(spark, sf, "events")
+    snaps = (ev.filter(F.col("event_id") % 16 == 0)
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("snap_value")))
+    out = asof_join(ev.select("event_id", "user_id", "ts"), snaps,
+                    on="user_id", left_ts="ts")
+    return out.select(
+        "event_id", "user_id",
+        # events.ts is TIMESTAMP_NTZ; the session tz is pinned UTC so the
+        # cast is instant-preserving and unix_micros matches epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("ts_r").cast("timestamp")).alias("snap_ts_us"),
+        F.round("snap_value", 4).alias("snap_value"))
+
+
+SQL_ASOF_JOIN = """
+WITH snaps AS (
+  SELECT user_id, ts, max(value) AS snap_value
+  FROM events WHERE event_id % 16 = 0 GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       epoch_us(s.ts) AS snap_ts_us, round(s.snap_value, 4) AS snap_value
+FROM events l ASOF LEFT JOIN snaps s
+  ON l.user_id = s.user_id AND l.ts >= s.ts
+"""
+
+
 def q_token_window_dedup(spark, sf):
     """Window dedup over PRE-TOKENIZED sequences (dedup.py
     token_window_dedup_stats — the north-star input shape,
@@ -3389,7 +3425,7 @@ REGISTRY: dict[str, tuple] = {
     "semdedup_flags": (q_semdedup, SQL_SEMDEDUP),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
-    "parse_grok": (q_parse_grok, SQL_PARSE_GROK),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
     "parse_syslog5424": (q_parse_syslog5424, SQL_PARSE_SYSLOG5424),
     "lake_changelog": (q_lake_changelog, SQL_LAKE_CHANGELOG),
@@ -3427,6 +3463,7 @@ REGISTRY: dict[str, tuple] = {
     "drop_fields": (q_drop, SQL_DROP),
     "distinct_collect": (q_distinct_collect, SQL_DISTINCT_COLLECT),
     "cosine_near_dup": (q_cosine_pairs, SQL_COSINE_PAIRS),
+    "parse_grok": (q_parse_grok, SQL_PARSE_GROK),
     "tql_parse_grok": (q_tql_parse_grok, SQL_TQL_PARSE_GROK),
     "extend_fields": (q_extend, SQL_EXTEND),
     "replace_fields": (q_replace, SQL_REPLACE),

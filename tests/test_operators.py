@@ -640,3 +640,90 @@ def test_token_window_dedup_modes_and_pipeline(spark):
     # pipeline text dispatches to the token twin on array-typed fields
     via_text = run_tql(df, "window-dedup tokens by doc_id w 4")
     assert [r["doc_id"] for r in via_text.collect()] == [3]
+
+
+def test_asof_join_matches_pandas(spark):
+    """asof_join vs pandas.merge_asof (independent oracle): backward,
+    forward, tolerance, unmatched rows, name collisions."""
+    import pandas as pd
+
+    from tenzir_spark.operators.asof import asof_join
+
+    lpd = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b", "c"],
+        "ts": [5.0, 10.0, 20.0, 3.0, 30.0, 1.0],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+    })
+    rpd = pd.DataFrame({
+        "k": ["a", "a", "b", "b"],
+        "ts": [5.0, 15.0, 10.0, 25.0],
+        "value": [100.0, 150.0, 110.0, 125.0],
+    })
+    ldf = spark.createDataFrame(lpd)
+    rdf = spark.createDataFrame(rpd)
+
+    for direction in ("backward", "forward"):
+        got = (asof_join(ldf, rdf, on="k", left_ts="ts",
+                         direction=direction)
+               .toPandas().sort_values(["k", "ts"]).reset_index(drop=True))
+        exp = pd.merge_asof(
+            lpd.sort_values("ts"), rpd.sort_values("ts"), on="ts", by="k",
+            direction=direction, suffixes=("", "_r"))
+        exp = exp.rename(columns={"ts": "ts"})
+        exp["ts_r"] = exp["ts"].where(exp["value_r"].notna())  # placeholder
+        # pandas doesn't emit the matched right ts; recompute it:
+        def _mts(row):
+            cand = rpd[(rpd.k == row.k)]
+            cand = cand[cand.ts <= row.ts] if direction == "backward" \
+                else cand[cand.ts >= row.ts]
+            if cand.empty:
+                return None
+            return cand.ts.max() if direction == "backward" else cand.ts.min()
+        exp["ts_r"] = exp.apply(_mts, axis=1)
+        exp = exp.sort_values(["k", "ts"]).reset_index(drop=True)
+        def _nl(s):
+            return [None if pd.isna(x) else x for x in s]
+        assert _nl(got["value_r"]) == _nl(exp["value_r"]), direction
+        assert _nl(got["ts_r"]) == _nl(exp["ts_r"]), direction
+
+    # tolerance: gap > 4 s nulls the match
+    tol = (asof_join(ldf, rdf, on="k", left_ts="ts", tolerance_s=4.0)
+           .toPandas().sort_values(["k", "ts"]).reset_index(drop=True))
+    expt = pd.merge_asof(
+        lpd.sort_values("ts"), rpd.sort_values("ts"), on="ts", by="k",
+        direction="backward", tolerance=4.0, suffixes=("", "_r"))
+    expt = expt.sort_values(["k", "ts"]).reset_index(drop=True)
+    assert [None if pd.isna(x) else x for x in tol["value_r"]] \
+        == [None if pd.isna(x) else x for x in expt["value_r"]]
+
+
+def test_asof_join_duplicate_right_ts_deterministic(spark):
+    """Several right rows on the same (key, ts): the documented rule is
+    max payload struct — result independent of partition layout."""
+    from tenzir_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame([("a", 10.0)], "k string, ts double")
+    rdf = spark.createDataFrame(
+        [("a", 5.0, "x", 1.0), ("a", 5.0, "z", 0.5), ("a", 5.0, "y", 9.0)],
+        "k string, ts double, tag string, w double").repartition(8)
+    out = asof_join(ldf, rdf, on="k", left_ts="ts").collect()
+    assert len(out) == 1
+    # max struct = lexicographic over (tag, w) -> ("z", 0.5)
+    assert out[0]["tag"] == "z" and out[0]["w"] == 0.5
+    assert out[0]["ts_r"] == 5.0
+
+
+def test_asof_join_plan_single_exchange(spark):
+    """Scale shape: ONE hash exchange on the key, no join node."""
+    from tenzir_spark.operators.asof import asof_join
+
+    ldf = spark.range(100).selectExpr("id % 7 AS k", "CAST(id AS DOUBLE) ts",
+                                      "id AS v")
+    rdf = spark.range(20).selectExpr("id % 7 AS k",
+                                     "CAST(id * 5 AS DOUBLE) ts",
+                                     "id AS snap")
+    plan = asof_join(ldf, rdf, on="k", left_ts="ts")._jdf \
+        .queryExecution().executedPlan().toString()
+    import re as _re
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
