@@ -15,7 +15,9 @@ Grammar implemented (the documented, stable core):
                  unary -, literals (string/number/bool/null), selectors
                  (dotted paths), "$"bindings, method calls
                  (.starts_with/.ends_with/.contains/.lower/.upper/
-                  .length/.trim/.abs/.round), function calls, [lists]
+                  .length/.trim/.abs/.round/.split/.replace/…, list
+                  methods .sort/.reverse/.distinct/.flatten/.first/
+                  .last/.min/.max/.sum/.join), function calls, [lists]
 
 Operators: where, select, drop, head, tail, sort (`-field` descending),
 summarize (bare selector args = group keys, assignments = aggregates —
@@ -434,7 +436,25 @@ _METHODS = {
         c, *[F.lit(x) for x in _str_args("replace", a, 2)]),
     "capitalize": lambda c, a: F.initcap(c),
     "to_int": lambda c, a: c.cast("long"),
+    "to_float": lambda c, a: c.cast("double"),
     "to_string": lambda c, a: c.cast("string"),
+    # TQL2 function-library names (docs list to_upper/to_lower alongside
+    # the legacy lower/upper)
+    "to_lower": lambda c, a: F.lower(c),
+    "to_upper": lambda c, a: F.upper(c),
+    # list methods — pure Catalyst array functions, JVM-side
+    "sort": lambda c, a: F.array_sort(c),
+    "reverse": lambda c, a: F.reverse(c),
+    "distinct": lambda c, a: F.array_distinct(c),
+    "flatten": lambda c, a: F.flatten(c),
+    "first": lambda c, a: F.element_at(c, 1),
+    "last": lambda c, a: F.element_at(c, -1),
+    "min": lambda c, a: F.array_min(c),
+    "max": lambda c, a: F.array_max(c),
+    # numeric fold: result is double (Catalyst aggregate state type)
+    "sum": lambda c, a: F.aggregate(
+        c, F.lit(0.0), lambda acc, x: acc + x.cast("double")),
+    "join": lambda c, a: F.array_join(c, _str_args("join", a, 1)[0]),
 }
 
 

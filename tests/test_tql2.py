@@ -315,3 +315,29 @@ def test_lambda_clear_errors(df):
         run_tql2(df, 'y = txt.split(" ").map(3) | select y')
     with pytest.raises(TqlError, match="expects exactly one lambda"):
         run_tql2(df, 'y = txt.split(" ").where(txt) | select y')
+
+
+def test_list_methods(df):
+    out = run_tql2(df, '''
+words = txt.lower().split(" ")
+srt = words.sort()
+rev = srt.reverse()
+uniq = concat(txt.lower(), " ", txt.lower()).split(" ").distinct()
+hd = srt.first()
+tl = srt.last()
+shortest = words.map(w => w.length()).min()
+longest = words.map(w => w.length()).max()
+total = words.map(w => w.length()).sum()
+glued = srt.join("-")
+up = txt.to_upper().to_lower()
+select src, srt, rev, uniq, hd, tl, shortest, longest, total, glued, up
+where src == "web" and n == 3
+''').collect()[0]
+    assert out["srt"] == ["hello", "world"]
+    assert out["rev"] == ["world", "hello"]
+    assert sorted(out["uniq"]) == ["hello", "world"]
+    assert out["hd"] == "hello" and out["tl"] == "world"
+    assert out["shortest"] == 5 and out["longest"] == 5
+    assert out["total"] == 10.0
+    assert out["glued"] == "hello-world"
+    assert out["up"] == "hello world"
