@@ -32,6 +32,28 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def fill_forward(df: DataFrame, on: str | list[str], ts: str,
+                 cols: list[str], order: list[str] | None = None) -> DataFrame:
+    """Last-observation-carried-forward: per key, replace nulls in
+    ``cols`` with the most recent non-null value at-or-before each row's
+    ``ts`` (the classic gap-fill for sparse metric/state streams; the
+    degenerate self-as-of-join). ``order`` adds tiebreak columns after
+    ``ts`` so duplicate timestamps fill deterministically.
+
+    Same scale shape as asof_join: ONE hash exchange on the key, one
+    in-partition sort, a running ``last(ignorenulls)`` per column —
+    O(n) rows, no join, no driver materialization.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    w = (Window.partitionBy(*keys)
+         .orderBy(F.col(ts).asc(), *[F.col(c).asc() for c in (order or [])])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
               left_ts: str, right_ts: str | None = None,
               direction: str = "backward",

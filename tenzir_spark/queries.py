@@ -1162,6 +1162,38 @@ FROM events l ASOF LEFT JOIN snaps s
 """
 
 
+def q_fill_forward(spark, sf):
+    """LOCF gap-fill (operators/asof.py fill_forward): every third event's
+    value nulled, then carried forward per user in (ts, event_id) order —
+    leading nulls stay null. Same one-exchange window shape as asof_join."""
+    from tenzir_spark.operators.asof import fill_forward
+
+    ev = load(spark, sf, "events")
+    sparse = ev.select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("value"))
+    out = fill_forward(sparse, on="user_id", ts="ts", cols=["value"],
+                       order=["event_id"])
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round("value", 4).alias("filled_value"))
+
+
+SQL_FILL_FORWARD = """
+WITH sparse AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 3 <> 0 THEN value END AS value
+  FROM events
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       round(last_value(value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled_value
+FROM sparse
+"""
+
+
 def q_token_window_dedup(spark, sf):
     """Window dedup over PRE-TOKENIZED sequences (dedup.py
     token_window_dedup_stats — the north-star input shape,
@@ -3463,6 +3495,7 @@ REGISTRY: dict[str, tuple] = {
     "drop_fields": (q_drop, SQL_DROP),
     "distinct_collect": (q_distinct_collect, SQL_DISTINCT_COLLECT),
     "cosine_near_dup": (q_cosine_pairs, SQL_COSINE_PAIRS),
+    "fill_forward": (q_fill_forward, SQL_FILL_FORWARD),
     "parse_grok": (q_parse_grok, SQL_PARSE_GROK),
     "tql_parse_grok": (q_tql_parse_grok, SQL_TQL_PARSE_GROK),
     "extend_fields": (q_extend, SQL_EXTEND),

@@ -727,3 +727,17 @@ def test_asof_join_plan_single_exchange(spark):
     import re as _re
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "Join" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_fill_forward_locf(spark):
+    from tenzir_spark.operators.asof import fill_forward
+
+    df = spark.createDataFrame(
+        [("a", 1.0, None), ("a", 2.0, 10.0), ("a", 3.0, None),
+         ("a", 4.0, None), ("b", 1.0, None), ("b", 2.0, 5.0)],
+        "k string, ts double, v double")
+    out = {(r["k"], r["ts"]): r["v"]
+           for r in fill_forward(df, on="k", ts="ts", cols=["v"]).collect()}
+    assert out[("a", 1.0)] is None          # leading null stays null
+    assert out[("a", 3.0)] == 10.0 and out[("a", 4.0)] == 10.0
+    assert out[("b", 1.0)] is None and out[("b", 2.0)] == 5.0
