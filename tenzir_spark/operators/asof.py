@@ -1,5 +1,9 @@
-"""Distributed as-of (temporal) join — attach to each left row the most
-recent right row at-or-before its timestamp, per key.
+"""Temporal operators: distributed as-of join, LOCF gap-fill, and
+inactivity-gap sessionization — all the same scale shape (one hash
+exchange on the key, one in-partition sort, running window functions).
+
+asof_join attaches to each left row the most recent right row
+at-or-before its timestamp, per key.
 
 The canonical enrichment for event streams ("what was the config /
 price / context when this event happened") that plain equi-joins can't
@@ -30,6 +34,47 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def sessionize(df: DataFrame, on: str | list[str], ts: str,
+               gap_s: float, out: str = "session_no",
+               order: list[str] | None = None) -> DataFrame:
+    """Assign inactivity-gap session numbers per key (batch twin of the
+    streaming session_window rollup in streaming/stateful.py): a row
+    starts a new session when it is the key's first event or arrives
+    more than ``gap_s`` seconds after the previous one; ``out`` is the
+    0-based running session index per key. ``order`` adds tiebreak
+    columns after ``ts`` for duplicate timestamps.
+
+    One hash exchange on the key + one in-partition sort; the lag and
+    the running sum ride the same Window spec (one WindowExec).
+    Timestamps may be timestamp[_ntz] or plain numerics — gaps compare
+    on a double cast (seconds for timestamps).
+    """
+    from pyspark.sql import types as T
+
+    keys = [on] if isinstance(on, str) else list(on)
+    ord_cols = [F.col(ts).asc(), *[F.col(c).asc() for c in (order or [])]]
+    w = Window.partitionBy(*keys).orderBy(*ord_cols)
+    if isinstance(df.schema[ts].dataType,
+                  (T.TimestampType, T.TimestampNTZType)):
+        # integer epoch-micros: the gap compare is exact (a double-seconds
+        # cast is ~0.2 µs sloppy at current epochs — enough to flip a
+        # boundary row against an integer-math oracle)
+        tnum = F.unix_micros(F.col(ts).cast("timestamp"))
+        gap = F.lit(int(round(gap_s * 1_000_000)))
+    else:
+        tnum = F.col(ts).cast("double")
+        gap = F.lit(float(gap_s))
+    is_new = F.when(
+        F.lag(tnum).over(w).isNull()
+        | ((tnum - F.lag(tnum).over(w)) > gap),
+        F.lit(1)).otherwise(F.lit(0))
+    run = (Window.partitionBy(*keys).orderBy(*ord_cols)
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("_new", is_new)
+            .withColumn(out, (F.sum("_new").over(run) - 1).cast("long"))
+            .drop("_new"))
 
 
 def fill_forward(df: DataFrame, on: str | list[str], ts: str,

@@ -1194,6 +1194,39 @@ FROM sparse
 """
 
 
+def q_sessionize(spark, sf):
+    """Inactivity-gap sessionization (operators/asof.py sessionize):
+    12h gap per user, (ts, event_id) tiebreak — 0-based running session
+    index. Batch twin of the streaming session_window rollup; the gap
+    compare runs on integer epoch-micros in both engines (exact)."""
+    from tenzir_spark.operators.asof import sessionize
+
+    ev = load(spark, sf, "events").select("event_id", "user_id", "ts")
+    out = sessionize(ev, on="user_id", ts="ts", gap_s=43200,
+                     order=["event_id"])
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "session_no")
+
+
+SQL_SESSIONIZE = """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR date_diff('microsecond', lag(ts) OVER w, ts) > 43200000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+       AS session_no
+FROM o
+"""
+
+
 def q_token_window_dedup(spark, sf):
     """Window dedup over PRE-TOKENIZED sequences (dedup.py
     token_window_dedup_stats — the north-star input shape,
@@ -3496,6 +3529,7 @@ REGISTRY: dict[str, tuple] = {
     "distinct_collect": (q_distinct_collect, SQL_DISTINCT_COLLECT),
     "cosine_near_dup": (q_cosine_pairs, SQL_COSINE_PAIRS),
     "fill_forward": (q_fill_forward, SQL_FILL_FORWARD),
+    "sessionize_gap": (q_sessionize, SQL_SESSIONIZE),
     "parse_grok": (q_parse_grok, SQL_PARSE_GROK),
     "tql_parse_grok": (q_tql_parse_grok, SQL_TQL_PARSE_GROK),
     "extend_fields": (q_extend, SQL_EXTEND),

@@ -741,3 +741,22 @@ def test_fill_forward_locf(spark):
     assert out[("a", 1.0)] is None          # leading null stays null
     assert out[("a", 3.0)] == 10.0 and out[("a", 4.0)] == 10.0
     assert out[("b", 1.0)] is None and out[("b", 2.0)] == 5.0
+
+
+def test_sessionize_gap(spark):
+    from tenzir_spark.operators.asof import sessionize
+
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 10.0), ("a", 100.0), ("a", 101.0), ("b", 0.0)],
+        "k string, ts double")
+    out = {(r["k"], r["ts"]): r["session_no"]
+           for r in sessionize(df, on="k", ts="ts", gap_s=30).collect()}
+    assert out == {("a", 0.0): 0, ("a", 10.0): 0,
+                   ("a", 100.0): 1, ("a", 101.0): 1, ("b", 0.0): 0}
+    # boundary: gap EXACTLY 30 continues the session (strict >)
+    df2 = spark.createDataFrame([("a", 0.0), ("a", 30.0), ("a", 60.001)],
+                                "k string, ts double")
+    out2 = [r["session_no"] for r in
+            sessionize(df2, on="k", ts="ts", gap_s=30)
+            .orderBy("ts").collect()]
+    assert out2 == [0, 0, 1]
