@@ -77,6 +77,49 @@ def sessionize(df: DataFrame, on: str | list[str], ts: str,
             .drop("_new"))
 
 
+_ROLL_FNS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+             "count": F.count}
+
+
+def rolling_agg(df: DataFrame, on: str | list[str], ts: str, col: str,
+                window_s: float, fns: tuple[str, ...] = ("avg",),
+                ) -> DataFrame:
+    """Trailing time-window aggregates per key: for each row, aggregate
+    ``col`` over the key's rows with ``ts`` in ``[row.ts - window_s,
+    row.ts]`` (RANGE frame — all rows sharing a timestamp get the same
+    frame, so duplicate timestamps stay deterministic without a
+    tiebreak). Emits one ``{fn}_{col}_roll`` column per fn.
+
+    Timestamp columns order on integer epoch-micros (exact frame
+    bounds); numeric ``ts`` columns compare as doubles. Same scale
+    shape as the rest of this module: one hash exchange, one sort, one
+    WindowExec evaluating every frame in a single pass.
+    """
+    from pyspark.sql import types as T
+
+    keys = [on] if isinstance(on, str) else list(on)
+    bad = [f for f in fns if f not in _ROLL_FNS]
+    if bad:
+        raise ValueError(f"rolling_agg: unknown fn(s) {bad}; "
+                         f"supported: {sorted(_ROLL_FNS)}")
+    if isinstance(df.schema[ts].dataType,
+                  (T.TimestampType, T.TimestampNTZType)):
+        tnum = F.unix_micros(F.col(ts).cast("timestamp"))
+        lo = -int(round(window_s * 1_000_000))
+    else:
+        # pyspark's rangeBetween takes integer offsets only — numeric ts
+        # columns window on whole units
+        tnum = F.col(ts).cast("long")
+        lo = -int(round(window_s))
+    w = (Window.partitionBy(*keys).orderBy(tnum.asc())
+         .rangeBetween(lo, Window.currentRow))
+    out = df
+    for f in fns:
+        out = out.withColumn(
+            f"{f}_{col}_roll", _ROLL_FNS[f](F.col(col)).over(w))
+    return out
+
+
 def fill_forward(df: DataFrame, on: str | list[str], ts: str,
                  cols: list[str], order: list[str] | None = None) -> DataFrame:
     """Last-observation-carried-forward: per key, replace nulls in

@@ -991,6 +991,67 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                     == F.lit(val),
                     max_ppl=float(m2.group(5)))
                 order = None
+            elif name == "sessionize":
+                # `sessionize <ts-field> by <key-field> gap <duration>
+                #  [tiebreak <field>]` — inactivity-gap session numbers
+                # (operators/asof.py sessionize); appends session_no,
+                # keeps row order undefined (window re-sorts per key)
+                m2 = re.fullmatch(
+                    r"(\S+)\s+by\s+(\S+)\s+gap\s+(\S+)"
+                    r"(?:\s+tiebreak\s+(\S+))?", args.strip())
+                if not m2:
+                    raise TqlError(
+                        "sessionize: usage `sessionize <ts-field> by "
+                        "<key-field> gap <duration> [tiebreak <field>]`")
+                from tenzir_spark.operators.asof import sessionize
+
+                df = sessionize(
+                    df, on=_one_path(schema, m2.group(2)),
+                    ts=_one_path(schema, m2.group(1)),
+                    gap_s=parse_duration(m2.group(3)).total_seconds(),
+                    order=[_one_path(schema, m2.group(4))]
+                    if m2.group(4) else None)
+                order = None
+            elif name == "fill-forward":
+                # `fill-forward <field>[,<field>…] by <key-field> ts
+                #  <ts-field>` — LOCF gap-fill (operators/asof.py)
+                m2 = re.fullmatch(
+                    r"(\S+)\s+by\s+(\S+)\s+ts\s+(\S+)", args.strip())
+                if not m2:
+                    raise TqlError(
+                        "fill-forward: usage `fill-forward <field>[,"
+                        "<field>…] by <key-field> ts <ts-field>`")
+                from tenzir_spark.operators.asof import fill_forward
+
+                df = fill_forward(
+                    df, on=_one_path(schema, m2.group(2)),
+                    ts=_one_path(schema, m2.group(3)),
+                    cols=[_one_path(schema, c)
+                          for c in m2.group(1).split(",") if c])
+                order = None
+            elif name == "rolling":
+                # `rolling <fn>[,fn…] <value-field> by <key-field> ts
+                #  <ts-field> window <duration>` — trailing time-window
+                # aggregates (operators/asof.py rolling_agg)
+                m2 = re.fullmatch(
+                    r"([a-z,]+)\s+(\S+)\s+by\s+(\S+)\s+ts\s+(\S+)"
+                    r"\s+window\s+(\S+)", args.strip())
+                if not m2:
+                    raise TqlError(
+                        "rolling: usage `rolling <fn>[,fn…] <value-field>"
+                        " by <key-field> ts <ts-field> window <duration>`")
+                from tenzir_spark.operators.asof import rolling_agg
+
+                try:
+                    df = rolling_agg(
+                        df, on=_one_path(schema, m2.group(3)),
+                        ts=_one_path(schema, m2.group(4)),
+                        col=_one_path(schema, m2.group(2)),
+                        window_s=parse_duration(m2.group(5)).total_seconds(),
+                        fns=tuple(f for f in m2.group(1).split(",") if f))
+                except ValueError as exc:
+                    raise TqlError(f"rolling: {exc}")
+                order = None
             elif name == "pack":
                 # `pack <count-field> by <id-field> [block <n>]` — span
                 # assignment (id, block_id, offsets); schema changes, so

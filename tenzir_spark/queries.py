@@ -1227,6 +1227,33 @@ FROM o
 """
 
 
+def q_rolling_agg(spark, sf):
+    """Trailing 6h rolling avg+count per user (operators/asof.py
+    rolling_agg): RANGE frame on integer epoch-micros — exact bounds,
+    duplicate timestamps share one frame in both engines."""
+    from tenzir_spark.operators.asof import rolling_agg
+
+    ev = load(spark, sf, "events").select("event_id", "user_id", "ts",
+                                          "value")
+    out = rolling_agg(ev, on="user_id", ts="ts", col="value",
+                      window_s=21600, fns=("avg", "count"))
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round("avg_value_roll", 4).alias("roll_avg"),
+        F.col("count_value_roll").alias("roll_n"))
+
+
+SQL_ROLLING_AGG = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       round(avg(value) OVER w, 4) AS roll_avg,
+       count(value) OVER w AS roll_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_token_window_dedup(spark, sf):
     """Window dedup over PRE-TOKENIZED sequences (dedup.py
     token_window_dedup_stats — the north-star input shape,
@@ -3530,6 +3557,7 @@ REGISTRY: dict[str, tuple] = {
     "cosine_near_dup": (q_cosine_pairs, SQL_COSINE_PAIRS),
     "fill_forward": (q_fill_forward, SQL_FILL_FORWARD),
     "sessionize_gap": (q_sessionize, SQL_SESSIONIZE),
+    "rolling_agg": (q_rolling_agg, SQL_ROLLING_AGG),
     "parse_grok": (q_parse_grok, SQL_PARSE_GROK),
     "tql_parse_grok": (q_tql_parse_grok, SQL_TQL_PARSE_GROK),
     "extend_fields": (q_extend, SQL_EXTEND),

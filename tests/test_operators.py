@@ -760,3 +760,23 @@ def test_sessionize_gap(spark):
             sessionize(df2, on="k", ts="ts", gap_s=30)
             .orderBy("ts").collect()]
     assert out2 == [0, 0, 1]
+
+
+def test_rolling_agg_trailing_window(spark):
+    from tenzir_spark.operators.asof import rolling_agg
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 5, 2.0), ("a", 11, 4.0), ("a", 11, 8.0),
+         ("b", 0, 100.0)],
+        "k string, ts long, v double")
+    out = rolling_agg(df, on="k", ts="ts", col="v", window_s=10,
+                      fns=("sum", "count")).collect()
+    got = {(r["k"], r["ts"], r["v"]): (r["sum_v_roll"], r["count_v_roll"])
+           for r in out}
+    assert got[("a", 0, 1.0)] == (1.0, 1)
+    assert got[("a", 5, 2.0)] == (3.0, 2)       # [ts-10, ts] includes 0
+    # duplicate ts: RANGE frame -> both rows see the SAME frame [1,11]
+    # = {2.0, 4.0, 8.0} (ts=0 is outside 11-10=1)
+    assert got[("a", 11, 4.0)] == (14.0, 3)
+    assert got[("a", 11, 8.0)] == (14.0, 3)
+    assert got[("b", 0, 100.0)] == (100.0, 1)

@@ -711,3 +711,32 @@ def test_show_and_host_source_heads(spark, tmp_path):
         run_tql_source(spark, "show partitions")
     with _pytest.raises(TqlError, match="takes no argument"):
         run_tql_source(spark, "processes now")
+
+
+def test_temporal_text_stages(spark):
+    """sessionize / fill-forward / rolling as pipeline text
+    (operators/asof.py family)."""
+    import pytest as _pytest
+
+    from tenzir_spark.plans.pipeline import TqlError, run_tql
+
+    df = spark.createDataFrame(
+        [("a", 0.0, None), ("a", 10.0, 2.0), ("a", 100.0, None),
+         ("b", 0.0, 5.0)],
+        "k string, ts double, v double")
+    out = {(r["k"], r["ts"]): r for r in
+           run_tql(df, "sessionize ts by k gap 30s "
+                       "| fill-forward v by k ts ts "
+                       "| rolling sum,count v by k ts ts window 1m"
+                   ).collect()}
+    assert out[("a", 10.0)]["session_no"] == 0
+    assert out[("a", 100.0)]["session_no"] == 1
+    assert out[("a", 100.0)]["v"] == 2.0           # carried forward
+    assert out[("a", 100.0)]["sum_v_roll"] == 2.0  # rolling AFTER fill
+    assert out[("a", 10.0)]["count_v_roll"] == 1   # null v at ts=0
+    assert out[("b", 0.0)]["session_no"] == 0
+
+    with _pytest.raises(TqlError, match="usage"):
+        run_tql(df, "sessionize ts gap 30s")
+    with _pytest.raises(TqlError, match="rolling"):
+        run_tql(df, "rolling nope v by k ts ts window 1m")
