@@ -249,7 +249,7 @@ _PIPELINE_OPERATORS = [
     "redact-pii", "dsir-sample", "bpe", "semdedup", "cluster-dedup",
     "lm-filter", "gopher-filter", "repetition-filter",
     "html-extract", "url-filter", "quality-filter", "cross-dedup",
-    "sessionize", "fill-forward", "rolling",
+    "sessionize", "fill-forward", "rolling", "asof-join",
 ]
 _FORMATS = [
     "json", "ndjson", "csv", "tsv", "ssv", "xsv", "parquet", "feather",

@@ -991,6 +991,30 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                     == F.lit(val),
                     max_ppl=float(m2.group(5)))
                 order = None
+            elif name == "asof-join":
+                # `asof-join <parquet-path> on <key-field> ts <ts-field>
+                #  [direction forward] [tolerance <duration>]` — temporal
+                # enrich from a parquet right side (operators/asof.py);
+                # adds the matched right columns, so order leaves scope
+                m2 = re.fullmatch(
+                    r"(\S+)\s+on\s+(\S+)\s+ts\s+(\S+)"
+                    r"(?:\s+direction\s+(backward|forward))?"
+                    r"(?:\s+tolerance\s+(\S+))?", args.strip())
+                if not m2:
+                    raise TqlError(
+                        "asof-join: usage `asof-join <parquet-path> on "
+                        "<key-field> ts <ts-field> [direction forward] "
+                        "[tolerance <duration>]`")
+                from tenzir_spark.operators.asof import asof_join
+
+                right = df.sparkSession.read.parquet(m2.group(1))
+                df = asof_join(
+                    df, right, on=_one_path(schema, m2.group(2)),
+                    left_ts=_one_path(schema, m2.group(3)),
+                    direction=m2.group(4) or "backward",
+                    tolerance_s=parse_duration(m2.group(5)).total_seconds()
+                    if m2.group(5) else None)
+                order = None
             elif name == "sessionize":
                 # `sessionize <ts-field> by <key-field> gap <duration>
                 #  [tiebreak <field>]` — inactivity-gap session numbers

@@ -740,3 +740,30 @@ def test_temporal_text_stages(spark):
         run_tql(df, "sessionize ts gap 30s")
     with _pytest.raises(TqlError, match="rolling"):
         run_tql(df, "rolling nope v by k ts ts window 1m")
+
+
+def test_asof_join_text_stage(spark, tmp_path):
+    import pytest as _pytest
+
+    from tenzir_spark.plans.pipeline import TqlError, run_tql
+
+    spark.createDataFrame(
+        [("a", 5.0, 1.5), ("a", 20.0, 2.5)], "k string, ts double, px double"
+    ).write.parquet(str(tmp_path / "quotes"))
+    df = spark.createDataFrame(
+        [("a", 7.0), ("a", 25.0), ("a", 1.0)], "k string, ts double")
+
+    out = {r["ts"]: r for r in run_tql(
+        df, f"asof-join {tmp_path}/quotes on k ts ts").collect()}
+    assert out[7.0]["px"] == 1.5 and out[7.0]["ts_r"] == 5.0
+    assert out[25.0]["px"] == 2.5
+    assert out[1.0]["px"] is None
+
+    out2 = {r["ts"]: r["px"] for r in run_tql(
+        df, f"asof-join {tmp_path}/quotes on k ts ts "
+            "direction forward tolerance 5s").collect()}
+    assert out2[1.0] == 1.5      # forward to ts=5 within 5s
+    assert out2[7.0] is None     # forward to 20 is 13s > tolerance
+
+    with _pytest.raises(TqlError, match="usage"):
+        run_tql(df, "asof-join quotes ts ts")
