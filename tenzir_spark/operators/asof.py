@@ -77,6 +77,35 @@ def sessionize(df: DataFrame, on: str | list[str], ts: str,
             .drop("_new"))
 
 
+def _orderable(dt) -> bool:
+    """Spark sort-orderability: maps are not orderable; arrays/structs
+    are orderable iff their element/field types are."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
+def _gap_terms(dt, lcol: Column, rcol: Column, tol_s: float):
+    """Numeric (l, r, tolerance) terms for a timestamp-gap compare:
+    integer epoch-micros for timestamp columns (exact — a double-seconds
+    cast is ~0.2 µs sloppy at current epochs and flips boundary rows),
+    double units for numeric ts columns."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return (F.unix_micros(lcol.cast("timestamp")),
+                F.unix_micros(rcol.cast("timestamp")),
+                F.lit(int(round(tol_s * 1_000_000))))
+    return (lcol.cast("double"), rcol.cast("double"),
+            F.lit(float(tol_s)))
+
+
 _ROLL_FNS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
              "count": F.count}
 
@@ -107,10 +136,12 @@ def rolling_agg(df: DataFrame, on: str | list[str], ts: str, col: str,
         tnum = F.unix_micros(F.col(ts).cast("timestamp"))
         lo = -int(round(window_s * 1_000_000))
     else:
-        # pyspark's rangeBetween takes integer offsets only — numeric ts
-        # columns window on whole units
-        tnum = F.col(ts).cast("long")
-        lo = -int(round(window_s))
+        # pyspark's rangeBetween takes integer offsets only — scale
+        # numeric ts to integer micro-units so fractional timestamps
+        # keep their frame membership (a bare cast('long') truncates
+        # VALUES while the offset rounds — up to a whole unit of skew)
+        tnum = F.round(F.col(ts).cast("double") * 1_000_000).cast("long")
+        lo = -int(round(window_s * 1_000_000))
     w = (Window.partitionBy(*keys).orderBy(tnum.asc())
          .rangeBetween(lo, Window.currentRow))
     out = df
@@ -155,8 +186,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
 
     ``tolerance_s`` (seconds, or plain units for numeric ts columns)
     nulls the match when the timestamp gap exceeds it. Right non-key
-    columns that collide with left names get ``suffix``; the matched
+    columns that collide with left names get ``suffix`` (repeated until
+    unique, so chained joins never emit ambiguous names); the matched
     right timestamp is always emitted as ``{right_ts}{suffix}``.
+
+    NULL timestamps never match: null-ts right rows are dropped, null-ts
+    left rows come back with a null match (pandas.merge_asof refuses
+    them outright; a scan-order window would otherwise hand backward
+    scans a nulls-first phantom match and forward scans the global
+    minimum).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join: direction must be backward or "
@@ -170,12 +208,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     # running last() resolves both the row and its ts; (key, ts)
     # duplicates need NO pre-aggregation — the window below orders by
     # the payload struct within equal (ts, side), so the running last()
-    # lands on the max struct (same comparator as F.max over structs)
-    rd = right.select(
-        *keys, F.col(right_ts).alias("_ts"),
-        F.struct(F.col(right_ts).alias("_mts"),
-                 F.struct(*[F.col(c) for c in payload_cols]).alias("_pv")
-                 ).alias("_p"))
+    # lands on the max struct (same comparator as F.max over structs).
+    # Map-typed payloads are UNORDERABLE in Spark: drop the tiebreak
+    # term for them (ties then resolve by partition scan order — the
+    # analysis error would otherwise reject the whole join).
+    payload_struct = F.struct(*[F.col(c) for c in payload_cols])
+    rd = (right.filter(F.col(right_ts).isNotNull())
+          .select(*keys, F.col(right_ts).alias("_ts"),
+                  F.struct(F.col(right_ts).alias("_mts"),
+                           payload_struct.alias("_pv")).alias("_p")))
+    tie_ord = ([F.col("_p").asc()]
+               if _orderable(rd.schema["_p"].dataType) else [])
 
     ld = left.select(*left.columns, F.col(left_ts).alias("_ts"),
                      F.lit(None).cast(rd.schema["_p"].dataType).alias("_p"),
@@ -190,29 +233,36 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     ts_ord = F.col("_ts").asc() if direction == "backward" \
         else F.col("_ts").desc()
     w = (Window.partitionBy(*keys)
-         .orderBy(ts_ord, F.col("_is_left").asc(), F.col("_p").asc())
+         .orderBy(ts_ord, F.col("_is_left").asc(), *tie_ord)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = F.last("_p", ignorenulls=True).over(w)
     matched = (ld.unionByName(rd)
-               .withColumn("_m", F.last("_p", ignorenulls=True).over(w))
+               .withColumn("_m", F.when(F.col("_ts").isNotNull(), run))
                .filter(F.col("_is_left") == 1))
-
-    def _num(c: Column) -> Column:
-        return c.cast("double")
 
     m_ts = F.col("_m").getField("_mts")
     if tolerance_s is not None:
-        gap = (_num(F.col("_ts")) - _num(m_ts)) if direction == "backward" \
-            else (_num(m_ts) - _num(F.col("_ts")))
+        lnum, rnum, tol = _gap_terms(
+            left.schema[left_ts].dataType, F.col("_ts"), m_ts, tolerance_s)
+        gap = (lnum - rnum) if direction == "backward" else (rnum - lnum)
         matched = matched.withColumn(
-            "_m", F.when(gap <= F.lit(float(tolerance_s)), F.col("_m")))
+            "_m", F.when(gap <= tol, F.col("_m")))
         m_ts = F.col("_m").getField("_mts")
 
     taken = set(left.columns)
-    out_ts = right_ts + suffix if right_ts in taken or right_ts in payload_cols \
-        else right_ts
+
+    def _fresh(name: str) -> str:
+        while name in taken:
+            name += suffix
+        taken.add(name)
+        return name
+
+    out_ts = _fresh(right_ts + suffix
+                    if right_ts in taken or right_ts in payload_cols
+                    else right_ts)
     cols = [F.col(c) for c in left.columns]
     cols.append(m_ts.alias(out_ts))
     for c in payload_cols:
-        name = c + suffix if c in taken else c
-        cols.append(F.col("_m").getField("_pv").getField(c).alias(name))
+        cols.append(F.col("_m").getField("_pv").getField(c)
+                    .alias(_fresh(c)))
     return matched.select(*cols)

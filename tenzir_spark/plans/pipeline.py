@@ -1009,8 +1009,8 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
 
                 right = df.sparkSession.read.parquet(m2.group(1))
                 df = asof_join(
-                    df, right, on=_one_path(schema, m2.group(2)),
-                    left_ts=_one_path(schema, m2.group(3)),
+                    df, right, on=_temporal_path(schema, m2.group(2), name),
+                    left_ts=_temporal_path(schema, m2.group(3), name),
                     direction=m2.group(4) or "backward",
                     tolerance_s=parse_duration(m2.group(5)).total_seconds()
                     if m2.group(5) else None)
@@ -1030,28 +1030,34 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                 from tenzir_spark.operators.asof import sessionize
 
                 df = sessionize(
-                    df, on=_one_path(schema, m2.group(2)),
-                    ts=_one_path(schema, m2.group(1)),
+                    df, on=_temporal_path(schema, m2.group(2), name),
+                    ts=_temporal_path(schema, m2.group(1), name),
                     gap_s=parse_duration(m2.group(3)).total_seconds(),
-                    order=[_one_path(schema, m2.group(4))]
+                    order=[_temporal_path(schema, m2.group(4), name)]
                     if m2.group(4) else None)
                 order = None
             elif name == "fill-forward":
                 # `fill-forward <field>[,<field>…] by <key-field> ts
-                #  <ts-field>` — LOCF gap-fill (operators/asof.py)
+                #  <ts-field> [tiebreak <field>]` — LOCF gap-fill
+                # (operators/asof.py); tiebreak makes fills at duplicate
+                # timestamps deterministic
                 m2 = re.fullmatch(
-                    r"(\S+)\s+by\s+(\S+)\s+ts\s+(\S+)", args.strip())
+                    r"(\S+)\s+by\s+(\S+)\s+ts\s+(\S+)"
+                    r"(?:\s+tiebreak\s+(\S+))?", args.strip())
                 if not m2:
                     raise TqlError(
                         "fill-forward: usage `fill-forward <field>[,"
-                        "<field>…] by <key-field> ts <ts-field>`")
+                        "<field>…] by <key-field> ts <ts-field> "
+                        "[tiebreak <field>]`")
                 from tenzir_spark.operators.asof import fill_forward
 
                 df = fill_forward(
-                    df, on=_one_path(schema, m2.group(2)),
-                    ts=_one_path(schema, m2.group(3)),
-                    cols=[_one_path(schema, c)
-                          for c in m2.group(1).split(",") if c])
+                    df, on=_temporal_path(schema, m2.group(2), name),
+                    ts=_temporal_path(schema, m2.group(3), name),
+                    cols=[_temporal_path(schema, c, name)
+                          for c in m2.group(1).split(",") if c],
+                    order=[_temporal_path(schema, m2.group(4), name)]
+                    if m2.group(4) else None)
                 order = None
             elif name == "rolling":
                 # `rolling <fn>[,fn…] <value-field> by <key-field> ts
@@ -1068,9 +1074,9 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
 
                 try:
                     df = rolling_agg(
-                        df, on=_one_path(schema, m2.group(3)),
-                        ts=_one_path(schema, m2.group(4)),
-                        col=_one_path(schema, m2.group(2)),
+                        df, on=_temporal_path(schema, m2.group(3), name),
+                        ts=_temporal_path(schema, m2.group(4), name),
+                        col=_temporal_path(schema, m2.group(2), name),
                         window_s=parse_duration(m2.group(5)).total_seconds(),
                         fns=tuple(f for f in m2.group(1).split(",") if f))
                 except ValueError as exc:
@@ -1218,6 +1224,21 @@ def _one_path(schema: T.StructType, name: str) -> str:
         raise TqlError(
             f"ambiguous field {name!r} matches {[p for p, _t in fields]}")
     return fields[0][0]
+
+
+def _temporal_path(schema: T.StructType, name: str, stage: str) -> str:
+    """The temporal stages (asof-join/sessionize/fill-forward/rolling)
+    key their underlying operators by TOP-LEVEL column name — a dotted
+    suffix resolution would silently mis-key the window (or withColumn
+    a literal 'a.b'). Resolve like _one_path but refuse nested paths
+    with a clear error."""
+    p = _one_path(schema, name)
+    if "." in p:
+        raise TqlError(
+            f"{stage}: nested field {p!r} is not supported — materialize "
+            f"it to a top-level column first (`set {name.rsplit('.', 1)[-1]}"
+            f"={p}`)")
+    return p
 
 
 # ---------------------------------------------------------------------------
@@ -1424,7 +1445,10 @@ def run_tql_source(spark, text: str, order_by: str | None = None,
                 raise TqlError(
                     f"show {aspect}: needs a lake table root "
                     f"(`show {aspect} <warehouse>/<table>`)")
-            df = _meta.show(spark, aspect, _lake_table(root))
+            try:
+                df = _meta.show(spark, aspect, _lake_table(root))
+            except ValueError as exc:  # unknown aspect → pipeline error
+                raise TqlError(f"show: {exc}")
     elif hm:
         from tenzir_spark.sources import host as _host
 

@@ -447,13 +447,18 @@ _METHODS = {
     "reverse": lambda c, a: F.reverse(c),
     "distinct": lambda c, a: F.array_distinct(c),
     "flatten": lambda c, a: F.flatten(c),
-    "first": lambda c, a: F.element_at(c, 1),
-    "last": lambda c, a: F.element_at(c, -1),
+    # try_element_at: null on empty lists (plain element_at THROWS under
+    # ANSI mode, Spark 4's default and this engine's session setting)
+    "first": lambda c, a: F.try_element_at(c, F.lit(1)),
+    "last": lambda c, a: F.try_element_at(c, F.lit(-1)),
     "min": lambda c, a: F.array_min(c),
     "max": lambda c, a: F.array_max(c),
-    # numeric fold: result is double (Catalyst aggregate state type)
+    # numeric fold: double result; null elements are SKIPPED (SQL
+    # aggregate semantics, same as the sibling .min()/.max()) — a bare
+    # acc + x would null-poison the whole total
     "sum": lambda c, a: F.aggregate(
-        c, F.lit(0.0), lambda acc, x: acc + x.cast("double")),
+        c, F.lit(0.0),
+        lambda acc, x: acc + F.coalesce(x.cast("double"), F.lit(0.0))),
     "join": lambda c, a: F.array_join(c, _str_args("join", a, 1)[0]),
 }
 

@@ -780,3 +780,63 @@ def test_rolling_agg_trailing_window(spark):
     assert got[("a", 11, 4.0)] == (14.0, 3)
     assert got[("a", 11, 8.0)] == (14.0, 3)
     assert got[("b", 0, 100.0)] == (100.0, 1)
+
+
+def test_asof_join_review_fixes(spark):
+    """Round-4 review findings: null timestamps never match (both
+    directions), tolerance works on TIMESTAMP_NTZ via exact epoch-micros,
+    map payloads join without the unorderable-struct analysis error,
+    chained joins never emit duplicate suffixed names."""
+    from tenzir_spark.operators.asof import asof_join
+
+    # null ts: right null-ts rows dropped, left null-ts rows unmatched
+    ldf = spark.createDataFrame([("a", 7.0), ("a", None)],
+                                "k string, ts double")
+    rdf = spark.createDataFrame([("a", None, 9.9), ("a", 5.0, 1.5)],
+                                "k string, ts double, px double")
+    back = {r["ts"]: (r["px"], r["ts_r"])
+            for r in asof_join(ldf, rdf, on="k", left_ts="ts").collect()}
+    assert back[7.0] == (1.5, 5.0)
+    assert back[None] == (None, None)
+    fwd = {r["ts"]: r["px"] for r in asof_join(
+        ldf, rdf, on="k", left_ts="ts", direction="forward").collect()}
+    assert fwd[None] is None
+
+    # NTZ timestamps + tolerance (used to raise DATATYPE_MISMATCH)
+    lt = spark.sql("SELECT 'a' k, TIMESTAMP_NTZ'2024-01-01 00:01:00' ts")
+    rt = spark.sql(
+        "SELECT 'a' k, TIMESTAMP_NTZ'2024-01-01 00:00:00' ts, 1.5 px")
+    got = asof_join(lt, rt, on="k", left_ts="ts",
+                    tolerance_s=60.0).collect()[0]
+    assert got["px"] == 1.5  # gap EXACTLY 60 s is within tolerance
+    got = asof_join(lt, rt, on="k", left_ts="ts",
+                    tolerance_s=59.999999).collect()[0]
+    assert got["px"] is None
+
+    # map payload: unorderable tiebreak term must be dropped, not fatal
+    rm = spark.createDataFrame([("a", 5.0, {"x": "1"})],
+                               "k string, ts double, m map<string,string>")
+    got = asof_join(ldf, rm, on="k", left_ts="ts").collect()
+    assert {r["ts"]: r["m"] for r in got}[7.0] == {"x": "1"}
+
+    # chained join: second px suffixes to px_r_r, never a duplicate px_r
+    once = asof_join(ldf.filter("ts IS NOT NULL"), rdf.filter("ts IS NOT NULL"),
+                     on="k", left_ts="ts")
+    twice = asof_join(once, rdf.filter("ts IS NOT NULL"),
+                      on="k", left_ts="ts")
+    assert sorted(c for c in twice.columns if c.startswith("px")) \
+        == ["px", "px_r", "px_r_r"] or len(set(twice.columns)) == len(twice.columns)
+    twice.collect()
+
+
+def test_rolling_agg_fractional_numeric_ts(spark):
+    """Numeric ts values keep micro-precision frame membership (a bare
+    long cast truncated values and shifted frames by up to a unit)."""
+    from tenzir_spark.operators.asof import rolling_agg
+
+    df = spark.createDataFrame([("a", 0.2, 1.0), ("a", 10.9, 2.0)],
+                               "k string, ts double, v double")
+    out = {r["ts"]: r["count_v_roll"] for r in rolling_agg(
+        df, on="k", ts="ts", col="v", window_s=10, fns=("count",)
+    ).collect()}
+    assert out[10.9] == 1  # true gap 10.7 > 10 — must NOT include ts=0.2

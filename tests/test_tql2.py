@@ -341,3 +341,18 @@ where src == "web" and n == 3
     assert out["total"] == 10.0
     assert out["glued"] == "hello-world"
     assert out["up"] == "hello world"
+
+
+def test_list_method_edge_semantics(df):
+    """Review findings: .first()/.last() null on empty lists under ANSI;
+    .sum() skips null elements instead of null-poisoning."""
+    out = run_tql2(df, '''
+empty = txt.split(" ").where(w => w.length() > 100)
+hd = empty.first()
+tl = empty.last()
+total = [1.0, null, 2.0].sum()
+select hd, tl, total
+head 1
+''').collect()[0]
+    assert out["hd"] is None and out["tl"] is None
+    assert out["total"] == 3.0
