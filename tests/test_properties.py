@@ -128,3 +128,42 @@ def test_parse_duration_sums_components(parts):
     expect = sum(round(v, 3) * _DUR_SECONDS[u] for v, u in parts)
     got = parse_duration(text).total_seconds()
     assert got == pytest.approx(expect, rel=1e-9, abs=1e-6)
+
+
+_pair = st.tuples(st.sampled_from(["a", "b"]),
+                  st.integers(min_value=0, max_value=50))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    left=st.lists(_pair, min_size=1, max_size=12),
+    right=st.dictionaries(_pair, st.integers(min_value=0, max_value=99),
+                          min_size=0, max_size=12),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+def test_asof_join_matches_reference_model(spark, left, right, direction):
+    """asof_join == the obvious per-row scan over any input (right side
+    unique on (key, ts) by construction, so the tie rule never fires)."""
+    from tenzir_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame([(k, float(t)) for k, t in left],
+                                "k string, ts double")
+    rrows = [(k, float(t), v) for (k, t), v in sorted(right.items())]
+    rdf = spark.createDataFrame(rrows or [("zz", -1.0, 0)],
+                                "k string, ts double, v long")
+
+    def model(k, t):
+        cand = [(rt, v) for rk, rt, v in (rrows or []) if rk == k
+                and (rt <= t if direction == "backward" else rt >= t)]
+        if not cand:
+            return None
+        rt, v = (max(cand) if direction == "backward" else min(cand))
+        return v
+
+    got = asof_join(ldf, rdf, on="k", left_ts="ts",
+                    direction=direction).collect()
+    # row multiplicity: group by (k, ts) and compare the matched value
+    from collections import Counter
+    assert Counter((r["k"], r["ts"], r["v"]) for r in got) \
+        == Counter((k, float(t), model(k, float(t))) for k, t in left)
