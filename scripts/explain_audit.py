@@ -53,6 +53,14 @@ AUDIT = {
     # degenerate per key, a cartesian is out of the question)
     "asof_join": ([r"Window", r"hashpartitioning"],
                   [r"Join", r"CartesianProduct", r"BatchEvalPython"]),
+    # same contract for the rest of the temporal family: keyed Window
+    # behind a hash exchange, no join node, no Python in the hot path
+    "fill_forward": ([r"Window", r"hashpartitioning"],
+                     [r"Join", r"CartesianProduct", r"BatchEvalPython"]),
+    "sessionize_gap": ([r"Window", r"hashpartitioning"],
+                       [r"Join", r"CartesianProduct", r"BatchEvalPython"]),
+    "rolling_agg": ([r"Window", r"hashpartitioning"],
+                    [r"Join", r"CartesianProduct", r"BatchEvalPython"]),
     "summarize_resolution": ([r"HashAggregate"], []),
     "top_values": ([r"HashAggregate", r"TakeOrderedAndProject|Sort"], []),
     # global top-k: per-partition TakeOrdered + bounded merge; the rank
