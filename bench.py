@@ -35,6 +35,7 @@ HEADLINE = [
     "quality_score",       # text quality heuristics
     "flatten_unflatten",   # structural ops on events
     "summarize_resolution",# time-bucketed rollup over events
+    "asof_join",           # temporal as-of join over events (one exchange)
 ]
 
 
