@@ -486,7 +486,22 @@ _AGGS = {
     "avg": lambda a: F.avg(a[0]),
     "median": lambda a: F.median(a[0]),
     "collect": lambda a: F.collect_list(a[0]),
-    "distinct": lambda a: F.collect_set(a[0]),
+    # sorted unique values (distinct.cpp returns a sorted list) — keep
+    # TQL1/TQL2 identical so a pipeline rewritten in either dialect hashes
+    # the same against the oracle
+    "distinct": lambda a: F.sort_array(F.collect_set(a[0])),
+    # the rest of the reference's aggregation-function registry
+    # (builtins/aggregation-functions/): any/all boolean folds,
+    # stddev/variance (population, stddev_variance.cpp), sample = first
+    # non-null (sample.cpp; min-deterministic stand-in under unordered
+    # input, same policy as TQL1's AGG_FUNCTIONS), approximate_median
+    # (exact median here — stricter than the reference's T-Digest)
+    "any": lambda a: F.bool_or(a[0]),
+    "all": lambda a: F.bool_and(a[0]),
+    "stddev": lambda a: F.stddev_pop(a[0]),
+    "variance": lambda a: F.var_pop(a[0]),
+    "sample": lambda a: F.first(a[0], ignorenulls=True),
+    "approximate_median": lambda a: F.median(a[0]),
 }
 
 _FUNCS = {

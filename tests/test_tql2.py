@@ -356,3 +356,22 @@ head 1
 ''').collect()[0]
     assert out["hd"] is None and out["tl"] is None
     assert out["total"] == 3.0
+
+
+def test_full_aggregation_registry(df):
+    """The reference's complete aggregation-function registry
+    (libtenzir/builtins/aggregation-functions/): any/all/stddev/variance/
+    sample/approximate_median/distinct all compile and agree with TQL1
+    semantics (distinct is SORTED, stddev/variance population)."""
+    got = run_tql2(df, '''
+big = n > 5
+summarize anyb=any(big), allb=all(big), sd=stddev(n), vr=variance(n), \
+med=approximate_median(n), uniq=distinct(src), samp=sample(src)
+''').collect()[0]
+    assert got["anyb"] is True and got["allb"] is False
+    # population variance of [3, 7, 2, 9]: mean 5.25, var 8.1875
+    assert abs(got["vr"] - 8.1875) < 1e-9
+    assert abs(got["sd"] - 8.1875 ** 0.5) < 1e-9
+    assert got["med"] == 5.0
+    assert got["uniq"] == ["books", "code", "web"]  # sorted like TQL1
+    assert got["samp"] in {"web", "code", "books"}
