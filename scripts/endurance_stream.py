@@ -78,7 +78,23 @@ def main() -> None:
         "TENZIR_SPARK_DRIVER_MEM", "14g" if per_batch >= 3_000_000 else None)
     spark = get_spark("endurance_stream", cores=args.cores,
                       driver_memory=mem,
-                      extra_conf={"spark.local.dir": local})
+                      extra_conf={
+                          "spark.local.dir": local,
+                          # max_by(struct) LWW plans as SortAggregateExec in
+                          # Spark 4.1 (struct-with-array buffer is neither
+                          # hash- nor object-hash-supported): partial aggs
+                          # sort full rows INCLUDING token arrays. The 20g
+                          # 1e9 run OOM'd at batch ~380/400 with free heap —
+                          # G1 humongous fragmentation from multi-MB sort
+                          # pages. Bigger regions make those normal
+                          # allocations; smaller scan splits bound per-task
+                          # sort runs as fold buckets grow with the table.
+                          "spark.driver.extraJavaOptions":
+                              "-XX:G1HeapRegionSize=32m",
+                          "spark.sql.files.maxPartitionBytes":
+                              str(64 << 20),
+                          "spark.ui.showConsoleProgress": "false",
+                      })
     gen = StreamedChangeGen(
         n_events=args.events, n_docs=args.docs, n_parts=args.parts,
         n_batches=args.batches, seed=42, token_len=(64, 256),
