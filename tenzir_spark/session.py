@@ -8,6 +8,7 @@ handling, Arrow transfer, sane shuffle parallelism).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -40,11 +41,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # max_by(struct(...)) — the LWW collapse — is a TypedImperativeAggregate
-        # (ObjectHashAggregateExec). The default fallback threshold (128 keys!)
-        # silently degrades every partial aggregation to an external SORT of
-        # the full batch including token arrays. A micro-batch map task sees
-        # ≤ ~100k distinct keys ≈ tens of MB of entries — keep it hashing.
+        # Keep genuinely object-hash aggregates (collect_list/collect_set/
+        # percentile in summarize/distinct paths) hashing instead of
+        # degrading to an external sort at the default 128-key threshold.
+        # NOTE the LWW collapse itself — max_by(struct(...)) — does NOT go
+        # through ObjectHashAggregateExec in Spark 4.1: a struct-typed
+        # declarative buffer is neither hash- nor object-hash-supported,
+        # so it plans as SortAggregateExec (partial aggs sort full rows
+        # including token arrays; see the G1 region note below).
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
         # semijoin-mode LWW collapse leaves its winner-set join UNhinted and
         # relies on AQE's runtime conversion: typical winner sets (a few
@@ -70,6 +74,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_memory or os.environ.get("TENZIR_SPARK_DRIVER_MEM", "8g"))
     )
+    # Long big-heap local runs fragment G1's old gen: SortAggregate partial
+    # aggs over token-array rows (the max_by LWW collapse) allocate multi-MB
+    # sort pages that are humongous at G1's default region size for <32g
+    # heaps — a 20g 1e9-event endurance run OOM'd at batch ~380/400 WITH
+    # free heap. 32m regions make those ordinary allocations. Applied only
+    # for >=16g heaps (tiny test sessions don't need it); an explicit
+    # extra_conf extraJavaOptions still wins (applied after).
+    mem = driver_memory or os.environ.get("TENZIR_SPARK_DRIVER_MEM", "8g")
+    m = re.fullmatch(r"(\d+)\s*[gG]", mem.strip())
+    if m and int(m.group(1)) >= 16:
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
