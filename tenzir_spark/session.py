@@ -13,6 +13,14 @@ import re
 from pyspark.sql import SparkSession
 
 
+def wants_big_heap_tuning(driver_memory: str) -> bool:
+    """True for heaps >=16 GiB ("16g"/"28G" forms): those sessions get
+    32m G1 regions (see the comment at the use site). Megabyte-sized or
+    unparseable strings never opt in."""
+    m = re.fullmatch(r"(\d+)\s*[gG]", driver_memory.strip())
+    return bool(m) and int(m.group(1)) >= 16
+
+
 def get_spark(
     app_name: str = "tenzir_spark",
     cores: int | None = None,
@@ -82,8 +90,7 @@ def get_spark(
     # for >=16g heaps (tiny test sessions don't need it); an explicit
     # extra_conf extraJavaOptions still wins (applied after).
     mem = driver_memory or os.environ.get("TENZIR_SPARK_DRIVER_MEM", "8g")
-    m = re.fullmatch(r"(\d+)\s*[gG]", mem.strip())
-    if m and int(m.group(1)) >= 16:
+    if wants_big_heap_tuning(mem):
         builder = builder.config(
             "spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
     for k, v in (extra_conf or {}).items():
