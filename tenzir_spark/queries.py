@@ -2835,6 +2835,40 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_tql2_aggs(spark, sf):
+    """TQL2 aggregation-function registry, complete vs the reference's
+    builtins (libtenzir/builtins/aggregation-functions/): any/all boolean
+    folds, population stddev/variance (stddev_variance.cpp),
+    count_distinct, approximate_median (exact median here — stricter than
+    the reference's sketch), exercised through TQL2 text with a
+    post-summarize rounding assignment (the summarize_q1 float
+    convention)."""
+    import os
+
+    from tenzir_spark.plans.tql2 import run_tql2_source
+
+    path = os.path.join(sf, "events.parquet")
+    return run_tql2_source(spark, f'''
+from "{path}"
+big = value > 50
+summarize event_type, n=count(), uniq=count_distinct(user_id), \
+anyb=any(big), allb=all(big), sd=stddev(value), vr=variance(value), \
+med=approximate_median(value)
+sd = round(sd, 4)
+vr = round(vr, 4)
+med = round(med, 4)
+sort event_type
+''')
+
+SQL_TQL2_AGGS = """
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS uniq,
+       BOOL_OR(value > 50) AS anyb, BOOL_AND(value > 50) AS allb,
+       round(stddev_pop(value), 4) AS sd, round(var_pop(value), 4) AS vr,
+       round(median(value), 4) AS med
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_tql2_match_record(spark, sf):
     """TQL2 match statement + record expressions + `this` selectors
     (plans/tql2.py; reference grammar libtenzir/src/tql2/parser.cpp:
@@ -3598,6 +3632,7 @@ REGISTRY: dict[str, tuple] = {
     "parse_kv": (q_parse_kv, SQL_PARSE_KV),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "cross_dedup": (q_cross_dedup, SQL_CROSS_DEDUP),
+    "tql2_aggs": (q_tql2_aggs, SQL_TQL2_AGGS),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.
