@@ -882,21 +882,90 @@ def _one_quoted_path(args, name: str) -> str:
     return args[0][1]
 
 
+# TQL2 source heads beyond `from`: rendered as the equivalent TQL1 head
+# text and resolved by run_tql_source, so both dialects share ONE source
+# resolver (lake export/changelog, pub-sub topics, ingest metrics,
+# introspection aspects, host inventory — plans/pipeline.py).
+_SOURCE_HEADS = ("export", "subscribe", "metrics", "show",
+                 "files", "processes", "sockets", "nics")
+
+
+def _head_token(name: str, v) -> str:
+    """One TQL1 head token: literal str/int/bool from the TQL2 arg list.
+    TQL1 heads are whitespace-split, so embedded spaces cannot round-trip."""
+    if isinstance(v, bool) or v is None:
+        raise TqlError(f"tql2: {name} expects string or integer arguments")
+    s = str(v)
+    if not s or any(ch.isspace() for ch in s) or "|" in s:
+        raise TqlError(
+            f"tql2: {name} argument {s!r} cannot contain spaces or '|'")
+    return s
+
+
+def _head_to_tql1(name: str, args: list) -> str:
+    pos: list[str] = []
+    named: dict[str, str] = {}
+    for a in args:
+        if a[0] == "named":
+            if a[2][0] != "lit":
+                raise TqlError(f"tql2: {name} options must be literal values")
+            named[a[1]] = _head_token(name, a[2][1])
+        elif a[0] == "lit":
+            pos.append(_head_token(name, a[1]))
+        else:
+            raise TqlError(f"tql2: {name} arguments must be literal values")
+    if name in ("processes", "sockets", "nics"):
+        if pos or named:
+            raise TqlError(f"tql2: {name} takes no arguments")
+        return name
+    if name == "export":
+        if len(pos) != 1 or set(named) - {"changes_since", "to"}:
+            raise TqlError('tql2: export expects "<table_root>" '
+                           '[, changes_since=<v>] [, to=<v>]')
+        out = f"export {pos[0]}"
+        if "changes_since" in named:
+            out += f" --changes-since {named['changes_since']}"
+        if "to" in named:
+            out += f" --to {named['to']}"
+        return out
+    if named:
+        raise TqlError(f"tql2: {name} takes no named options")
+    arity = {"subscribe": (1, 1), "metrics": (1, 1),
+             "show": (1, 2), "files": (1, 1)}[name]
+    if not (arity[0] <= len(pos) <= arity[1]):
+        raise TqlError(f"tql2: {name} expects "
+                       f"{' or '.join(map(str, sorted(set(arity))))} "
+                       f"argument(s)")
+    return " ".join([name, *pos])
+
+
 def run_tql2_source(spark, text: str) -> DataFrame:
     """TQL2 pipeline starting with `from "<path>"` (parquet/json/csv by
-    extension, the TQL1 front door's inference). A trailing
-    `to "<path>"` writes through the shared sink (same formats/
-    transports as the TQL1 `to`) and returns the written DataFrame."""
+    extension, the TQL1 front door's inference) or any shared source
+    operator — `export "<root>", changes_since=<v>`, `subscribe
+    "<topic>"`, `metrics "<warehouse>"`, `show "<aspect>" [, "<root>"]`,
+    `files "<dir>"`, `processes`, `sockets`, `nics` — resolved by the
+    same machinery as the TQL1 text path. A trailing `to "<path>"`
+    writes through the shared sink (same formats/transports as the TQL1
+    `to`) and returns the written DataFrame."""
     body = _Parser(_tokenize(text)).pipeline()
-    if not body or body[0][0] != "invoke" or body[0][1] != "from":
-        raise TqlError('tql2: source pipeline must start with from "<path>"')
-    from tenzir_spark.plans.pipeline import _read_source, _write_sink
+    if not body or body[0][0] != "invoke" or \
+            body[0][1] not in ("from", *_SOURCE_HEADS):
+        raise TqlError(
+            'tql2: source pipeline must start with from "<path>" or a '
+            'source operator (export/subscribe/metrics/show/files/'
+            'processes/sockets/nics)')
+    from tenzir_spark.plans.pipeline import (_read_source, _write_sink,
+                                             run_tql_source)
 
     sink = None
     if body[-1][0] == "invoke" and body[-1][1] == "to":
         sink = _one_quoted_path(body[-1][2], "to")
         body = body[:-1]
-    df = _read_source(spark, _one_quoted_path(body[0][2], "from"), None)
+    if body[0][1] == "from":
+        df = _read_source(spark, _one_quoted_path(body[0][2], "from"), None)
+    else:
+        df = run_tql_source(spark, _head_to_tql1(body[0][1], body[0][2]))
     out, _order = _apply_statements(df, body[1:], {})
     if sink is not None:
         _write_sink(out, sink, None)

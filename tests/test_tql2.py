@@ -375,3 +375,62 @@ med=approximate_median(n), uniq=distinct(src), samp=sample(src)
     assert got["med"] == 5.0
     assert got["uniq"] == ["books", "code", "web"]  # sorted like TQL1
     assert got["samp"] in {"web", "code", "books"}
+
+
+def test_source_heads_shared_with_tql1(spark, tmp_path):
+    """TQL2 source heads beyond `from` resolve through the SAME machinery
+    as the TQL1 text path: show/files/processes + lake export with
+    changes_since render to the TQL1 head and return events."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from tenzir_spark.lake.table import DELETED_COL, LakeTable
+
+    # introspection + host inventory heads
+    ops = run_tql2_source(spark, 'show "operators" | head 3')
+    assert ops.columns == ["name"] and ops.count() == 3
+    (tmp_path / "a.txt").write_text("x")
+    fs = run_tql2_source(
+        spark, f'files "{tmp_path}" | where path.ends_with(".txt")')
+    assert fs.count() == 1
+    assert run_tql2_source(spark, "processes | head 1").count() == 1
+
+    # lake export + incremental changelog options
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("n_tok", T.IntegerType(), True),
+    ])
+    t = LakeTable(str(tmp_path), "t2src")
+    t.create(schema, n_buckets=4)
+
+    def delta(rows, deleted=False):
+        d = spark.createDataFrame(rows, schema).withColumn(
+            "_bucket", t.bucket_expr("doc_id")).withColumn(
+            DELETED_COL, F.lit(deleted))
+        t.delta_commit(d, schema=schema, properties={})
+
+    delta([("a", 1), ("b", 2)])          # v1
+    delta([("a", 9)])                    # v2
+    delta([("b", None)], deleted=True)   # v3
+    out = run_tql2_source(
+        spark,
+        f'export "{tmp_path}/t2src", changes_since=1 | sort doc_id')
+    assert [(r["doc_id"], r["op"]) for r in out.collect()] == \
+        [("a", "upsert"), ("b", "delete")]
+    full = run_tql2_source(spark, f'export "{tmp_path}/t2src"')
+    assert "op" not in full.columns and full.count() == 1
+
+
+def test_source_head_errors(spark):
+    """Unknown heads and malformed head arguments fail with the
+    front-end's TqlError, never a raw exception."""
+    with pytest.raises(TqlError, match="must start with"):
+        run_tql2_source(spark, "where x == 1")
+    with pytest.raises(TqlError, match="takes no arguments"):
+        run_tql2_source(spark, 'processes "x"')
+    with pytest.raises(TqlError, match="export expects"):
+        run_tql2_source(spark, 'export "root", bogus=1')
+    with pytest.raises(TqlError, match="cannot contain spaces"):
+        run_tql2_source(spark, 'files "a dir"')
+    with pytest.raises(TqlError, match="literal values"):
+        run_tql2_source(spark, 'metrics doc_id')
