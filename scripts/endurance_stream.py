@@ -76,21 +76,18 @@ def main() -> None:
     per_batch = args.events // max(args.batches, 1)
     mem = os.environ.get(
         "TENZIR_SPARK_DRIVER_MEM", "14g" if per_batch >= 3_000_000 else None)
+    # max_by(struct) LWW plans as SortAggregateExec in Spark 4.1
+    # (struct-with-array buffer is neither hash- nor object-hash-
+    # supported): partial aggs sort full rows INCLUDING token arrays.
+    # The 20g 1e9 run OOM'd at batch ~380/400 with free heap — G1
+    # humongous fragmentation from multi-MB sort pages. get_spark owns
+    # the fix (32m regions for >=16 GiB heaps via wants_big_heap_tuning);
+    # smaller scan splits here bound per-task sort runs as fold buckets
+    # grow with the table.
     spark = get_spark("endurance_stream", cores=args.cores,
                       driver_memory=mem,
                       extra_conf={
                           "spark.local.dir": local,
-                          # max_by(struct) LWW plans as SortAggregateExec in
-                          # Spark 4.1 (struct-with-array buffer is neither
-                          # hash- nor object-hash-supported): partial aggs
-                          # sort full rows INCLUDING token arrays. The 20g
-                          # 1e9 run OOM'd at batch ~380/400 with free heap —
-                          # G1 humongous fragmentation from multi-MB sort
-                          # pages. Bigger regions make those normal
-                          # allocations; smaller scan splits bound per-task
-                          # sort runs as fold buckets grow with the table.
-                          "spark.driver.extraJavaOptions":
-                              "-XX:G1HeapRegionSize=32m",
                           "spark.sql.files.maxPartitionBytes":
                               str(64 << 20),
                           "spark.ui.showConsoleProgress": "false",

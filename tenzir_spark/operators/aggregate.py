@@ -40,8 +40,11 @@ AGG_FUNCTIONS: dict[str, callable] = {
     # sorted unique values (distinct.cpp returns a sorted list)
     "distinct": lambda c: F.sort_array(F.collect_set(c)),
     "collect": F.collect_list,
-    # sample = first non-null (sample.cpp); min is the deterministic stand-in
-    # under unordered input
+    # sample = first non-null (sample.cpp). NOT deterministic under
+    # unordered multi-partition input (Spark first() is
+    # partition-order-dependent); oracle-exact registry entries use
+    # min_by/min forms instead (q_collect_sample) — never build an
+    # oracle on bare sample()
     "sample": lambda c: F.first(c, ignorenulls=True),
     "any": F.bool_or,
     "all": F.bool_and,

@@ -72,6 +72,7 @@ import re
 
 from pyspark.sql import DataFrame, functions as F
 
+from tenzir_spark.operators.aggregate import AGG_FUNCTIONS
 from tenzir_spark.plans.pipeline import TqlError
 
 
@@ -476,33 +477,19 @@ def _str_args(name: str, a: list, n: int) -> list:
             f"tql2: .{name}() expects {n} string literal argument(s)")
     return a
 
-_AGGS = {
-    "count": lambda a: F.count(a[0]) if a else F.count("*"),
-    "count_distinct": lambda a: F.count_distinct(a[0]),
-    "sum": lambda a: F.sum(a[0]),
-    "min": lambda a: F.min(a[0]),
-    "max": lambda a: F.max(a[0]),
-    "mean": lambda a: F.avg(a[0]),
-    "avg": lambda a: F.avg(a[0]),
-    "median": lambda a: F.median(a[0]),
-    "collect": lambda a: F.collect_list(a[0]),
-    # sorted unique values (distinct.cpp returns a sorted list) — keep
-    # TQL1/TQL2 identical so a pipeline rewritten in either dialect hashes
-    # the same against the oracle
-    "distinct": lambda a: F.sort_array(F.collect_set(a[0])),
-    # the rest of the reference's aggregation-function registry
-    # (builtins/aggregation-functions/): any/all boolean folds,
-    # stddev/variance (population, stddev_variance.cpp), sample = first
-    # non-null (sample.cpp; min-deterministic stand-in under unordered
-    # input, same policy as TQL1's AGG_FUNCTIONS), approximate_median
-    # (exact median here — stricter than the reference's T-Digest)
-    "any": lambda a: F.bool_or(a[0]),
-    "all": lambda a: F.bool_and(a[0]),
-    "stddev": lambda a: F.stddev_pop(a[0]),
-    "variance": lambda a: F.var_pop(a[0]),
-    "sample": lambda a: F.first(a[0], ignorenulls=True),
-    "approximate_median": lambda a: F.median(a[0]),
-}
+# TQL2 aggregation registry = the TQL1 registry adapted to the parsed
+# argument list — ONE owner (operators/aggregate.py AGG_FUNCTIONS), so
+# the dialects cannot drift by parallel maintenance (TQL2 `distinct` had
+# silently diverged to unsorted before they were unified). TQL2-only
+# extras: bare count() and the avg/median alias spellings.
+def _adapt_agg(f):
+    return lambda a: f(a[0])
+
+
+_AGGS = {name: _adapt_agg(f) for name, f in AGG_FUNCTIONS.items()}
+_AGGS["count"] = lambda a: F.count(a[0]) if a else F.count("*")
+_AGGS["avg"] = _AGGS["mean"]
+_AGGS["median"] = _AGGS["approximate_median"]
 
 _FUNCS = {
     "length": lambda a: F.length(a[0]),

@@ -14,11 +14,14 @@ from pyspark.sql import SparkSession
 
 
 def wants_big_heap_tuning(driver_memory: str) -> bool:
-    """True for heaps >=16 GiB ("16g"/"28G" forms): those sessions get
-    32m G1 regions (see the comment at the use site). Megabyte-sized or
-    unparseable strings never opt in."""
-    m = re.fullmatch(r"(\d+)\s*[gG]", driver_memory.strip())
-    return bool(m) and int(m.group(1)) >= 16
+    """True for heaps >= 16 GiB in either JVM size form ("16g"/"28G"/
+    "20480m"): those sessions get 32m G1 regions (see the comment at the
+    use site). Unparseable strings never opt in."""
+    m = re.fullmatch(r"(\d+)\s*([gGmM])", driver_memory.strip())
+    if not m:
+        return False
+    n, unit = int(m.group(1)), m.group(2).lower()
+    return n >= (16 if unit == "g" else 16 * 1024)
 
 
 def get_spark(
@@ -42,6 +45,9 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cores, 8)
+    # resolved ONCE: the configured driver heap and the G1-tuning gate
+    # below must reason about the same value
+    mem = driver_memory or os.environ.get("TENZIR_SPARK_DRIVER_MEM", "8g")
     builder = (
         SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app_name)
@@ -80,7 +86,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", driver_memory or os.environ.get("TENZIR_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", mem)
     )
     # Long big-heap local runs fragment G1's old gen: SortAggregate partial
     # aggs over token-array rows (the max_by LWW collapse) allocate multi-MB
@@ -89,7 +95,6 @@ def get_spark(
     # free heap. 32m regions make those ordinary allocations. Applied only
     # for >=16g heaps (tiny test sessions don't need it); an explicit
     # extra_conf extraJavaOptions still wins (applied after).
-    mem = driver_memory or os.environ.get("TENZIR_SPARK_DRIVER_MEM", "8g")
     if wants_big_heap_tuning(mem):
         builder = builder.config(
             "spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m")

@@ -13,6 +13,10 @@ def test_big_heap_tuning_threshold():
     assert not wants_big_heap_tuning("8g")
     assert not wants_big_heap_tuning("15g")
     assert not wants_big_heap_tuning("512m")
-    assert not wants_big_heap_tuning("16384m")  # only g-suffixed forms
+    # m-suffixed forms are the same heap in different units: a 16 GiB
+    # heap must get the fragmentation fix regardless of spelling
+    assert wants_big_heap_tuning("16384m")
+    assert wants_big_heap_tuning("20480M")
+    assert not wants_big_heap_tuning("16383m")
     assert not wants_big_heap_tuning("")
     assert not wants_big_heap_tuning("sixteen gigs")
