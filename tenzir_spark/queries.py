@@ -2246,6 +2246,51 @@ WHERE doc_id % 4 = 0 AND n_chars > 200 ORDER BY doc_id
 """
 
 
+def q_tql2_changelog(spark, sf):
+    """The incremental changelog through the TQL2 text front door:
+    `export "<root>", changes_since=<v>` resolves via the shared TQL1
+    source machinery (plans/tql2.py _head_to_tql1), then TQL2 statements
+    filter/project/sort — the same lake build and expected rows as
+    q_tql_changelog, proving the two dialects agree end to end."""
+    import shutil
+    import tempfile
+
+    from tenzir_spark.lake.table import DELETED_COL, LakeTable
+    from tenzir_spark.plans.tql2 import run_tql2_source
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="tzs_tql2chg_")
+    try:
+        t = LakeTable(tmp, "docs")
+        t.create(docs.schema, n_buckets=8, key="doc_id")
+        b1 = docs.withColumn("_bucket", t.bucket_expr("doc_id")).withColumn(
+            DELETED_COL, F.lit(False))
+        v1, _ = t.delta_commit(b1, schema=docs.schema, properties={})
+        upd = (
+            docs.filter(F.col("doc_id") % 4 == 0)
+            .select("doc_id", "text", "lang",
+                    F.lit("curated").alias("source"), "n_chars")
+            .withColumn("_bucket", t.bucket_expr("doc_id"))
+            .withColumn(DELETED_COL, F.lit(False))
+        )
+        t.delta_commit(upd, schema=docs.schema, properties={})
+        out = run_tql2_source(
+            spark,
+            f'''
+export "{tmp}/docs", changes_since={v1}
+where op == "upsert" and n_chars > 200
+select doc_id, source, n_chars
+sort doc_id
+''',
+        )
+        return _bounded_collect(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+SQL_TQL2_CHANGELOG = SQL_TQL_CHANGELOG
+
+
 def q_lake_rebucket(spark, sf):
     """Bucket-spec evolution value-checked end to end: documents land in
     an 8-bucket lake (delta commit + fold), the table rebuckets to 32,
@@ -3633,6 +3678,7 @@ REGISTRY: dict[str, tuple] = {
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "cross_dedup": (q_cross_dedup, SQL_CROSS_DEDUP),
     "tql2_aggs": (q_tql2_aggs, SQL_TQL2_AGGS),
+    "tql2_changelog": (q_tql2_changelog, SQL_TQL2_CHANGELOG),
     # rows-only entries (sql=None: sketch/UDF/stub/iterative outputs that are
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.
