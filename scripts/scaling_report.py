@@ -99,6 +99,12 @@ def main() -> None:
     p.add_argument("--cores", default="8,32")
     p.add_argument("--out", default="scaling_report.json",
                    help="output filename under the repo root")
+    p.add_argument("--wait-healthy", type=int, default=0, metavar="SEC",
+                   help="probe the box every 2 min and start measuring "
+                        "only once box_spark_job_ms < 80 (healthy), up to "
+                        "SEC seconds; 0 = measure immediately. Efficiency "
+                        "measured under host stalls is unusable, so this "
+                        "turns the BASELINE.md re-run rule into a flag.")
     args = p.parse_args()
 
     if not os.path.exists(os.path.join(args.changes, "manifest.json")):
@@ -112,6 +118,21 @@ def main() -> None:
 
     probe_before = box_probe()
     print(json.dumps({"probe_before": probe_before}), flush=True)
+    if args.wait_healthy:
+        import time
+
+        deadline = time.monotonic() + args.wait_healthy
+        wait_probes = [probe_before]
+        while probe_before["box_spark_job_ms"] > 80:
+            if time.monotonic() >= deadline:
+                print(json.dumps({"wait_healthy": "timeout — measuring "
+                                  "anyway; artifact will carry the "
+                                  "degraded-box validity note"}), flush=True)
+                break
+            time.sleep(120)
+            probe_before = box_probe()
+            wait_probes.append(probe_before)
+            print(json.dumps({"probe_retry": probe_before}), flush=True)
 
     results = {}
     for c in [int(x) for x in args.cores.split(",")]:
@@ -136,6 +157,8 @@ def main() -> None:
     probe_after = box_probe()
     print(json.dumps({"probe_after": probe_after}), flush=True)
     results["box_probe"] = {"before": probe_before, "after": probe_after}
+    if args.wait_healthy:
+        results["wait_healthy_probes"] = wait_probes
     # self-describing validity: efficiency measured under host stalls is
     # unusable (stalls are host-side, they do not scale with cores) —
     # say so IN the artifact instead of leaving the reader to correlate
