@@ -1396,6 +1396,7 @@ _SHOW_RE = re.compile(r"show\s+(\S+)(?:\s+(\S+))?\s*$")
 # host-inventory sources (files.md/processes.md/sockets.md/nics.md):
 # `files <root>` walks a directory; the other three take no argument
 _HOST_RE = re.compile(r"(files|processes|sockets|nics)(?:\s+(\S+))?\s*$")
+_LOOKUP_RE = re.compile(r"lookup\s+(\S+)\s+(\S+)(\s+.+)?\s*$")
 
 
 def _lake_table(root: str):
@@ -1408,7 +1409,8 @@ def _lake_table(root: str):
 
 
 def run_tql_source(spark, text: str, order_by: str | None = None,
-                   source_df: DataFrame | None = None) -> DataFrame:
+                   source_df: DataFrame | None = None,
+                   context_store=None) -> DataFrame:
     """End-to-end textual pipeline with source and optional sink stages:
 
         from <path> [read <format>] | <operators…> [| to <path> [write <fmt>]]
@@ -1418,7 +1420,9 @@ def run_tql_source(spark, text: str, order_by: str | None = None,
     to` stage EXECUTES the write (the sink side-effect) and the written
     DataFrame is returned either way for inspection/chaining.
     ``source_df`` supplies the input DataFrame instead of a `from`/
-    `export` head — the programmatic analogue of piping events in."""
+    `export` head — the programmatic analogue of piping events in.
+    ``context_store`` enables the `lookup` source head and mid-pipeline
+    enrich/lookup stages (threaded to run_tql)."""
     stages = split_pipeline(text)
     head = stages[0].strip()
     m = _FROM_RE.fullmatch(head)
@@ -1427,10 +1431,68 @@ def run_tql_source(spark, text: str, order_by: str | None = None,
     km = _METRICS_RE.fullmatch(head)
     wm = _SHOW_RE.fullmatch(head)
     hm = _HOST_RE.fullmatch(head)
-    if source_df is not None and not (m or em or sm or km or wm or hm):
+    lum = _LOOKUP_RE.fullmatch(head)
+    if source_df is not None and not (m or em or sm or km or wm or hm or lum):
         df = source_df
         stages = ["__source__", *stages]  # operator stages start at [1]
-        m = em = sm = km = wm = hm = None
+        m = em = sm = km = wm = hm = lum = None
+    elif lum:
+        # `lookup <table_root> <ctx> [--field <f>] [--retro | --snapshot]
+        #  [--since-version N] [--context-version N] [--data-version N]`
+        # — the reference's lookup SOURCE operator (lookup.md:23-84):
+        # context state drives a scan of historical data. --retro
+        # (default) scans with CURRENT context state, optionally only for
+        # entries added after --since-version; --snapshot pins context
+        # AND data versions at execution time (or the explicit versions).
+        if context_store is None:
+            raise TqlError("lookup needs a ContextStore: pass "
+                           "context_store= to run_tql_source (contexts "
+                           "live in the lake warehouse)")
+        root, cname, opts = lum.group(1), lum.group(2), lum.group(3) or ""
+        toks = opts.split()
+        mode, vals = "retro", {}
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if t in ("--retro", "--snapshot"):
+                mode = t[2:]
+                i += 1
+            elif t in ("--field", "--since-version", "--context-version",
+                       "--data-version"):
+                if i + 1 >= len(toks):
+                    raise TqlError(f"lookup: {t} needs a value")
+                vals[t] = toks[i + 1]
+                i += 2
+            else:
+                raise TqlError(f"lookup: unknown option {t!r}")
+
+        def _ver(name):
+            v = vals.get(name)
+            if v is None:
+                return None
+            try:
+                return int(v)
+            except ValueError:
+                raise TqlError(f"lookup: {name} expects an integer version")
+
+        t_data = _lake_table(root)
+        key = context_store._table(cname).properties()["key"]
+        on = vals.get("--field", key)
+        if mode == "snapshot":
+            if "--since-version" in vals:
+                raise TqlError("lookup: --since-version is a --retro "
+                               "option (snapshot pins versions instead)")
+            df = context_store.lookup_snapshot(
+                t_data, cname, on=on,
+                context_version=_ver("--context-version"),
+                data_version=_ver("--data-version"))
+        else:
+            if "--context-version" in vals or "--data-version" in vals:
+                raise TqlError("lookup: --context-version/--data-version "
+                               "are --snapshot options")
+            df = context_store.lookup_retro(
+                t_data, cname, on=on,
+                since_version=_ver("--since-version"))
     elif wm:
         # `show <aspect> [<table_root>]` — introspection rows as events
         from tenzir_spark.operators import meta as _meta
@@ -1530,7 +1592,8 @@ def run_tql_source(spark, text: str, order_by: str | None = None,
         raise TqlError(
             "pipeline must start with `from <path> [read <format>]`, "
             "`export <table_root>`, `subscribe`, `metrics`, `show "
-            "<aspect>`, or a host source (files/processes/sockets/nics) "
+            "<aspect>`, `lookup <table_root> <ctx>`, or a host source "
+            "(files/processes/sockets/nics) "
             f"(got {stages[0]!r}); use run_tql() to apply operator text "
             "to an existing DataFrame")
     rest = stages[1:]
@@ -1546,7 +1609,8 @@ def run_tql_source(spark, text: str, order_by: str | None = None,
             sink = ("lake", im.group(1), None)
             rest = rest[:-1]
     if rest:
-        df = run_tql(df, " | ".join(rest), order_by=order_by)
+        df = run_tql(df, " | ".join(rest), order_by=order_by,
+                     context_store=context_store)
     if sink and sink[0] == "file":
         _write_sink(df, sink[1], sink[2])
     elif sink and sink[0] == "lake":

@@ -116,3 +116,57 @@ def test_lookup_snapshot_pins_context_and_data(spark, store, tmp_path):
     live = store.lookup_snapshot(hist, "threats", on="src")
     got = sorted((r["src"], r["label"]) for r in live.collect())
     assert got == [("1.2.3.4", "bad"), ("5.6.7.8", "worse"), ("7.7.7.7", "fresh")]
+
+
+def test_lookup_source_head_text(spark, store, tmp_path):
+    """`lookup <table_root> <ctx> [--retro|--snapshot] …` as a pipeline
+    SOURCE head (lookup.md:23-84 as TEXT): retro scans with current
+    context state; snapshot pins context AND data versions; option
+    misuse gets targeted TqlErrors."""
+    import pyspark.sql.types as T
+
+    from tenzir_spark.lake.table import LakeTable
+    from tenzir_spark.plans.pipeline import TqlError, run_tql_source
+
+    store.create("threats", _ctx_rows(spark), key="ioc")
+    hist = LakeTable(str(tmp_path), "hist")
+    schema = T.StructType([T.StructField("src", T.StringType()),
+                           T.StructField("n", T.LongType())])
+    hist.create(schema, n_buckets=2, key="src")
+    hist.append(spark.createDataFrame(
+        [Row(src="1.2.3.4", n=10), Row(src="7.7.7.7", n=11)]), "src")
+    cv = store._table("threats").current_version()
+    dv = hist.current_version()
+
+    # retro (default mode) + a downstream operator stage
+    out = run_tql_source(
+        spark, f"lookup {tmp_path}/hist threats --field src | select src",
+        context_store=store)
+    assert [r["src"] for r in out.collect()] == ["1.2.3.4"]
+
+    # post-snapshot context update + import: pinned snapshot ignores both
+    store.update("threats",
+                 spark.createDataFrame([Row(ioc="7.7.7.7", label="fresh")]))
+    hist.append(spark.createDataFrame([Row(src="5.6.7.8", n=12)]), "src")
+    pinned = run_tql_source(
+        spark,
+        f"lookup {tmp_path}/hist threats --field src --snapshot"
+        f" --context-version {cv} --data-version {dv}",
+        context_store=store)
+    assert [(r["src"], r["label"]) for r in pinned.collect()] == \
+        [("1.2.3.4", "bad")]
+    retro_now = run_tql_source(
+        spark, f"lookup {tmp_path}/hist threats --field src --retro",
+        context_store=store)
+    assert retro_now.count() == 3
+
+    # targeted errors
+    with pytest.raises(TqlError, match="needs a ContextStore"):
+        run_tql_source(spark, f"lookup {tmp_path}/hist threats")
+    with pytest.raises(TqlError, match="snapshot options"):
+        run_tql_source(
+            spark, f"lookup {tmp_path}/hist threats --context-version 1",
+            context_store=store)
+    with pytest.raises(TqlError, match="unknown option"):
+        run_tql_source(spark, f"lookup {tmp_path}/hist threats --bogus",
+                       context_store=store)
