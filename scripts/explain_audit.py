@@ -48,6 +48,15 @@ AUDIT = {
     # the array<int> payload in codegen'd expressions
     "token_window_dedup": ([r"REPARTITION_BY_COL", r"HashAggregate"],
                            [r"CartesianProduct", r"BatchEvalPython"]),
+    # ExactSubstr span removal: same one-exchange contract as
+    # window_dedup (occurrence repartition reused by the count+keeper
+    # aggregate and the loser join-back); the min(struct(id,p)) keeper
+    # buffer plans as SortAggregate (struct-typed buffer — the
+    # documented Spark 4.1 max_by/min-struct behavior), interval merge
+    # and position filter stay codegen'd expressions, no Python
+    "dedup_spans": ([r"REPARTITION_BY_COL",
+                     r"HashAggregate|SortAggregate"],
+                    [r"CartesianProduct", r"BatchEvalPython"]),
     # as-of join: union + per-key running last() — a keyed Window behind
     # ONE hash exchange; never a join node (a range sort-merge would
     # degenerate per key, a cartesian is out of the question)

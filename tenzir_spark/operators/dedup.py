@@ -544,3 +544,134 @@ def token_window_dedup(
     fraction exceeds ``max_dup_frac`` — window_dedup with the Lee et al.
     50-token default (the operator itself dispatches on dtype)."""
     return window_dedup(df, tokens_col, id_col, w, max_dup_frac, mode)
+
+
+def dup_span_intervals(
+    df: DataFrame, col: str, id_col: str, w: int = 50
+) -> DataFrame:
+    """Per-document removal intervals for Lee et al. 2021 EXACTSUBSTR
+    span dedup (§4.1): every length-``w`` token window whose content
+    occurs >= 2 times corpus-wide keeps exactly ONE occurrence — the
+    globally first by (id, position) — and every OTHER occurrence marks
+    its positions for removal. window_dedup flags/drops whole documents;
+    this is the published semantics that keeps the unique remainder of a
+    partially-duplicated document (the paper removes the duplicated
+    span "from all but one of the examples").
+
+    Returns (id_col, dup_spans:array<struct<lo:int,hi:int>>) — merged,
+    disjoint, ascending 1-based inclusive position intervals; documents
+    with no losing occurrence are absent.
+
+    Scale shape (the 100 TB contract):
+    - Windows shuffle as (id, p, xxhash64(window)) — 20 bytes/row, never
+      the token payload (64-bit collision caveat as window_dedup).
+    - ONE exchange: occurrences repartition on the hash; the
+      count+keeper aggregation and the loser join-back both read the
+      same shuffle files (ReusedExchange — identical pruned projections
+      on both branches, the window_dedup_stats contract).
+    - count(id)/min(struct(id,p)) fold into ONE aggregation pass; the
+      keeper struct is 12 bytes/group, never a payload.
+    - Output rows ∝ documents WITH duplicated spans, intervals merged
+      per doc (adjacent/overlapping windows collapse), so the join back
+      to the corpus is a small-side broadcast in the common case.
+    """
+    from tenzir_spark.operators.decontaminate import array_windows
+
+    occ = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(array_windows(F.col(col), w)).alias("_p0", "_win"),
+        )
+        .select(
+            "_id", (F.col("_p0") + 1).alias("_p"),
+            F.xxhash64("_win").alias("_h"),
+        )
+        .repartition("_h")
+    )
+    # one pass computes both the occurrence count and the keeper;
+    # count(_id) not count(*) keeps this branch's projection identical
+    # to the join branch's so ReuseExchange dedupes the subtrees
+    grp = (
+        occ.groupBy("_h")
+        .agg(
+            F.count("_id").alias("_cnt"),
+            F.min(F.struct("_id", "_p")).alias("_keep"),
+        )
+        .filter(F.col("_cnt") >= 2)
+    )
+    losers = occ.join(grp, "_h").filter(
+        ~((F.col("_id") == F.col("_keep._id"))
+          & (F.col("_p") == F.col("_keep._p"))))
+    starts = losers.groupBy("_id").agg(
+        F.array_sort(F.collect_set("_p")).alias("_ss"))
+    # merge ascending fixed-width starts into disjoint inclusive
+    # intervals: a start s extends the last interval iff s <= hi + 1
+    # (overlap or adjacency); starts ascend, so hi = s + w - 1 is
+    # monotone and the merge is a single left-fold
+    spans = F.aggregate(
+        F.col("_ss"),
+        F.array().cast("array<struct<lo:int,hi:int>>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (s <= F.element_at(acc, -1)["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["lo"].alias("lo"),
+                    (s + F.lit(w - 1)).alias("hi")))),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(
+                s.alias("lo"), (s + F.lit(w - 1)).alias("hi"))))),
+    )
+    return starts.select(
+        F.col("_id").alias(id_col), spans.alias("dup_spans"))
+
+
+def dedup_spans(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    w: int = 50,
+    drop_empty: bool = False,
+    spans_df: DataFrame | None = None,
+) -> DataFrame:
+    """Remove duplicated spans from pre-tokenized sequences — Lee et al.
+    2021 ExactSubstr semantics over fixed-``w`` windows: positions
+    covered by any non-keeper occurrence of a corpus-duplicated window
+    are deleted from ``col``; each duplicated window content survives in
+    exactly its globally-first occurrence. Ids are non-null by contract
+    (the lake key invariant, as window_dedup).
+
+    ``col`` must be an ARRAY column (token ids). For raw text use
+    window_dedup (flag/drop) — span removal on prose would have to
+    reconstruct the document through a lossy normalizer.
+
+    ``spans_df`` injects precomputed intervals (id_col, dup_spans) so a
+    caller can compute spans on one representation (token ids) and strip
+    a parallel array column of the same document (e.g. the words the
+    ids were injectively derived from — the registry witness does this).
+
+    ``drop_empty`` removes documents whose every position was covered.
+    """
+    from pyspark.sql.types import ArrayType
+
+    if not isinstance(df.select(col).schema[0].dataType, ArrayType):
+        raise TypeError(
+            f"dedup_spans needs an array column, got {col!r}; "
+            "use window_dedup for raw text")
+    ivs = spans_df if spans_df is not None else dup_span_intervals(
+        df, col, id_col, w)
+    kept = F.when(F.col("dup_spans").isNull(), F.col(col)).otherwise(
+        F.filter(
+            col,
+            lambda x, i: ~F.exists(
+                F.col("dup_spans"),
+                lambda iv: (iv["lo"] <= i + 1) & (i + 1 <= iv["hi"]))))
+    out = (
+        df.join(ivs, id_col, "left")
+        .withColumn(col, kept)
+        .select(*df.columns)
+    )
+    if drop_empty:
+        out = out.filter(F.size(F.col(col)) > 0)
+    return out

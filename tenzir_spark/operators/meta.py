@@ -245,7 +245,8 @@ _PIPELINE_OPERATORS = [
     "chart", "shell", "version", "local", "remote", "unordered",
     "every", "cron", "python",
     # training-data curation extensions (not reference operators):
-    "sample", "c4-filter", "window-dedup", "pack", "line-dedup",
+    "sample", "c4-filter", "window-dedup", "dedup-spans", "pack",
+    "line-dedup",
     "redact-pii", "dsir-sample", "bpe", "semdedup", "cluster-dedup",
     "lm-filter", "gopher-filter", "repetition-filter",
     "html-extract", "url-filter", "quality-filter", "cross-dedup",

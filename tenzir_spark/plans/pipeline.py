@@ -906,6 +906,27 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                     df, _one_path(schema, m2.group(1)),
                     _one_path(schema, m2.group(2)),
                     w=int(m2.group(3)) if m2.group(3) else None)
+            elif name == "dedup-spans":
+                # `dedup-spans <array-field> by <id-field> [w <n>]
+                # [--drop-empty]` — Lee et al. ExactSubstr span removal
+                # (dedup.py dedup_spans): duplicated w-token spans are
+                # deleted from all but their globally-first occurrence
+                a = args.strip()
+                drop_empty = "--drop-empty" in a
+                a = a.replace("--drop-empty", "").strip()
+                m2 = re.fullmatch(
+                    r"(\S+)\s+by\s+(\S+)(?:\s+w\s+(\d+))?", a)
+                if not m2:
+                    raise TqlError(
+                        "dedup-spans: usage `dedup-spans <array-field> "
+                        "by <id-field> [w <n>] [--drop-empty]`")
+                from tenzir_spark.operators.dedup import dedup_spans
+
+                df = dedup_spans(
+                    df, _one_path(schema, m2.group(1)),
+                    _one_path(schema, m2.group(2)),
+                    w=int(m2.group(3)) if m2.group(3) else 50,
+                    drop_empty=drop_empty)
             elif name == "semdedup":
                 # `semdedup <emb-field> by <id-field> [k <n>]
                 # [threshold <f>]` — SemDeDup semantic-duplicate flags

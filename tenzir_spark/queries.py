@@ -1289,6 +1289,64 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_dedup_spans(spark, sf):
+    """Lee et al. 2021 ExactSubstr SPAN REMOVAL (dedup.py
+    dup_span_intervals + dedup_spans): every duplicated 8-token window
+    keeps its globally-first occurrence; all other occurrences' positions
+    are deleted from the document, leaving the unique remainder. Token
+    ids derive injectively from words (md5-28bit, the
+    token_window_dedup convention) so span equality over ids == equality
+    over word sequences; the intervals computed on the token ids strip
+    the PARALLEL words array (dedup_spans spans_df injection) and the
+    witness emits the surviving words re-joined — which the oracle
+    replays verbatim on the word windows themselves (same output absent
+    a hash collision, the documented window_dedup caveat)."""
+    from tenzir_spark.operators.dedup import dedup_spans, dup_span_intervals
+
+    docs = load(spark, sf, "documents")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+        " ")
+    tokens = F.transform(
+        words, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10)
+        .cast("int"))
+    toked = docs.select(
+        "doc_id", words.alias("ws"), tokens.alias("tokens"))
+    ivs = dup_span_intervals(toked, "tokens", "doc_id", w=8)
+    cleaned = dedup_spans(toked, "ws", "doc_id", spans_df=ivs)
+    return cleaned.select(
+        "doc_id", F.array_join("ws", " ").alias("kept_text")
+    ).orderBy("doc_id")
+
+
+SQL_DEDUP_SPANS = """
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+wins AS (
+  SELECT doc_id, i AS p, array_to_string(ws[i:i+7], ' ') AS win
+  FROM norm, UNNEST(range(1, greatest(len(ws) - 6, 1))) AS t(i)),
+keep AS (
+  SELECT win,
+         first(doc_id ORDER BY doc_id, p) AS kid,
+         first(p ORDER BY doc_id, p) AS kp
+  FROM wins GROUP BY win HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT w.doc_id, u.pos
+  FROM wins w JOIN keep k USING (win), UNNEST(range(w.p, w.p + 8)) AS u(pos)
+  WHERE NOT (w.doc_id = k.kid AND w.p = k.kp)),
+pos AS (
+  SELECT n.doc_id, u.pos, n.ws[u.pos] AS word
+  FROM norm n, UNNEST(range(1, len(n.ws) + 1)) AS u(pos))
+SELECT p.doc_id,
+       coalesce(string_agg(p.word, ' ' ORDER BY p.pos)
+                FILTER (WHERE c.pos IS NULL), '') AS kept_text
+FROM pos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.pos = p.pos
+GROUP BY p.doc_id ORDER BY p.doc_id
+"""
+
+
 def q_token_decontaminate(spark, sf):
     """Decontamination over PRE-TOKENIZED sequences (decontaminate.py
     _ngrams_for array dispatch): same eval/corpus split as
@@ -3590,7 +3648,7 @@ REGISTRY: dict[str, tuple] = {
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "minhash_lsh_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "window_dedup": (q_window_dedup, SQL_WINDOW_DEDUP),
-    "line_dedup_keep_first": (q_line_dedup, SQL_LINE_DEDUP),
+    "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "cosine_near_dup_lsh": (q_cosine_pairs_lsh, SQL_COSINE_PAIRS_LSH),
     "semdedup_flags": (q_semdedup, SQL_SEMDEDUP),
@@ -3617,6 +3675,7 @@ REGISTRY: dict[str, tuple] = {
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     # ---- past the 50-row window: family variants + remaining entries,
     # all still oracle-exact under the local gate
+    "line_dedup_keep_first": (q_line_dedup, SQL_LINE_DEDUP),
     "tql2_match_record": (q_tql2_match_record, SQL_TQL2_MATCH_RECORD),
     "tql2_lambda": (q_tql2_lambda, SQL_TQL2_LAMBDA),
     "unroll_list": (q_unroll, SQL_UNROLL),

@@ -642,6 +642,70 @@ def test_token_window_dedup_modes_and_pipeline(spark):
     assert [r["doc_id"] for r in via_text.collect()] == [3]
 
 
+def test_dedup_spans_exactsubstr(spark):
+    """Lee et al. ExactSubstr span removal: duplicated w-token spans are
+    deleted from all but the globally-first occurrence; unique
+    remainders survive; short docs untouched; fully-covered docs empty
+    (droppable via drop_empty)."""
+    from pyspark.sql import Row, functions as F
+
+    from tenzir_spark.operators.dedup import dedup_spans, dup_span_intervals
+    from tenzir_spark.plans.pipeline import run_tql
+
+    shared = [1, 2, 3, 4]
+    df = spark.createDataFrame([
+        Row(doc_id=1, tokens=[9] + shared + [10]),  # first occurrence: keeper
+        Row(doc_id=2, tokens=[8] + shared + [11]),  # loser at p=2..5
+        Row(doc_id=3, tokens=[5, 6, 7, 8, 9]),      # no shared window
+        Row(doc_id=4, tokens=[1, 2, 3]),            # shorter than w
+        Row(doc_id=5, tokens=list(shared)),         # fully covered
+    ])
+    out = {r["doc_id"]: r["tokens"]
+           for r in dedup_spans(df, "tokens", "doc_id", w=4).collect()}
+    assert out[1] == [9, 1, 2, 3, 4, 10]
+    assert out[2] == [8, 11]
+    assert out[3] == [5, 6, 7, 8, 9]
+    assert out[4] == [1, 2, 3]
+    assert out[5] == []
+
+    kept_ids = sorted(
+        r["doc_id"] for r in dedup_spans(
+            df, "tokens", "doc_id", w=4, drop_empty=True).collect())
+    assert kept_ids == [1, 2, 3, 4]
+
+    # intra-document repetition: the second occurrence inside ONE doc
+    # is the loser (the paper dedups within documents too)
+    rep = spark.createDataFrame(
+        [Row(doc_id=7, tokens=shared + [0] + shared)])
+    (only,) = dedup_spans(rep, "tokens", "doc_id", w=4).collect()
+    assert only["tokens"] == [1, 2, 3, 4, 0]
+
+    # overlapping losing windows merge into ONE disjoint interval
+    pair = spark.createDataFrame([
+        Row(doc_id=1, tokens=[1, 2, 3, 4, 5]),
+        Row(doc_id=2, tokens=[9, 1, 2, 3, 4, 5]),
+    ])
+    ivs = {r["doc_id"]: [(iv["lo"], iv["hi"]) for iv in r["dup_spans"]]
+           for r in dup_span_intervals(pair, "tokens", "doc_id", w=4)
+           .collect()}
+    assert ivs == {2: [(2, 6)]}
+    out2 = {r["doc_id"]: r["tokens"]
+            for r in dedup_spans(pair, "tokens", "doc_id", w=4).collect()}
+    assert out2 == {1: [1, 2, 3, 4, 5], 2: [9]}
+
+    # pipeline text stage (+ --drop-empty)
+    via_text = {r["doc_id"]: r["tokens"] for r in run_tql(
+        df, "dedup-spans tokens by doc_id w 4").collect()}
+    assert via_text == out
+    assert sorted(r["doc_id"] for r in run_tql(
+        df, "dedup-spans tokens by doc_id w 4 --drop-empty").collect()
+    ) == [1, 2, 3, 4]
+
+    # span removal needs the token-array shape, not prose
+    with pytest.raises(TypeError):
+        dedup_spans(df.withColumn("t", F.lit("x")), "t", "doc_id")
+
+
 def test_asof_join_matches_pandas(spark):
     """asof_join vs pandas.merge_asof (independent oracle): backward,
     forward, tolerance, unmatched rows, name collisions."""
