@@ -659,6 +659,11 @@ def dedup_spans(
         raise TypeError(
             f"dedup_spans needs an array column, got {col!r}; "
             "use window_dedup for raw text")
+    if "dup_spans" in df.columns:
+        raise ValueError(
+            "dedup_spans: input already has a 'dup_spans' column — "
+            "rename it first (the operator joins its intervals under "
+            "that name)")
     ivs = spans_df if spans_df is not None else dup_span_intervals(
         df, col, id_col, w)
     kept = F.when(F.col("dup_spans").isNull(), F.col(col)).otherwise(

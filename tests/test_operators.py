@@ -705,6 +705,13 @@ def test_dedup_spans_exactsubstr(spark):
     with pytest.raises(TypeError):
         dedup_spans(df.withColumn("t", F.lit("x")), "t", "doc_id")
 
+    # a pre-existing dup_spans column would be silently clobbered by the
+    # interval join — refuse instead
+    with pytest.raises(ValueError, match="dup_spans"):
+        dedup_spans(
+            df.withColumn("dup_spans", F.lit(None).cast("string")),
+            "tokens", "doc_id", w=4)
+
 
 def test_asof_join_matches_pandas(spark):
     """asof_join vs pandas.merge_asof (independent oracle): backward,
