@@ -124,12 +124,13 @@ def main() -> None:
         deadline = time.monotonic() + args.wait_healthy
         wait_probes = [probe_before]
         while probe_before["box_spark_job_ms"] > 80:
-            if time.monotonic() >= deadline:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
                 print(json.dumps({"wait_healthy": "timeout — measuring "
                                   "anyway; artifact will carry the "
                                   "degraded-box validity note"}), flush=True)
                 break
-            time.sleep(120)
+            time.sleep(min(120, remaining))
             probe_before = box_probe()
             wait_probes.append(probe_before)
             print(json.dumps({"probe_retry": probe_before}), flush=True)

@@ -672,11 +672,11 @@ def dedup_spans(
             lambda x, i: ~F.exists(
                 F.col("dup_spans"),
                 lambda iv: (iv["lo"] <= i + 1) & (i + 1 <= iv["hi"]))))
-    out = (
-        df.join(ivs, id_col, "left")
-        .withColumn(col, kept)
-        .select(*df.columns)
-    )
+    out = df.join(ivs, id_col, "left").withColumn(col, kept)
     if drop_empty:
-        out = out.filter(F.size(F.col(col)) > 0)
-    return out
+        # drop only documents whose every position was COVERED by a
+        # duplicated span: rows with no spans at all (dup_spans NULL —
+        # including NULL/empty token arrays) pass through unchanged
+        out = out.filter(
+            F.col("dup_spans").isNull() | (F.size(F.col(col)) > 0))
+    return out.select(*df.columns)

@@ -1453,6 +1453,10 @@ def run_tql_source(spark, text: str, order_by: str | None = None,
     wm = _SHOW_RE.fullmatch(head)
     hm = _HOST_RE.fullmatch(head)
     lum = _LOOKUP_RE.fullmatch(head)
+    if lum and lum.group(2).startswith("--"):
+        # `lookup <ctx> --field <f>` is the MID-pipeline enrich form
+        # (run_tql stage), not the source head `lookup <root> <ctx> …`
+        lum = None
     if source_df is not None and not (m or em or sm or km or wm or hm or lum):
         df = source_df
         stages = ["__source__", *stages]  # operator stages start at [1]
@@ -1470,7 +1474,15 @@ def run_tql_source(spark, text: str, order_by: str | None = None,
                            "context_store= to run_tql_source (contexts "
                            "live in the lake warehouse)")
         root, cname, opts = lum.group(1), lum.group(2), lum.group(3) or ""
-        toks = opts.split()
+        toks = []
+        for t in opts.split():
+            # accept `--opt=value` exactly like the mid-pipeline stages'
+            # _flag grammar (`(?:=|\s+)`)
+            if t.startswith("--") and "=" in t:
+                k, _, v = t.partition("=")
+                toks.extend([k, v])
+            else:
+                toks.append(t)
         mode, vals = "retro", {}
         i = 0
         while i < len(toks):
@@ -1655,7 +1667,8 @@ def run_tql_stream(spark, text: str, *, connector=None,
                    runner_kwargs: dict | None = None,
                    checkpoint_dir: str | None = None,
                    processing_time: str | None = None,
-                   max_files_per_trigger: int | None = None):
+                   max_files_per_trigger: int | None = None,
+                   context_store=None):
     """Streaming TQL text front-end — the reference's implicit CLOSED
     streaming pipelines (`tenzir 'from kafka … | where … | import'`,
     libtenzir/src/exec_pipeline.cpp:118-184 runs such a pipeline until
@@ -1711,7 +1724,8 @@ def run_tql_stream(spark, text: str, *, connector=None,
     import os as _os
 
     def _transform(df: DataFrame) -> DataFrame:
-        out = run_tql(df, middle) if middle else df
+        out = run_tql(df, middle, context_store=context_store) \
+            if middle else df
         missing = [c for c in _ENVELOPE_COLS if c not in out.columns]
         if missing:
             raise TqlError(
@@ -1795,7 +1809,8 @@ _EVERY_RE = re.compile(r'(every)\s+(\S+)\s+(.*)$|(cron)\s+"([^"]+)"\s+(.*)$',
 
 
 def run_tql_every(spark, text: str, *, n_runs: int, order_by=None,
-                  source_df=None, now_fn=None, sleep_fn=None) -> list:
+                  source_df=None, context_store=None,
+                  now_fn=None, sleep_fn=None) -> list:
     """Scheduled pipeline execution — the reference's `every`/`cron`
     source modifiers (every_cron.cpp:265-360; operator-modifiers.md):
 
@@ -1830,7 +1845,8 @@ def run_tql_every(spark, text: str, *, n_runs: int, order_by=None,
 
     def fire():
         results.append(run_tql_source(
-            spark, rest, order_by=order_by, source_df=source_df))
+            spark, rest, order_by=order_by, source_df=source_df,
+            context_store=context_store))
 
     run_scheduled(fire, sched, n_runs=n_runs,
                   now_fn=now_fn or _dt.now,

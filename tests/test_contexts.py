@@ -160,6 +160,34 @@ def test_lookup_source_head_text(spark, store, tmp_path):
         context_store=store)
     assert retro_now.count() == 3
 
+    # `--field=src` form accepted, matching the mid-pipeline _flag grammar
+    eq_form = run_tql_source(
+        spark, f"lookup {tmp_path}/hist threats --field=src --retro",
+        context_store=store)
+    assert eq_form.count() == 3
+
+    # the MID-pipeline form (`lookup <ctx> --field <f>`) with an explicit
+    # source_df is NOT shadowed by the source head: second token is an
+    # option, so the head routes to run_tql's enrich/lookup stage
+    mid = run_tql_source(
+        spark, "lookup threats --field src | select src",
+        source_df=hist.read(spark), context_store=store)
+    assert sorted(r["src"] for r in mid.collect()) == \
+        ["1.2.3.4", "5.6.7.8", "7.7.7.7"]
+
+    # scheduled fires thread context_store through run_tql_every
+    from datetime import datetime, timedelta
+
+    from tenzir_spark.plans.pipeline import run_tql_every
+    clock = {"now": datetime(2026, 1, 1)}
+    fired = run_tql_every(
+        spark, f"every 1s lookup {tmp_path}/hist threats --field src --retro",
+        n_runs=2, context_store=store,
+        now_fn=lambda: clock["now"],
+        sleep_fn=lambda s: clock.__setitem__(
+            "now", clock["now"] + timedelta(seconds=s)))
+    assert [d.count() for d in fired] == [3, 3]
+
     # targeted errors
     with pytest.raises(TqlError, match="needs a ContextStore"):
         run_tql_source(spark, f"lookup {tmp_path}/hist threats")

@@ -673,6 +673,18 @@ def test_dedup_spans_exactsubstr(spark):
             df, "tokens", "doc_id", w=4, drop_empty=True).collect())
     assert kept_ids == [1, 2, 3, 4]
 
+    # NULL / originally-empty token arrays had no position covered, so
+    # drop_empty passes them through unchanged (only covered-to-empty
+    # documents are removed)
+    extra = spark.createDataFrame(
+        [Row(doc_id=8, tokens=None), Row(doc_id=9, tokens=[])],
+        schema=df.schema)
+    kept2 = {r["doc_id"]: r["tokens"] for r in dedup_spans(
+        df.unionByName(extra), "tokens", "doc_id", w=4,
+        drop_empty=True).collect()}
+    assert sorted(kept2) == [1, 2, 3, 4, 8, 9]
+    assert kept2[8] is None and kept2[9] == []
+
     # intra-document repetition: the second occurrence inside ONE doc
     # is the loser (the paper dedups within documents too)
     rep = spark.createDataFrame(
