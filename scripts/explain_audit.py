@@ -76,6 +76,12 @@ AUDIT = {
     # window runs on the LIMITED 500 rows, never the full table
     "sort_ranked": ([r"TakeOrderedAndProject"], []),
     "minhash_lsh_pairs": ([r"HashAggregate|SortAggregate"], [r"CartesianProduct"]),
+    # exact n-gram Jaccard is the PPJoin-style prefix-filtered equi-join:
+    # frequency agg + per-doc prefix window + gram-keyed candidate join —
+    # the old cartesian baseline must never come back
+    "ngram_jaccard_pairs": ([r"HashAggregate", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+                            [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                             r"BatchEvalPython"]),
     "ann_cosine_topk": ([], [r"CartesianProduct"]),  # broadcast NL join on 1-row query side is fine
     "token_count": ([r"codegen id"], [r"BatchEvalPython"]),
     # global-order ops must use the two-phase distributed numbering: a

@@ -362,24 +362,101 @@ def minhash_near_dup_pairs(
     )
 
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
-                        threshold: float = 0.3) -> DataFrame:
-    """Exact word-n-gram Jaccard over all pairs — the brute-force baseline
-    (quadratic; only for bounded inputs / verification of the LSH path)."""
+def _word_ngrams(text_col: str, n: int) -> Column:
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.array_distinct(
+    return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         )
     )
-    p = df.select(F.col(id_col).alias("id"), grams.alias("g")).filter(F.size("g") > 0)
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                        threshold: float = 0.3) -> DataFrame:
+    """EXACT word-n-gram Jaccard pairs at ``jaccard >= threshold`` —
+    prefix-filtered similarity join (the AllPairs/PPJoin family, Bayardo
+    et al. WWW'07 / Xiao et al. WWW'08), not a cartesian product.
+
+    Prefix-filtering principle: order every document's gram set by one
+    global total order (document-frequency ascending, gram as the tie
+    break — rarest first minimizes candidates). If ``J(A,B) >= t`` then
+    ``|A∩B| >= ceil(t·|A|)``, so the intersection cannot hide entirely in
+    A's ``ceil(t·|A|)-1`` last-ordered grams: A's first
+    ``|A| - ceil(t·|A|) + 1`` grams (its *prefix*) must contain a common
+    gram, and symmetrically for B. Candidate pairs are therefore exactly
+    the pairs whose PREFIXES share a gram — an equi-join on the gram, no
+    all-pairs step anywhere. Exact verification (array_intersect /
+    array_union) then recomputes true Jaccard for candidates only, so the
+    result set is identical to the brute-force definition. Frequent grams
+    (the skew risk of a plain inverted index) almost never land in a
+    prefix, which is what bounds posting-list fan-out at corpus scale.
+
+    Scale shape: one gram-frequency agg, one per-doc prefix window, one
+    payload-free (id, sz) candidate join, one bounded verification join —
+    all linear-ish in corpus size for realistic thresholds. The quadratic
+    step of the old baseline is gone; `_ngram_jaccard_pairs_brute` remains
+    for property-testing equivalence on bounded inputs.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"ngram_jaccard_pairs needs 0 < threshold <= 1 (got "
+            f"{threshold}); at threshold <= 0 every pair qualifies and "
+            "only the brute-force cartesian can enumerate that")
+    from pyspark.sql import Window
+
+    docs = (
+        df.select(F.col(id_col).alias("id"), _word_ngrams(text_col, n).alias("g"))
+        .filter(F.size("g") > 0)
+        .withColumn("sz", F.size("g"))
+    )
+    # the output filter is on round(j, 4) >= t, so a pair at true
+    # j = t - 4e-5 can still round UP into the result set: generate
+    # candidates at a threshold one half-ulp-of-round(…,4) lower so the
+    # prefix net provably catches every pair the final filter keeps
+    t = threshold - 0.5e-4
+    occ = docs.select("id", "sz", F.explode("g").alias("w"))
+    freq = occ.groupBy("w").agg(F.count("id").alias("df_"))
+    rn = F.row_number().over(Window.partitionBy("id").orderBy("df_", "w"))
+    pref = (
+        occ.join(freq, "w")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
+        .select("id", "sz", "w")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, "w")
+        .filter(F.col("a.id") < F.col("b.id"))
+        # length filter: J >= t forces min(|A|,|B|) >= t·max(|A|,|B|)
+        .filter(F.least("a.sz", "b.sz") >= F.lit(t) * F.greatest("a.sz", "b.sz"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ga = docs.select(F.col("id").alias("id_a"), F.col("g").alias("g_a"))
+    gb = docs.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"))
+    jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
+    return (
+        cand.join(ga, "id_a").join(gb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _ngram_jaccard_pairs_brute(df: DataFrame, id_col: str, text_col: str,
+                               n: int = 3, threshold: float = 0.3) -> DataFrame:
+    """Brute-force all-pairs twin of :func:`ngram_jaccard_pairs` —
+    quadratic by definition, kept ONLY as the property-test oracle for the
+    prefix-filtered join on bounded inputs. Never on a production path."""
+    p = (df.select(F.col(id_col).alias("id"), _word_ngrams(text_col, n).alias("g"))
+         .filter(F.size("g") > 0))
     a, b = p.alias("a"), p.alias("b")
     jac = F.size(F.array_intersect("a.g", "b.g")) / F.size(F.array_union("a.g", "b.g"))
     return (
         a.crossJoin(b)
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.round(jac, 4).alias("jaccard"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -214,6 +214,64 @@ def test_window_dedup_modes(spark):
     assert "ReusedExchange" in plan
 
 
+def test_ngram_jaccard_prefix_filter_exact(spark):
+    import random
+
+    from pyspark.sql import Row
+
+    from tenzir_spark.operators.dedup import (
+        _ngram_jaccard_pairs_brute,
+        ngram_jaccard_pairs,
+    )
+
+    # seeded corpus engineered for hard cases: shared bases with word
+    # swaps (pairs straddling every similarity level), exact duplicates,
+    # a stopword ("the") in almost every doc (the inverted-index skew
+    # case prefix filtering exists to defuse), singletons, and a pair at
+    # the round(j,4) boundary
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(30):
+        base = rng.sample(vocab, 8) + ["the"]
+        rows.append(Row(doc_id=2 * i, text=" ".join(base)))
+        mutated = list(base)
+        for _ in range(rng.randrange(0, 5)):
+            mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+        rows.append(Row(doc_id=2 * i + 1, text=" ".join(mutated)))
+    rows += [Row(doc_id=100, text="solo doc nothing shared"),
+             Row(doc_id=101, text="   ")]
+    df = spark.createDataFrame(rows)
+
+    for n, t in [(1, 0.8), (1, 0.5), (2, 0.3), (1, 1.0)]:
+        got = sorted(map(tuple, ngram_jaccard_pairs(
+            df, "doc_id", "text", n=n, threshold=t).collect()))
+        want = sorted(map(tuple, _ngram_jaccard_pairs_brute(
+            df, "doc_id", "text", n=n, threshold=t).collect()))
+        assert got == want, f"n={n} t={t}: {got} != {want}"
+    assert len(want) >= 1  # t=1.0 still finds the exact-duplicate pairs
+
+    # rounds-up boundary: j = 3/10 = 0.3 exactly and j just under a
+    # round boundary must agree with brute under the round(…,4) filter
+    edge = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e f g"),
+        Row(doc_id=2, text="a b c x y z"),      # |∩|=3, |∪|=10, j=0.3
+    ])
+    got = ngram_jaccard_pairs(edge, "doc_id", "text", n=1,
+                              threshold=0.3).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in got] == [(1, 2, 0.3)]
+
+    # scale shape: the plan must not contain a cartesian product
+    q = ngram_jaccard_pairs(df, "doc_id", "text", n=1, threshold=0.8)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    with pytest.raises(ValueError, match="threshold"):
+        ngram_jaccard_pairs(df, "doc_id", "text", n=1, threshold=0.0)
+
+
 def test_c4_filter_rules(spark):
     from pyspark.sql import Row
 
