@@ -96,10 +96,73 @@ def run_ingest(n_workers: int, changes: str) -> dict:
     }
 
 
+def run_submit(n_workers: int, changes: str) -> dict:
+    """The north-rule deployment shape, literally: `spark-submit
+    --py-files dist/tenzir_spark.zip jobs/run_ingest.py` against the
+    standalone master. The job script and zip are STAGED IN A TEMP DIR
+    outside the repo, so the driver (and every executor's Python worker)
+    can resolve `tenzir_spark` only from the shipped zip — if package.py
+    missed a module, this run fails instead of silently importing from
+    the repo checkout."""
+    import tempfile
+
+    subprocess.run([sys.executable, os.path.join(ROOT, "scripts", "package.py")],
+                   check=True, capture_output=True)
+    stage = tempfile.mkdtemp(prefix="tz_submit_")
+    shutil.copy(os.path.join(ROOT, "jobs", "run_ingest.py"), stage)
+    shutil.copy(os.path.join(ROOT, "dist", "tenzir_spark.zip"), stage)
+    with open(os.path.join(changes, "manifest.json")) as f:
+        man = json.load(f)
+    wh = f"/dev/shm/sa_wh_submit_{n_workers}"
+    shutil.rmtree(wh, ignore_errors=True)
+    total_cores = 4 * n_workers
+    cmd = [
+        f"{SPARK_HOME}/bin/spark-submit",
+        "--master", MASTER,
+        "--deploy-mode", "client",
+        "--py-files", os.path.join(stage, "tenzir_spark.zip"),
+        "--driver-memory", "8g",
+        "--conf", "spark.executor.cores=4",
+        "--conf", "spark.executor.memory=4g",
+        "--conf", "spark.local.dir=/dev/shm/sa_local_driver",
+        os.path.join(stage, "run_ingest.py"),
+        "--master", MASTER,
+        "--cores", str(total_cores),
+        "--events", str(man["n_events"]),
+        "--docs", str(man["n_docs"]),
+        "--parts", str(man["n_parts"]),
+        "--batches", str(man["n_batches"]),
+        "--changes", changes,
+        "--warehouse", wh,
+        "--local-dir", "/dev/shm/sa_local_driver",
+        "--fresh",
+    ]
+    t0 = time.monotonic()
+    proc = subprocess.run(cmd, env=_env(n_workers), capture_output=True, text=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(wh, ignore_errors=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"spark-submit ({n_workers}w) failed rc={proc.returncode}:\n"
+            f"{proc.stdout[-2000:]}\n{proc.stderr[-4000:]}")
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    out = json.loads(line)
+    out.update(workers=n_workers, executor_cores=4, total_cores=total_cores,
+               events_per_sec=out["value"],
+               submit_wall_sec=round(time.monotonic() - t0, 1),
+               deployed_via="spark-submit --py-files tenzir_spark.zip")
+    return out
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--changes", default="/dev/shm/chg_heavy16")
     p.add_argument("--workers", default="1,4")
+    p.add_argument("--submit", action="store_true",
+                   help="launch via literal `spark-submit --py-files "
+                        "dist/tenzir_spark.zip` from a staging dir outside "
+                        "the repo (proves the packaged deployment shape) "
+                        "instead of an in-process client driver")
     args = p.parse_args()
 
     if not os.path.exists(os.path.join(args.changes, "manifest.json")):
@@ -114,21 +177,26 @@ def main() -> None:
         stop_cluster(n)
         start_cluster(n)
         try:
-            results[n] = run_ingest(n, args.changes)
+            results[n] = (run_submit if args.submit else run_ingest)(n, args.changes)
             print(json.dumps(results[n]), flush=True)
         finally:
             stop_cluster(n)
     ws = sorted(results)
-    if len(ws) == 2 and results[ws[0]].get("steady_events_per_sec"):
+    if len(ws) == 2:
         n, m = ws
         ratio = m / n
         for kind in ("events_per_sec", "steady_events_per_sec"):
+            if not results[ws[0]].get(kind):
+                continue
             eff = (results[m][kind] / results[n][kind]) / ratio
-            print(json.dumps({
+            res = {
                 "metric": f"executor_scaling_efficiency_{kind}",
                 "n_executors": n, "x4_executors": m, "efficiency": round(eff, 3),
-            }), flush=True)
-    with open(os.path.join(ROOT, "standalone_scaling.json"), "w") as f:
+            }
+            results[f"efficiency_{kind}"] = res
+            print(json.dumps(res), flush=True)
+    name = "standalone_scaling_submit.json" if args.submit else "standalone_scaling.json"
+    with open(os.path.join(ROOT, name), "w") as f:
         json.dump(results, f, indent=1)
 
 
