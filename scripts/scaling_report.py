@@ -101,10 +101,17 @@ def main() -> None:
                    help="output filename under the repo root")
     p.add_argument("--wait-healthy", type=int, default=0, metavar="SEC",
                    help="probe the box every 2 min and start measuring "
-                        "only once box_spark_job_ms < 80 (healthy), up to "
+                        "only once box_spark_job_ms <= --healthy-ms, up to "
                         "SEC seconds; 0 = measure immediately. Efficiency "
                         "measured under host stalls is unusable, so this "
                         "turns the BASELINE.md re-run rule into a flag.")
+    p.add_argument("--healthy-ms", type=float, default=80, metavar="MS",
+                   help="box_spark_job_ms gate for --wait-healthy. The "
+                        "default 80 admits borderline boxes; one measured "
+                        "r4 run started at a momentary 80.0 dip on a "
+                        "degraded box and produced 0.27 efficiency garbage "
+                        "— use ~50 when the artifact matters (healthy "
+                        "baseline: 30-60).")
     args = p.parse_args()
 
     if not os.path.exists(os.path.join(args.changes, "manifest.json")):
@@ -123,7 +130,7 @@ def main() -> None:
 
         deadline = time.monotonic() + args.wait_healthy
         wait_probes = [probe_before]
-        while probe_before["box_spark_job_ms"] > 80:
+        while probe_before["box_spark_job_ms"] > args.healthy_ms:
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 print(json.dumps({"wait_healthy": "timeout — measuring "

@@ -383,3 +383,111 @@ def semdedup(df: DataFrame, emb_col: str, id_col: str,
                 ).alias("emb_norm"),
                 F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"))
     )
+
+
+# ----------------------------------------------------------------- IVF-PQ
+# Product quantization (Jégou, Douze, Schmid 2011, "Product Quantization
+# for Nearest Neighbor Search") — the classic path for ANN over 10^9+
+# vectors: split each d-dim vector into m subvectors, k-means each
+# subspace to 2^nbits codewords, store each vector as m small codes
+# (d×4 bytes → m bytes), and answer queries with asymmetric distance
+# computation (ADC): a per-query m×k lookup table of subspace distances,
+# summed per row — no float vector ever touched at query time. Composes
+# with the IVF coarse cells above (classic IVFADC) by running pq_topk on
+# the ivf_assign-pruned cells.
+
+
+def pq_train(df: DataFrame, emb_col: str, id_col: str, m: int = 4,
+             nbits: int = 4, iters: int = 5, seed: int = 42,
+             sample_mod: int | None = None) -> np.ndarray:
+    """Train the m per-subspace codebooks: Lloyd's k-means (k = 2^nbits)
+    over each d/m-dim slice, reusing ivf_build's distributed passes —
+    assignment stays JVM-side, only the m×k×dsub codebook tensor reaches
+    the driver. ``sample_mod`` trains on the deterministic 1/m-th
+    xxhash64 subsample exactly like ivf_build (at 10^9 vectors the
+    codebooks need a representative sample, never the corpus)."""
+    dim = len(df.select(emb_col).head()[0])
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    dsub, k = dim // m, 1 << nbits
+    books = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(emb_col), j * dsub + 1, dsub)
+            .cast("array<double>").alias("_sub"))
+        books.append(ivf_build(sub, "_sub", id_col, n_centroids=k,
+                               iters=iters, seed=seed + j,
+                               sample_mod=sample_mod))
+    return np.stack(books)  # (m, k, dsub)
+
+
+def pq_encode(df: DataFrame, emb_col: str, books: np.ndarray,
+              out: str = "_pq") -> DataFrame:
+    """Attach the m-byte PQ code (array<int>, one codeword id per
+    subspace). The codebooks travel as ONE flat array<double> on a 1-row
+    broadcast and the whole encode is a constant-size nested
+    transform(...) expression — generated code is O(1) in m and k (the
+    same Janino-safe shape as large-k ivf_assign), evaluated once per
+    row JVM-side."""
+    m, k, dsub = books.shape
+    spark = df.sparkSession
+    flat = [float(x) for x in books.ravel()]
+    cdf = spark.createDataFrame([(flat,)], "_pqflat: array<double>")
+    def _subspace_code(j):
+        dists = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col(emb_col), j * dsub + 1, dsub),
+                    F.slice(F.col("_pqflat"), (j * k + c) * dsub + 1, dsub),
+                    lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x))
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), _subspace_code)
+    return (
+        df.crossJoin(F.broadcast(cdf))
+        .withColumn(out, codes)
+        .drop("_pqflat")
+    )
+
+
+def pq_topk(df: DataFrame, emb_col: str, id_col: str, query_vec,
+            books: np.ndarray, k: int = 20, code_col: str | None = None,
+            refine: int = 0) -> DataFrame:
+    """ANN top-k via ADC: the query's m×2^nbits subspace-distance lookup
+    table is computed driver-side (m·k floats — tiny) and shipped as a
+    literal array; each row's approximate distance is the sum of m
+    table lookups indexed by its stored code. ``refine=r`` exact-reranks
+    the r best ADC candidates by true cosine (classic ADC+refine; the
+    embeddings are only touched for those r rows). Both stages are
+    TakeOrderedAndProject — no shuffle, no driver materialization beyond
+    the k results."""
+    m, kk, dsub = books.shape
+    q = np.asarray(query_vec, dtype=float)
+    if q.size != m * dsub:
+        raise ValueError(f"pq_topk: query dim {q.size} != m*dsub {m * dsub}")
+    lut = ((books - q.reshape(m, 1, dsub)) ** 2).sum(axis=2)  # (m, kk)
+    lut_lit = F.array(*[F.lit(float(x)) for x in lut.ravel()])
+    if code_col is None:
+        df = pq_encode(df, emb_col, books)
+        code_col = "_pq"
+    adc = F.aggregate(
+        F.zip_with(F.col(code_col),
+                   F.sequence(F.lit(0), F.lit(m - 1)),
+                   lambda code, j: F.element_at(lut_lit, j * kk + code + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    if refine:
+        cand = (df.withColumn("_adc", adc)
+                .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+                .limit(max(refine, k)))
+        return (cand.select(
+                    F.col(id_col),
+                    F.round(cosine(F.col(emb_col), _vec_lit(query_vec)), 4)
+                    .alias("cos_sim"))
+                .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+                .limit(k))
+    return (df.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+            .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+            .limit(k))

@@ -1425,6 +1425,21 @@ def q_ann_ivf(spark, sf):
     return sim.ivf_topk(em, "embedding", "vec_id", qvec, cents, k=20, n_probe=2)
 
 
+def q_ann_pq(spark, sf):
+    """IVF-PQ ANN (Jégou et al. 2011): per-subspace k-means codebooks,
+    m-byte codes stored as a column, asymmetric-distance top-k with exact
+    cosine refine (similarity.py:pq_train/pq_encode/pq_topk). The
+    iterative codebook training is not SQL-expressible — rows-only; the
+    encode/ADC math is cross-checked against an independent numpy
+    reference in tests/test_operators.py::test_pq_train_encode_topk."""
+    em = load(spark, sf, "embeddings")
+    qvec = em.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    books = sim.pq_train(em, "embedding", "vec_id", m=4, nbits=4, iters=2)
+    enc = sim.pq_encode(em, "embedding", books)
+    return sim.pq_topk(enc, "embedding", "vec_id", qvec, books, k=20,
+                       code_col="_pq", refine=100)
+
+
 def q_ann_lsh(spark, sf):
     """ANN LSH top-k with ENGINE-PORTABLE ±1 (Rademacher) hyperplanes
     derived from md5(j:d): the bucket assignment — the part that makes
@@ -3742,6 +3757,7 @@ REGISTRY: dict[str, tuple] = {
     # not SQL-expressible) sit LAST so the driver's 50-row correctness window
     # covers only oracle-backed queries.
     "ann_ivf_topk": (q_ann_ivf, None),
+    "ann_pq_topk": (q_ann_pq, None),
     "token_fingerprint_udf": (q_token_fingerprint, None),
     "approx_median": (q_approx_median, None),
     "bloom_membership": (q_bloom_membership, None),

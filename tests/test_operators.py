@@ -177,6 +177,59 @@ def test_ivf_large_k_flat_argmin(spark, sf_dir):
     assert got == set(exact), "probing all 256 cells must equal exact top-k"
 
 
+def test_pq_train_encode_topk(spark):
+    import numpy as np
+
+    from pyspark.sql import Row
+
+    from tenzir_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 8)) * 4
+    vecs = np.concatenate([c + rng.normal(size=(10, 8)) * 0.3 for c in centers])
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v])
+         for i, v in enumerate(vecs)])
+
+    books = pq_train(df, "embedding", "vec_id", m=2, nbits=2, iters=3)
+    assert books.shape == (2, 4, 4)
+
+    enc = pq_encode(df, "embedding", books)
+    got = {r["vec_id"]: list(r["_pq"]) for r in enc.collect()}
+    # independent numpy encode with the identical codebooks
+    m, k, dsub = books.shape
+    for i, v in enumerate(vecs):
+        want = [int(np.argmin(((books[j] - v[j * dsub:(j + 1) * dsub]) ** 2)
+                              .sum(axis=1))) for j in range(m)]
+        assert got[i] == want, f"vec {i}: {got[i]} != {want}"
+
+    # ADC ranking == numpy ADC ranking (same lookup-table math)
+    q = centers[2] + 0.1
+    lut = ((books - q.reshape(m, 1, dsub)) ** 2).sum(axis=2)
+    adc = np.array([sum(lut[j, got[i][j]] for j in range(m))
+                    for i in range(len(vecs))])
+    want_ids = [int(i) for i in np.lexsort((np.arange(len(vecs)), adc))[:5]]
+    got_rows = pq_topk(df, "embedding", "vec_id", q, books, k=5).collect()
+    assert [r["vec_id"] for r in got_rows] == want_ids
+
+    # refine: exact cosine re-rank of the ADC shortlist returns the true
+    # nearest vector first (clusters are far apart, ADC recall is easy)
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    true_top = int(np.argmax(sims))
+    refined = pq_topk(df, "embedding", "vec_id", q, books, k=3,
+                      refine=10).collect()
+    assert refined[0]["vec_id"] == true_top
+
+    # encoded corpus reuses the stored code column (no re-encode)
+    pre = pq_topk(enc, "embedding", "vec_id", q, books, k=5, code_col="_pq")
+    assert [r["vec_id"] for r in pre.collect()] == want_ids
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, "embedding", "vec_id", m=3)
+    with pytest.raises(ValueError, match="query dim"):
+        pq_topk(df, "embedding", "vec_id", q[:4], books, k=3)
+
+
 def test_window_dedup_modes(spark):
     from pyspark.sql import Row
 
