@@ -141,12 +141,14 @@ def run_submit(n_workers: int, changes: str) -> dict:
     proc = subprocess.run(cmd, env=_env(n_workers), capture_output=True, text=True)
     shutil.rmtree(stage, ignore_errors=True)
     shutil.rmtree(wh, ignore_errors=True)
-    if proc.returncode != 0:
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    if proc.returncode != 0 or not lines:
         raise RuntimeError(
-            f"spark-submit ({n_workers}w) failed rc={proc.returncode}:\n"
+            f"spark-submit ({n_workers}w) "
+            f"{'failed' if proc.returncode else 'printed no summary JSON'} "
+            f"rc={proc.returncode}:\n"
             f"{proc.stdout[-2000:]}\n{proc.stderr[-4000:]}")
-    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-    out = json.loads(line)
+    out = json.loads(lines[-1])
     out.update(workers=n_workers, executor_cores=4, total_cores=total_cores,
                events_per_sec=out["value"],
                submit_wall_sec=round(time.monotonic() - t0, 1),
@@ -186,7 +188,7 @@ def main() -> None:
         n, m = ws
         ratio = m / n
         for kind in ("events_per_sec", "steady_events_per_sec"):
-            if not results[ws[0]].get(kind):
+            if not (results[ws[0]].get(kind) and results[ws[1]].get(kind)):
                 continue
             eff = (results[m][kind] / results[n][kind]) / ratio
             res = {

@@ -406,7 +406,12 @@ def pq_train(df: DataFrame, emb_col: str, id_col: str, m: int = 4,
     the driver. ``sample_mod`` trains on the deterministic 1/m-th
     xxhash64 subsample exactly like ivf_build (at 10^9 vectors the
     codebooks need a representative sample, never the corpus)."""
-    dim = len(df.select(emb_col).head()[0])
+    first = df.select(emb_col).head()
+    if first is None or first[0] is None:
+        raise ValueError(
+            f"pq_train: cannot read the embedding dimension — input is "
+            f"empty or {emb_col!r} is NULL in the first row")
+    dim = len(first[0])
     if dim % m:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     dsub, k = dim // m, 1 << nbits
@@ -473,6 +478,16 @@ def pq_topk(df: DataFrame, emb_col: str, id_col: str, query_vec,
     if code_col is None:
         df = pq_encode(df, emb_col, books)
         code_col = "_pq"
+    # guard stored codes against a books mismatch: wrong arity (different
+    # m) would NULL-pad the zip_with and a NULL embedding yields NULL
+    # codes — either way the row's ADC distance is NULL, and ASC NULLS
+    # FIRST would rank exactly those rows as "nearest". Drop non-matching
+    # rows and sink any residual NULL distance to the end. (A different
+    # nbits — codes out of the lut's range — still fails LOUD via ANSI
+    # element_at, which is the right behavior for a real user error.)
+    df = df.filter(
+        (F.size(F.col(code_col)) == m)
+        & ~F.exists(F.col(code_col), lambda c: c.isNull()))
     adc = F.aggregate(
         F.zip_with(F.col(code_col),
                    F.sequence(F.lit(0), F.lit(m - 1)),
@@ -480,7 +495,7 @@ def pq_topk(df: DataFrame, emb_col: str, id_col: str, query_vec,
         F.lit(0.0), lambda acc, x: acc + x)
     if refine:
         cand = (df.withColumn("_adc", adc)
-                .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+                .orderBy(F.asc_nulls_last("_adc"), F.col(id_col).asc())
                 .limit(max(refine, k)))
         return (cand.select(
                     F.col(id_col),
@@ -489,5 +504,5 @@ def pq_topk(df: DataFrame, emb_col: str, id_col: str, query_vec,
                 .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
                 .limit(k))
     return (df.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
-            .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+            .orderBy(F.asc_nulls_last("adc_dist"), F.col(id_col).asc())
             .limit(k))

@@ -181,6 +181,7 @@ def test_pq_train_encode_topk(spark):
     import numpy as np
 
     from pyspark.sql import Row
+    from pyspark.sql import functions as F
 
     from tenzir_spark.operators.similarity import pq_encode, pq_topk, pq_train
 
@@ -224,10 +225,29 @@ def test_pq_train_encode_topk(spark):
     pre = pq_topk(enc, "embedding", "vec_id", q, books, k=5, code_col="_pq")
     assert [r["vec_id"] for r in pre.collect()] == want_ids
 
+    # a NULL embedding yields NULL codes → NULL ADC distance; the guard
+    # must EXCLUDE that row, not rank it first (ASC NULLS FIRST trap)
+    from pyspark.sql.types import StructField, StructType
+    nullable_schema = StructType([
+        StructField(f.name, f.dataType, True) for f in enc.schema.fields])
+    with_null = enc.unionByName(spark.createDataFrame(
+        [(999, None, None)], nullable_schema))
+    ids = [r["vec_id"] for r in pq_topk(
+        with_null, "embedding", "vec_id", q, books, k=5,
+        code_col="_pq").collect()]
+    assert ids == want_ids and 999 not in ids
+    # stored codes of the wrong arity (different m) are dropped, not
+    # silently scored against the mismatched codebooks
+    wrong_m = enc.withColumn("_pq", F.slice("_pq", 1, 1))
+    assert pq_topk(wrong_m, "embedding", "vec_id", q, books, k=5,
+                   code_col="_pq").count() == 0
+
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(df, "embedding", "vec_id", m=3)
     with pytest.raises(ValueError, match="query dim"):
         pq_topk(df, "embedding", "vec_id", q[:4], books, k=3)
+    with pytest.raises(ValueError, match="empty"):
+        pq_train(df.limit(0), "embedding", "vec_id", m=2)
 
 
 def test_window_dedup_modes(spark):
