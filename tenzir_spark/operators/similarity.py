@@ -506,3 +506,25 @@ def pq_topk(df: DataFrame, emb_col: str, id_col: str, query_vec,
     return (df.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
             .orderBy(F.asc_nulls_last("adc_dist"), F.col(id_col).asc())
             .limit(k))
+
+
+def ivfpq_topk(df: DataFrame, emb_col: str, id_col: str, query_vec,
+               cents: np.ndarray, books: np.ndarray, k: int = 20,
+               n_probe: int = 2, cell_col: str | None = None,
+               code_col: str | None = None, refine: int = 0) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV): the composition that actually runs
+    at 10^9 vectors — prune the scan to the ``n_probe`` nearest coarse
+    cells (the inverted file), then rank INSIDE them by table-lookup ADC
+    over the stored m-byte codes, optionally exact-refine the shortlist.
+    With ``cell_col``/``code_col`` pointing at stored columns the query
+    touches no float vector until the refine step, and partition pruning
+    on a cell-partitioned table turns the probe into a few-file scan."""
+    q = np.asarray(query_vec, dtype=float)
+    order = np.argsort(((cents - q) ** 2).sum(axis=1))
+    probes = [int(c) for c in order[:n_probe]]
+    if cell_col is None:
+        df = ivf_assign(df, emb_col, cents)
+        cell_col = "_ivf"
+    return pq_topk(df.filter(F.col(cell_col).isin(probes)), emb_col,
+                   id_col, query_vec, books, k=k, code_col=code_col,
+                   refine=refine)

@@ -242,6 +242,19 @@ def test_pq_train_encode_topk(spark):
     assert pq_topk(wrong_m, "embedding", "vec_id", q, books, k=5,
                    code_col="_pq").count() == 0
 
+    # IVFADC: probing ALL coarse cells must equal the cell-less ADC path;
+    # probing one cell still finds the true nearest (query sits in it)
+    from tenzir_spark.operators.similarity import ivf_assign, ivf_build, ivfpq_topk
+    cents = ivf_build(df, "embedding", "vec_id", n_centroids=4, iters=3)
+    stored = ivf_assign(pq_encode(df, "embedding", books), "embedding", cents)
+    allcells = ivfpq_topk(stored, "embedding", "vec_id", q, cents, books,
+                          k=5, n_probe=4, cell_col="_ivf", code_col="_pq")
+    assert [r["vec_id"] for r in allcells.collect()] == want_ids
+    one = ivfpq_topk(stored, "embedding", "vec_id", q, cents, books,
+                     k=3, n_probe=1, cell_col="_ivf", code_col="_pq",
+                     refine=10).collect()
+    assert one[0]["vec_id"] == true_top
+
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(df, "embedding", "vec_id", m=3)
     with pytest.raises(ValueError, match="query dim"):
