@@ -113,6 +113,27 @@ def cosine_topk_lsh(df: DataFrame, emb_col: str, id_col: str, query_vec,
     )
 
 
+def portable_codebooks(m: int = 8, nbits: int = 4, dsub: int = 8) -> np.ndarray:
+    """Engine-portable PQ codebooks derived from md5(j:c:d) — the
+    rademacher_planes trick applied to product quantization: any engine
+    reproduces the exact (m, 2^nbits, dsub) tensor, so the encode-argmin
+    and ADC-distance MATH (pq_encode/pq_topk) becomes oracle-checkable
+    value-for-value even though the *trained* codebooks (pq_train,
+    iterative k-means) are not SQL-expressible. Entries are uniform in
+    [-1, 1): int(md5[:8], 16) / 2^31 - 1 — exact dyadic arithmetic, so
+    the double is bit-identical from the hex digits alone."""
+    import hashlib
+
+    k = 1 << nbits
+    out = np.empty((m, k, dsub))
+    for j in range(m):
+        for c in range(k):
+            for d in range(dsub):
+                h = hashlib.md5(f"{j}:{c}:{d}".encode()).hexdigest()
+                out[j, c, d] = int(h[:8], 16) / 2147483648.0 - 1.0
+    return out
+
+
 def _dist2(emb_col: str, c: np.ndarray) -> Column:
     d = F.zip_with(F.col(emb_col), _vec_lit(c), lambda x, y: (x - y) * (x - y))
     return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)

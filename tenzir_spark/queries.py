@@ -1464,6 +1464,76 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
 """
 
 
+def q_ann_ivfpq(spark, sf):
+    """IVFADC (similarity.py:ivfpq_topk — Jégou et al. 2011 §IV): coarse
+    k-means cells prune the scan to n_probe inverted lists, ADC ranks
+    inside them over stored m-byte codes, exact cosine refines the
+    shortlist. Trained coarse+fine quantizers are iterative k-means —
+    rows-only; the ADC math itself is value-checked by the oracle-exact
+    twin ``pq_adc_exact`` below."""
+    em = load(spark, sf, "embeddings")
+    qvec = em.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    cents = sim.ivf_build(em, "embedding", "vec_id", n_centroids=8, iters=3)
+    books = sim.pq_train(em, "embedding", "vec_id", m=4, nbits=4, iters=2)
+    stored = sim.ivf_assign(sim.pq_encode(em, "embedding", books),
+                            "embedding", cents)
+    return sim.ivfpq_topk(stored, "embedding", "vec_id", qvec, cents, books,
+                          k=20, n_probe=2, cell_col="_ivf", code_col="_pq",
+                          refine=100)
+
+
+def q_pq_adc_exact(spark, sf):
+    """PQ encode + ADC top-k with ENGINE-PORTABLE md5-derived codebooks
+    (similarity.py:portable_codebooks) — the rademacher_planes trick for
+    product quantization: the oracle reproduces the exact (8,16,8)
+    codebook tensor from the hex digits, replays the per-subspace
+    argmin encode and the asymmetric-distance sum in SQL, and the top-20
+    is value-checked. This covers the MATH of pq_encode/pq_topk that the
+    trained-codebook entries (ann_pq_topk, ann_ivfpq_topk) can only
+    rows-check."""
+    em = load(spark, sf, "embeddings")
+    qvec = em.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    books = sim.portable_codebooks(m=8, nbits=4, dsub=8)
+    enc = sim.pq_encode(em, "embedding", books)
+    return sim.pq_topk(enc, "embedding", "vec_id", qvec, books, k=20,
+                       code_col="_pq")
+
+
+def _pq_adc_sql() -> str:
+    books = sim.portable_codebooks(m=8, nbits=4, dsub=8)
+    m, k, dsub = books.shape
+    flat = ", ".join(repr(float(x)) for x in books.ravel())
+    return f"""
+WITH b AS (SELECT [{flat}]::DOUBLE[] AS fb),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+enc AS (
+  SELECT e.vec_id, j,
+         list_transform(range(0, {k}), c ->
+           list_sum(list_transform(range(1, {dsub + 1}), t ->
+             (e.embedding[j*{dsub}+t] - fb[(j*{k}+c)*{dsub}+t])
+             * (e.embedding[j*{dsub}+t] - fb[(j*{k}+c)*{dsub}+t])))) AS dl
+  FROM embeddings e, b, UNNEST(range(0, {m})) u(j)),
+codes AS (
+  SELECT vec_id, j,
+         list_position(dl, list_aggregate(dl, 'min')) - 1 AS cj
+  FROM enc),
+lut AS (
+  SELECT j, c,
+         list_sum(list_transform(range(1, {dsub + 1}), t ->
+           (qe[j*{dsub}+t] - fb[(j*{k}+c)*{dsub}+t])
+           * (qe[j*{dsub}+t] - fb[(j*{k}+c)*{dsub}+t]))) AS qd
+  FROM q, b, UNNEST(range(0, {m})) u(j), UNNEST(range(0, {k})) v(c))
+SELECT codes.vec_id, round(sum(qd), 6) AS adc_dist
+FROM codes JOIN lut ON lut.j = codes.j AND lut.c = codes.cj
+GROUP BY codes.vec_id
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT 20
+"""
+
+
+SQL_PQ_ADC = _pq_adc_sql()
+
+
 def q_token_fingerprint(spark, sf):
     """Vectorized pandas-UDF token fingerprints over synthetic token arrays
     derived from document words (the corpus-table invariant checker). The
@@ -3671,6 +3741,7 @@ REGISTRY: dict[str, tuple] = {
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
+    "pq_adc_exact": (q_pq_adc_exact, SQL_PQ_ADC),
     "parse_syslog5424": (q_parse_syslog5424, SQL_PARSE_SYSLOG5424),
     "lake_changelog": (q_lake_changelog, SQL_LAKE_CHANGELOG),
     "cdc_dlq": (q_cdc_dlq, SQL_CDC_DLQ),
@@ -3758,6 +3829,7 @@ REGISTRY: dict[str, tuple] = {
     # covers only oracle-backed queries.
     "ann_ivf_topk": (q_ann_ivf, None),
     "ann_pq_topk": (q_ann_pq, None),
+    "ann_ivfpq_topk": (q_ann_ivfpq, None),
     "token_fingerprint_udf": (q_token_fingerprint, None),
     "approx_median": (q_approx_median, None),
     "bloom_membership": (q_bloom_membership, None),
