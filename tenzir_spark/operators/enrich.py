@@ -48,18 +48,21 @@ class BloomFilter:
     engines and runs, unlike JVM sketch internals. All ops are numpy
     array-at-a-time; the bitset broadcasts to executors."""
 
-    def __init__(self, expected: int = 1_000_000, fpp: float = 0.01):
+    def __init__(self, expected: int = 1_000_000, fpp: float = 0.01,
+                 hash_mode: str = "pandas"):
         import math
 
+        if hash_mode not in ("pandas", "md5"):
+            raise ValueError(f"hash_mode must be 'pandas' or 'md5', got {hash_mode!r}")
         m = max(64, int(-expected * math.log(fpp) / (math.log(2) ** 2)))
         self.m = 1 << max(6, (m - 1).bit_length())  # power of two → mask
         self.k = max(1, round(self.m / expected * math.log(2)))
+        self.hash_mode = hash_mode
         import numpy as np
 
         self.bits = np.zeros(self.m // 8, dtype=np.uint8)
 
-    @staticmethod
-    def _h12(values) -> tuple:
+    def _h12(self, values) -> tuple:
         """Vectorized dual hash, deterministic across processes, no per-row
         Python. ``hash_array``'s ``hash_key`` is ignored for numeric
         arrays, so h2 cannot come from a second keyed call (it would
@@ -70,9 +73,23 @@ class BloomFilter:
         from pandas.util import hash_array
 
         arr = np.asarray(values)
-        if arr.dtype == object:
-            arr = arr.astype(str).astype(object)
-        h1 = hash_array(arr, hash_key="tenzirsparkbl00A").astype(np.uint64)
+        if self.hash_mode == "md5":
+            # engine-portable h1: high 8 bytes of md5(str(value)). Slower
+            # (per-value hashlib) — the VERIFICATION twin mode that lets an
+            # independent SQL engine replay the whole probe math
+            # (bloom_membership_exact); production keeps the vectorized
+            # pandas hash. int/str keys only (str() must round-trip the
+            # textual form the oracle hashes).
+            import hashlib
+
+            h1 = np.fromiter(
+                (int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
+                 for v in arr),
+                dtype=np.uint64, count=len(arr))
+        else:
+            if arr.dtype == object:
+                arr = arr.astype(str).astype(object)
+            h1 = hash_array(arr, hash_key="tenzirsparkbl00A").astype(np.uint64)
         x = h1 ^ np.uint64(0x9E3779B97F4A7C15)
         x ^= x >> np.uint64(30)
         x *= np.uint64(0xBF58476D1CE4E5B9)
@@ -106,7 +123,8 @@ class BloomFilter:
 
 
 def bloom_filter_context(df: DataFrame, col: str, expected: int | None = None,
-                         fpp: float = 0.01) -> BloomFilter:
+                         fpp: float = 0.01,
+                         hash_mode: str = "pandas") -> BloomFilter:
     """Build a Bloom filter context over a column. The context table is
     broadcast-small by definition (the reference ships whole contexts to
     every node, plugin.hpp:660-727), so a driver-side collect of the key
@@ -114,7 +132,8 @@ def bloom_filter_context(df: DataFrame, col: str, expected: int | None = None,
     key count, so the advertised fpp holds regardless of caller guesses;
     pass it explicitly only to pre-size for future updates."""
     keys = [r[0] for r in df.select(col).filter(F.col(col).isNotNull()).collect()]
-    bf = BloomFilter(expected if expected is not None else max(len(keys), 64), fpp)
+    bf = BloomFilter(expected if expected is not None else max(len(keys), 64),
+                     fpp, hash_mode=hash_mode)
     bf.add_many(keys)
     return bf
 

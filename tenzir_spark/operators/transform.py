@@ -68,7 +68,7 @@ def parse_kv_field(df: DataFrame, field: str, pair_sep: str = r"\s+",
 
 
 def pseudonymize_ip(df: DataFrame, field: str, seed: str = "tenzir",
-                    out: str | None = None) -> DataFrame:
+                    out: str | None = None, prf: str = "pandas") -> DataFrame:
     """``pseudonymize -m crypto-pan`` analog (pseudonymize.md:20-40,
     libtenzir/builtins/operators/pseudonymize.cpp): prefix-preserving IPv4
     anonymization. Same structural guarantee as Crypto-PAn — two addresses
@@ -85,6 +85,12 @@ def pseudonymize_ip(df: DataFrame, field: str, seed: str = "tenzir",
     XOR-mixed into every (prefix, bit) input before hashing. Different
     seeds therefore produce different mappings, and inverting the map
     requires the seed, which is the Crypto-PAn-style guarantee claimed.
+
+    ``prf="md5"`` swaps the pandas hash for the last-hex-digit parity of
+    md5(str(mixed value)) — per-row Python, SLOW, but engine-portable: an
+    independent SQL engine replays the whole prefix-preserving
+    construction bit for bit (pseudonymize_exact oracle). Verification
+    twin only; production keeps the vectorized pandas PRF.
     """
     import hashlib
 
@@ -92,6 +98,8 @@ def pseudonymize_ip(df: DataFrame, field: str, seed: str = "tenzir",
     from pandas.util import hash_array
     from pyspark.sql import types as T
 
+    if prf not in ("pandas", "md5"):
+        raise ValueError(f"prf must be 'pandas' or 'md5', got {prf!r}")
     seed64 = np.uint64(
         int.from_bytes(hashlib.sha256(seed.encode()).digest()[:8], "big")
     )
@@ -108,8 +116,15 @@ def pseudonymize_ip(df: DataFrame, field: str, seed: str = "tenzir",
             # PRF of the (bit)-bit prefix decides the flip of bit `bit`
             prefix = (ip >> np.uint32(32 - bit)).astype(np.uint64) if bit else np.zeros(len(s), dtype=np.uint64)
             # mix the bit index AND the seed digest into the hashed domain
-            h = hash_array(((prefix << np.uint64(6)) | np.uint64(bit)) ^ seed64)
-            flip = (h & np.uint64(1)).astype(np.uint32)
+            mixed = ((prefix << np.uint64(6)) | np.uint64(bit)) ^ seed64
+            if prf == "md5":
+                flip = np.fromiter(
+                    (int(hashlib.md5(str(int(v)).encode()).hexdigest()[-1], 16) & 1
+                     for v in mixed),
+                    dtype=np.uint32, count=len(mixed))
+            else:
+                h = hash_array(mixed)
+                flip = (h & np.uint64(1)).astype(np.uint32)
             orig = (ip >> np.uint32(31 - bit)) & np.uint32(1)
             outv = (outv << np.uint32(1)) | (orig ^ flip)
         octets = [((outv >> np.uint32(sh)) & np.uint32(255)).astype("U3") for sh in (24, 16, 8, 0)]

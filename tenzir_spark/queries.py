@@ -2092,6 +2092,106 @@ def q_bloom_membership(spark, sf):
     return enrich_bloom(orders.select("o_orderkey", "o_custkey"), bloom, "o_custkey")
 
 
+def q_bloom_exact(spark, sf):
+    """Bloom membership with the ENGINE-PORTABLE md5 hash mode
+    (enrich.py BloomFilter(hash_mode="md5")) — the token_fingerprint_exact
+    trick for the sketch path: h1 is the high 8 md5 bytes, h2 the
+    xorshift-multiply remix, and the oracle replays BOTH (HUGEINT mod-2^64
+    multiply, signed-bit-pattern xor, division-as-logical-shift) plus the
+    k Kirsch-Mitzenmacher probe indices and the membership test itself, so
+    every matched/unmatched flag — including the false positives the fpp
+    math admits — is value-checked. The default pandas-hash entry
+    (bloom_membership) stays rows-only for its JVM-opaque hash."""
+    from tenzir_spark.operators.enrich import bloom_filter_context, enrich_bloom
+
+    cust = load(spark, sf, "customer").filter(F.col("c_custkey") % 3 == 0)
+    bloom = bloom_filter_context(cust, "c_custkey", expected=100_000,
+                                 hash_mode="md5")
+    orders = load(spark, sf, "orders").filter(F.col("o_orderkey") < 5000)
+    return enrich_bloom(orders.select("o_orderkey", "o_custkey"), bloom,
+                        "o_custkey")
+
+
+def _bloom_exact_sql() -> str:
+    from tenzir_spark.operators.enrich import BloomFilter
+
+    bf = BloomFilter(expected=100_000, fpp=0.01, hash_mode="md5")
+    m, k = bf.m, bf.k
+    U64 = "18446744073709551616::HUGEINT"
+    HALF = "9223372036854775808::HUGEINT"
+
+    def u2i(x):
+        return (f"CAST(CASE WHEN ({x}) >= {HALF} THEN ({x}) - {U64} "
+                f"ELSE ({x}) END AS BIGINT)")
+
+    def i2u(x):
+        return (f"(CASE WHEN ({x}) < 0 THEN CAST(({x}) AS HUGEINT) + {U64} "
+                f"ELSE CAST(({x}) AS HUGEINT) END)")
+
+    def xor_c(a, c_signed):
+        return i2u(f"xor({u2i(a)}, CAST({c_signed} AS BIGINT))")
+
+    def xor_uu(a, b):
+        return i2u(f"xor({u2i(a)}, {u2i(b)})")
+
+    def shr(x, n):
+        return f"(({x}) // {1 << n}::HUGEINT)"
+
+    def mul_mod(x, c):
+        # (x*c) mod 2^64 without INT128 overflow: x = ah*2^32 + al, then
+        # (al*c + ((ah*c mod 2^32) << 32)) mod 2^64 — every intermediate
+        # stays under 2^97 < INT128 max
+        al, ah = f"(({x}) % 4294967296::HUGEINT)", f"(({x}) // 4294967296::HUGEINT)"
+        return (f"((({al} * {c}::HUGEINT) + "
+                f"(({ah} * {c}::HUGEINT) % 4294967296::HUGEINT) "
+                f"* 4294967296::HUGEINT) % {U64})")
+
+    h1 = "(('0x' || substr(md5(CAST(key AS VARCHAR)),1,16))::UBIGINT)::HUGEINT"
+    # the xorshift-multiply remix, one CTE stage per step so the split
+    # multiplications operate on plain column names
+    steps = [
+        ("x1", xor_c("x0", -7046029254386353131)),  # ^ 0x9E3779B97F4A7C15
+        ("x2", xor_uu("x1", shr("x1", 30))),
+        ("x3", mul_mod("x2", 0xBF58476D1CE4E5B9)),
+        ("x4", xor_uu("x3", shr("x3", 27))),
+        ("x5", mul_mod("x4", 0x94D049BB133111EB)),
+        ("x6", xor_uu("x5", shr("x5", 31))),
+    ]
+
+    def chain(prefix, src):
+        ctes, prev = [], src
+        ctes.append(f"{prefix}0 AS (SELECT *, {h1} AS x0 FROM {prev})")
+        for n, (col, expr) in enumerate(steps, 1):
+            ctes.append(f"{prefix}{n} AS (SELECT *, {expr} AS {col} "
+                        f"FROM {prefix}{n-1})")
+        ctes.append(f"{prefix}h AS (SELECT *, x0 AS h1, (x6 | 1::HUGEINT) "
+                    f"AS h2 FROM {prefix}{len(steps)})")
+        return ",\n".join(ctes)
+
+    idx = f"((h1 + i::HUGEINT * h2) % {U64}) % {m}::HUGEINT"
+    return f"""
+WITH ck AS (
+  SELECT DISTINCT c_custkey AS key FROM customer
+  WHERE c_custkey % 3 = 0 AND c_custkey IS NOT NULL),
+{chain("ck", "ck")},
+setbits AS (
+  SELECT DISTINCT {idx} AS idx
+  FROM ckh, UNNEST(range(0, {k})) u(i)),
+ok AS (SELECT o_orderkey, o_custkey AS key FROM orders WHERE o_orderkey < 5000),
+{chain("ok", "ok")},
+probes AS (
+  SELECT o_orderkey, key, {idx} AS idx
+  FROM okh, UNNEST(range(0, {k})) u(i))
+SELECT p.o_orderkey, p.key AS o_custkey,
+       bool_and(s.idx IS NOT NULL) AS matched
+FROM probes p LEFT JOIN setbits s ON s.idx = p.idx
+GROUP BY p.o_orderkey, p.key
+"""
+
+
+SQL_BLOOM_EXACT = _bloom_exact_sql()
+
+
 def q_yield_nested(spark, sf):
     """`yield props.k` (yield.cpp:17-27) — zoom into a nested record parsed
     from the props JSON column."""
@@ -2144,6 +2244,78 @@ SELECT event_id, event_type, props, 'Click Burst' AS sigma_tag
 FROM events
 WHERE lower(event_type) = 'click' AND contains(lower(props), '"k": 9')
 """
+
+
+def q_pseudonymize_exact(spark, sf):
+    """Prefix-preserving IP anonymization with the ENGINE-PORTABLE md5
+    PRF (transform.py pseudonymize_ip(prf="md5")): the oracle rebuilds
+    the uint32 address, replays all 32 per-prefix PRF bits (seed-mixed
+    value → md5 last-hex-digit parity), reassembles the flipped address
+    and the dotted-quad text — the Crypto-PAn-style prefix-preserving
+    construction is value-checked bit for bit. The default pandas-PRF
+    entry (pseudonymize_ip) stays rows-only for its engine-opaque hash."""
+    from tenzir_spark.operators.transform import pseudonymize_ip
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 5000)
+    ips = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("10."), F.pmod(F.col("user_id"), F.lit(256)).cast("int"),
+            F.lit("."),
+            (F.shiftright(F.col("event_id"), 8) % 256).cast("int"),
+            F.lit("."),
+            F.col("event_id").bitwiseAND(F.lit(255)).cast("int"),
+        ).alias("ip"),
+    )
+    return pseudonymize_ip(ips, "ip", prf="md5")
+
+
+def _pseudonymize_exact_sql() -> str:
+    import hashlib
+
+    seed64 = int.from_bytes(hashlib.sha256(b"tenzir").digest()[:8], "big")
+    seed_signed = seed64 - (1 << 64) if seed64 >= (1 << 63) else seed64
+    U64 = "18446744073709551616::HUGEINT"
+    return f"""
+WITH src AS (
+  SELECT event_id,
+         '10.' || CAST(user_id % 256 AS VARCHAR) || '.'
+               || CAST((event_id >> 8) % 256 AS VARCHAR) || '.'
+               || CAST(event_id & 255 AS VARCHAR) AS ip,
+         167772160 + (user_id % 256) * 65536
+                   + ((event_id >> 8) % 256) * 256 + (event_id & 255) AS ipn
+  FROM events WHERE event_id < 5000),
+bits AS (
+  SELECT event_id, ip, ipn, i AS bit,
+         CASE WHEN i = 0 THEN 0 ELSE ipn >> (32 - i) END AS prefix
+  FROM src, UNNEST(range(0, 32)) u(i)),
+mixed AS (
+  SELECT event_id, ip, bit, ipn,
+         xor((prefix << 6) | bit, CAST({seed_signed} AS BIGINT)) AS mx
+  FROM bits),
+flips AS (
+  SELECT event_id, ip, bit, ipn,
+         ('0x' || substr(md5(CAST(
+            CASE WHEN mx < 0 THEN CAST(mx AS HUGEINT) + {U64}
+                 ELSE CAST(mx AS HUGEINT) END AS VARCHAR)), 32, 1))::INT & 1
+           AS flip,
+         (ipn >> (31 - bit)) & 1 AS orig
+  FROM mixed),
+outv AS (
+  SELECT event_id, ip,
+         SUM(CASE WHEN orig != flip THEN 1::BIGINT << (31 - bit)
+                  ELSE 0 END) AS v
+  FROM flips GROUP BY event_id, ip)
+SELECT event_id, ip,
+       CAST((v >> 24) & 255 AS VARCHAR) || '.'
+         || CAST((v >> 16) & 255 AS VARCHAR) || '.'
+         || CAST((v >> 8) & 255 AS VARCHAR) || '.'
+         || CAST(v & 255 AS VARCHAR) AS ip_pseudonymized
+FROM outv
+"""
+
+
+SQL_PSEUDONYMIZE_EXACT = _pseudonymize_exact_sql()
 
 
 def q_pseudonymize(spark, sf):
@@ -3833,8 +4005,10 @@ REGISTRY: dict[str, tuple] = {
     "token_fingerprint_udf": (q_token_fingerprint, None),
     "approx_median": (q_approx_median, None),
     "bloom_membership": (q_bloom_membership, None),
+    "bloom_membership_exact": (q_bloom_exact, SQL_BLOOM_EXACT),
     "multimodal_features": (q_multimodal_features, None),
     "pseudonymize_ip": (q_pseudonymize, None),
+    "pseudonymize_exact": (q_pseudonymize_exact, SQL_PSEUDONYMIZE_EXACT),
     "bpe_tokenize": (q_bpe_tokenize, None),
 }
 
