@@ -3405,6 +3405,86 @@ FROM d ORDER BY doc_id
 """
 
 
+# fixed, engine-portable merge table for the bpe_encode_exact twin: multi
+# level chains (t→ta→tab→tabl→table</w>) exercise the rank-priority loop,
+# not just single merges. bpe_train's greedy learning stays rows-only
+# (driver-side sample); this pins the DISTRIBUTED encode loop instead.
+_BPE_EXACT_MERGES = [
+    ("e", "</w>"), ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e</w>"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"), ("scan", "</w>"), ("a", "n"),
+    ("r", "o"), ("w", "</w>"), ("v", "a"), ("va", "l"), ("u", "e</w>"),
+]
+
+
+def q_bpe_exact(spark, sf):
+    """BPE ENCODE with a fixed portable merge table (operators/bpe.py
+    bpe_encode): the oracle replays the greedy lowest-rank-first merge
+    loop in SQL — 12 unrolled merge stages (max normalized word length is
+    8, so every word terminates), each picking the leftmost lowest-rank
+    adjacent pair exactly like _merge_word — and the per-document token
+    stream is value-checked. (A recursive CTE would be the natural shape
+    but duckdb 1.0's recursive CTEs over list state crash
+    nondeterministically under default threading, so the unroll is the
+    reliable form.) bpe_tokenize (trained merges) stays rows-only."""
+    from tenzir_spark.operators.bpe import bpe_encode
+
+    docs = load(spark, sf, "documents")
+    enc = bpe_encode(docs.select("doc_id", "text"), "text",
+                     _BPE_EXACT_MERGES)
+    return enc.select(
+        "doc_id", F.array_join("bpe_tokens", " ").alias("bpe_text"))
+
+
+def _bpe_exact_sql(n_stages: int = 12) -> str:
+    case = ("CASE sym[i] || '|' || sym[i+1] " + " ".join(
+        f"WHEN '{a}|{b}' THEN {r}"
+        for r, (a, b) in enumerate(_BPE_EXACT_MERGES)) + " ELSE NULL END")
+
+    def stage(n):
+        return f"""s{n} AS (
+  SELECT doc_id, widx,
+    CASE WHEN bi IS NULL THEN sym
+         ELSE list_concat(sym[1:bi-1],
+                list_concat([sym[bi] || sym[bi+1]], sym[bi+2:len(sym)]))
+    END AS sym
+  FROM (SELECT doc_id, widx, sym,
+          list_position(rl,
+            list_aggregate(list_filter(rl, x -> x IS NOT NULL), 'min')) AS bi
+        FROM (SELECT doc_id, widx, sym,
+                list_transform(range(1, len(sym)), i -> {case}) AS rl
+              FROM s{n - 1})))"""
+
+    stages = ",\n".join(stage(n) for n in range(1, n_stages + 1))
+    return f"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text),
+           '[^a-z0-9]+', ' ', 'g')), ' '), x -> x != '') AS ws
+  FROM documents),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(ws, (x, i) -> i)) AS widx,
+         unnest(ws) AS word
+  FROM ws),
+s0 AS (
+  SELECT doc_id, widx,
+         list_append(list_transform(range(1, length(word) + 1),
+                                    i -> word[i:i]), '</w>') AS sym
+  FROM w),
+{stages},
+toks AS (
+  SELECT doc_id, widx, array_to_string(sym, ' ') AS t FROM s{n_stages}),
+agg AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY widx) AS bpe_text
+  FROM toks GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.bpe_text, '') AS bpe_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+SQL_BPE_EXACT = _bpe_exact_sql()
+
+
 def q_bpe_tokenize(spark, sf):
     """BPE tokenization (operators/bpe.py — Sennrich 2016 / GPT-2
     word-internal merges): merges learned driver-side from ONE
@@ -4010,6 +4090,7 @@ REGISTRY: dict[str, tuple] = {
     "pseudonymize_ip": (q_pseudonymize, None),
     "pseudonymize_exact": (q_pseudonymize_exact, SQL_PSEUDONYMIZE_EXACT),
     "bpe_tokenize": (q_bpe_tokenize, None),
+    "bpe_encode_exact": (q_bpe_exact, SQL_BPE_EXACT),
 }
 
 
