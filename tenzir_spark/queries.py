@@ -3967,7 +3967,7 @@ REGISTRY: dict[str, tuple] = {
     "unique_adjacent": (q_unique, SQL_UNIQUE),
     "deduplicate_limit": (q_deduplicate, SQL_DEDUPLICATE),
     "summarize_q1": (q_summarize_q1, SQL_SUMMARIZE_Q1),
-    "top_values": (q_top, SQL_TOP),
+    "pseudonymize_exact": (q_pseudonymize_exact, SQL_PSEUDONYMIZE_EXACT),
     "sort_ranked": (q_sort_ranked, SQL_SORT_RANKED),
     "parse_json": (q_parse_json, SQL_PARSE_JSON),
     "flatten_unflatten": (q_flatten_roundtrip, SQL_FLATTEN_ROUNDTRIP),
@@ -3977,7 +3977,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "decontaminate_ngrams": (q_decontaminate, SQL_DECONTAMINATE),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
-    "repetition_stats": (q_repetition, SQL_REPETITION),
+    "bpe_encode_exact": (q_bpe_exact, SQL_BPE_EXACT),
     "c4_stats": (q_c4_stats, SQL_C4_STATS),
     "stratified_mix": (q_stratified_mix, SQL_STRATIFIED_MIX),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
@@ -4088,9 +4088,9 @@ REGISTRY: dict[str, tuple] = {
     "bloom_membership_exact": (q_bloom_exact, SQL_BLOOM_EXACT),
     "multimodal_features": (q_multimodal_features, None),
     "pseudonymize_ip": (q_pseudonymize, None),
-    "pseudonymize_exact": (q_pseudonymize_exact, SQL_PSEUDONYMIZE_EXACT),
+    "top_values": (q_top, SQL_TOP),
+    "repetition_stats": (q_repetition, SQL_REPETITION),
     "bpe_tokenize": (q_bpe_tokenize, None),
-    "bpe_encode_exact": (q_bpe_exact, SQL_BPE_EXACT),
 }
 
 
