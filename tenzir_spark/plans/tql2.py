@@ -62,8 +62,12 @@ whole-stage codegen, the parameter shadows any same-named column, and
 outer columns stay referencable (same-row correlation). A lambda in
 any other position is a clear TqlError.
 
-Not implemented (clear TqlError): subpipeline `{...}` arguments — an
-experimental edge that changed across reference releases.
+Subpipeline `{...}` arguments are implemented for their one documented
+stable consumer — the `every`/`cron` operator modifiers
+(run_tql2_every: `every 10s { from ... | ... }`, body re-executed per
+fire on the shared scheduler). `{...}` in any other argument position
+stays a clear TqlError — an experimental edge that changed across
+reference releases.
 """
 
 from __future__ import annotations
@@ -957,3 +961,58 @@ def run_tql2_source(spark, text: str) -> DataFrame:
     if sink is not None:
         _write_sink(out, sink, None)
     return out
+
+
+_EVERY2_RE = re.compile(
+    r'\s*(?:every\s+(\S+)|cron\s+"([^"]+)")\s*\{(.*)\}\s*$', re.DOTALL)
+
+
+def run_tql2_every(spark, text: str, *, n_runs: int,
+                   now_fn=None, sleep_fn=None) -> list:
+    """TQL2 scheduled pipelines — the dialect's subpipeline-argument form
+    of the `every`/`cron` operator modifiers (operator-modifiers.md; TQL1
+    spells the same thing without braces):
+
+        every 10s { from "feed.json" | where k >= 10 | select k }
+        cron "0 */5 * * * *" { export "wh/t" | summarize n=count() }
+
+    The braced body is a full TQL2 SOURCE pipeline re-parsed and
+    re-executed per fire (matching run_tql_every's re-read semantics —
+    each fire sees current data). Returns the per-run result DataFrames.
+    Same scheduler/driver as TQL1 (streaming/schedule.py): `every` fires
+    immediately, `cron` waits for the first match; ``now_fn``/``sleep_fn``
+    inject a fake clock for tests. This is the one subpipeline consumer
+    implemented; `{...}` anywhere else stays a clear TqlError."""
+    from datetime import datetime as _dt
+
+    from tenzir_spark.streaming.schedule import (
+        CronScheduler,
+        EveryScheduler,
+        run_scheduled,
+    )
+
+    m = _EVERY2_RE.match(text)
+    if not m:
+        raise TqlError(
+            'tql2: expected `every <interval> { <pipeline> }` or '
+            '`cron "<expr>" { <pipeline> }`')
+    from tenzir_spark.plans.pipeline import parse_duration
+
+    if m.group(1) is not None:
+        sched = EveryScheduler(parse_duration(m.group(1)))
+    else:
+        sched = CronScheduler(m.group(2))
+    body = m.group(3).strip()
+    if not body:
+        raise TqlError("tql2: scheduled subpipeline is empty")
+    # parse once up front so a syntax error surfaces before the first
+    # sleep, not at fire time
+    _Parser(_tokenize(body)).pipeline()
+    results: list = []
+
+    def _fire():
+        results.append(run_tql2_source(spark, body))
+
+    run_scheduled(_fire, sched, n_runs=n_runs,
+                  now_fn=now_fn or _dt.now, sleep_fn=sleep_fn)
+    return results

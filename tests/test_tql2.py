@@ -434,3 +434,48 @@ def test_source_head_errors(spark):
         run_tql2_source(spark, 'files "a dir"')
     with pytest.raises(TqlError, match="literal values"):
         run_tql2_source(spark, 'metrics doc_id')
+
+
+def test_tql2_every_subpipeline(spark, tmp_path):
+    """TQL2 `every`/`cron` with a braced subpipeline: scheduled
+    re-execution of the body on a fake clock (the one subpipeline
+    consumer; anywhere else stays a clear error)."""
+    import json
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from tenzir_spark.plans.pipeline import TqlError
+    from tenzir_spark.plans.tql2 import run_tql2_every
+
+    p = tmp_path / "ev.json"
+    p.write_text("\n".join(json.dumps({"k": i, "v": i * 10})
+                           for i in range(20)))
+    clock = {"now": datetime(2024, 1, 1, 0, 0, 0)}
+
+    def sleep_fn(s):
+        clock["now"] += timedelta(seconds=s)
+
+    results = run_tql2_every(
+        spark,
+        f'every 30s {{ from "{p}" | where k >= 10 | select k, v }}',
+        n_runs=3, now_fn=lambda: clock["now"], sleep_fn=sleep_fn)
+    assert len(results) == 3
+    assert all(r.count() == 10 for r in results)
+    # every = immediate first run: clock advanced 2 intervals, not 3
+    assert clock["now"] == datetime(2024, 1, 1, 0, 1, 0)
+
+    clock["now"] = datetime(2024, 1, 1, 0, 0, 1)
+    results = run_tql2_every(
+        spark, f'cron "0 */2 * * * *" {{ from "{p}" | head 5 }}',
+        n_runs=2, now_fn=lambda: clock["now"], sleep_fn=sleep_fn)
+    assert len(results) == 2 and all(r.count() == 5 for r in results)
+    assert clock["now"] == datetime(2024, 1, 1, 0, 4, 0)
+
+    with pytest.raises(TqlError, match="every"):
+        run_tql2_every(spark, 'from "x" | where k > 1', n_runs=1)
+    with pytest.raises(TqlError, match="empty"):
+        run_tql2_every(spark, "every 10s {  }", n_runs=1)
+    # body syntax errors surface at parse time, before any sleep
+    with pytest.raises(TqlError):
+        run_tql2_every(spark, "every 10s { ??? }", n_runs=1)
