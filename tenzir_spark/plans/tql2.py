@@ -1001,7 +1001,9 @@ def run_tql2_every(spark, text: str, *, n_runs: int,
     if m.group(1) is not None:
         sched = EveryScheduler(parse_duration(m.group(1)))
     else:
-        sched = CronScheduler(m.group(2))
+        # .parse validates the expression NOW — a bad cron string must
+        # error at call time, not at the first fire
+        sched = CronScheduler.parse(m.group(2))
     body = m.group(3).strip()
     if not body:
         raise TqlError("tql2: scheduled subpipeline is empty")
