@@ -237,6 +237,8 @@ def ivf_topk(df: DataFrame, emb_col: str, id_col: str, query_vec,
     exhaustive == exact), exact cosine re-rank inside. If the corpus
     already carries a cell column (ivf_assign), the scan prunes on it;
     otherwise cells are computed on the fly."""
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     q = np.asarray(query_vec, dtype=float)
     order = np.argsort(((cents - q) ** 2).sum(axis=1))
     probes = [int(c) for c in order[:n_probe]]
@@ -540,6 +542,12 @@ def ivfpq_topk(df: DataFrame, emb_col: str, id_col: str, query_vec,
     With ``cell_col``/``code_col`` pointing at stored columns the query
     touches no float vector until the refine step, and partition pruning
     on a cell-partitioned table turns the probe into a few-file scan."""
+    if n_probe < 1:
+        # n_probe=0 would silently return an empty top-k ("no neighbors")
+        # and a negative value probes all-but-the-farthest cells via
+        # Python slice semantics — both are caller errors, raise like the
+        # sibling pq_train/pq_topk argument guards
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     q = np.asarray(query_vec, dtype=float)
     order = np.argsort(((cents - q) ** 2).sum(axis=1))
     probes = [int(c) for c in order[:n_probe]]

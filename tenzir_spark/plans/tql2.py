@@ -1007,9 +1007,21 @@ def run_tql2_every(spark, text: str, *, n_runs: int,
     body = m.group(3).strip()
     if not body:
         raise TqlError("tql2: scheduled subpipeline is empty")
-    # parse once up front so a syntax error surfaces before the first
-    # sleep, not at fire time
-    _Parser(_tokenize(body)).pipeline()
+    # validate up front so errors surface before the first sleep, not at
+    # fire time (a cron schedule can sleep hours before its first match):
+    # syntax, the source-head requirement, AND head-argument shape — the
+    # same checks run_tql2_source applies per fire
+    parsed = _Parser(_tokenize(body)).pipeline()
+    if not parsed or parsed[0][0] != "invoke" or \
+            parsed[0][1] not in ("from", *_SOURCE_HEADS):
+        raise TqlError(
+            'tql2: scheduled subpipeline must start with from "<path>" '
+            'or a source operator (export/subscribe/metrics/show/files/'
+            'processes/sockets/nics)')
+    if parsed[0][1] == "from":
+        _one_quoted_path(parsed[0][2], "from")
+    else:
+        _head_to_tql1(parsed[0][1], parsed[0][2])
     results: list = []
 
     def _fire():

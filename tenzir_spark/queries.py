@@ -3422,10 +3422,9 @@ def q_bpe_exact(spark, sf):
     loop in SQL — 12 unrolled merge stages (max normalized word length is
     8, so every word terminates), each picking the leftmost lowest-rank
     adjacent pair exactly like _merge_word — and the per-document token
-    stream is value-checked. (A recursive CTE would be the natural shape
-    but duckdb 1.0's recursive CTEs over list state crash
-    nondeterministically under default threading, so the unroll is the
-    reliable form.) bpe_tokenize (trained merges) stays rows-only."""
+    stream is value-checked. A fixpoint guard errors LOUD if data ever
+    outgrows the unroll (a word still holding a mergeable pair after the
+    last stage). bpe_tokenize (trained merges) stays rows-only."""
     from tenzir_spark.operators.bpe import bpe_encode
 
     docs = load(spark, sf, "documents")
@@ -3455,6 +3454,15 @@ def _bpe_exact_sql(n_stages: int = 12) -> str:
               FROM s{n - 1})))"""
 
     stages = ",\n".join(stage(n) for n in range(1, n_stages + 1))
+    # fixpoint guard: the unroll count rests on the corpus's max word
+    # length (8 chars → ≤ 8 merges today). If data ever outgrows it, the
+    # under-merged word must FAIL LOUD as an exhausted unroll, not
+    # surface as a value mismatch that reads like an engine bug.
+    guard = (f"CASE WHEN len(list_filter(list_transform(range(1, len(sym)), "
+             f"i -> {case}), x -> x IS NOT NULL)) > 0 "
+             f"THEN error('bpe_encode_exact: {n_stages}-stage unroll "
+             f"exhausted — raise n_stages') "
+             f"ELSE array_to_string(sym, ' ') END")
     return f"""
 WITH ws AS (
   SELECT doc_id,
@@ -3473,7 +3481,7 @@ s0 AS (
   FROM w),
 {stages},
 toks AS (
-  SELECT doc_id, widx, array_to_string(sym, ' ') AS t FROM s{n_stages}),
+  SELECT doc_id, widx, {guard} AS t FROM s{n_stages}),
 agg AS (
   SELECT doc_id, string_agg(t, ' ' ORDER BY widx) AS bpe_text
   FROM toks GROUP BY doc_id)
@@ -4009,8 +4017,8 @@ REGISTRY: dict[str, tuple] = {
     "token_fingerprint_exact": (q_token_fingerprint_oracle, SQL_TOKEN_FINGERPRINT),
     "stream_deduplicate": (q_stream_deduplicate, SQL_STREAM_DEDUPLICATE),
     "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
-    "url_filter": (q_url_filter, SQL_URL_FILTER),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
+    "url_filter": (q_url_filter, SQL_URL_FILTER),
     # ---- past the 50-row window: family variants + remaining entries,
     # all still oracle-exact under the local gate
     "line_dedup_keep_first": (q_line_dedup, SQL_LINE_DEDUP),

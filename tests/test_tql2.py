@@ -479,3 +479,10 @@ def test_tql2_every_subpipeline(spark, tmp_path):
     # body syntax errors surface at parse time, before any sleep
     with pytest.raises(TqlError):
         run_tql2_every(spark, "every 10s { ??? }", n_runs=1)
+    # so do missing source heads and bad head arguments — a cron schedule
+    # must not sleep to its first match before raising (no fake clock
+    # passed: a deferred error would hang this test)
+    with pytest.raises(TqlError, match="source"):
+        run_tql2_every(spark, 'cron "0 0 3 * * *" { where k > 1 }', n_runs=1)
+    with pytest.raises(TqlError, match="export"):
+        run_tql2_every(spark, 'every 10s { export "r", bogus=1 }', n_runs=1)
