@@ -34,6 +34,11 @@ AUDIT = {
     # O(rows × intervals) BroadcastNestedLoopJoin a BETWEEN join plans to
     "enrich_range": ([r"BroadcastHashJoin"], [r"BroadcastNestedLoopJoin|CartesianProduct"]),
     "dedup_exact": ([r"HashAggregate"], []),
+    # chunking is scan -> generate(posexplode) -> project(slice), one
+    # fused codegen pipeline: any Exchange or Python eval means the
+    # zero-shuffle contract broke
+    "chunk_documents": ([r"Generate"],
+                        [r"Exchange", r"BatchEvalPython", r"CartesianProduct"]),
     # decontamination: eval n-grams broadcast, corpus explode pipelines
     # into the join — no corpus-wide shuffle, no cartesian, no Python
     "decontaminate_ngrams": ([r"BroadcastHashJoin", r"HashAggregate"],

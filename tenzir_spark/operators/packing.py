@@ -187,3 +187,61 @@ def pack_sequences(
             ).alias("span_len"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    max_len: int = 512,
+    overlap: int = 0,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Split over-long token sequences into <= ``max_len``-token chunks
+    with ``overlap`` shared tokens between neighbors — the other standard
+    corpus→training-sequence shape beside pack_sequences: packing
+    concatenates SHORT docs into fixed blocks; chunking slides a window
+    over LONG docs (BERT-style striding, RAG chunkers, long-document
+    pretraining), keeping provenance instead of crossing documents.
+
+    Output: one row per chunk — (id_col, chunk_idx, chunk_tokens,
+    chunk_len, n_chunks [, keep_cols…]), chunk_idx 0-based in document
+    order, stride = max_len - overlap, the last chunk short rather than
+    padded (the trainer pads). A doc with <= max_len tokens yields itself
+    as chunk 0 unchanged. NULL/empty token arrays yield no rows (same
+    contract as explode).
+
+    Scale shape: pure Catalyst, ZERO shuffle — scan → generate(posexplode
+    of the stride arithmetic) → project(F.slice) fuse into one
+    whole-stage-codegen pipeline; the parent token array is read in
+    place per input row, never joined or re-shuffled, and output volume
+    is exactly the chunk tokens (each input token lands in at most
+    ceil(max_len/stride) chunks). Degenerate tails are suppressed the
+    standard way: a last window that would contain only overlap tokens
+    (fully contained in its predecessor) is not emitted.
+    """
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+    if not 0 <= overlap < max_len:
+        raise ValueError(
+            f"overlap must be in [0, max_len), got {overlap} vs {max_len}")
+    stride = max_len - overlap
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2*stride, … while start + overlap < n
+    # (a window starting past n-overlap adds only already-seen tokens)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1))
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * F.lit(stride),
+                        F.lit(stride))
+    keep = keep_cols or []
+    out = df.filter(n > 0).select(
+        F.col(id_col), *[F.col(c) for c in keep],
+        n_chunks.alias("n_chunks"), toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "_start"))
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, max_len)
+    return out.select(
+        id_col, *keep, "chunk_idx",
+        chunk.alias("chunk_tokens"),
+        F.size(chunk).alias("chunk_len"),
+        "n_chunks")

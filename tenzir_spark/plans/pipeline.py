@@ -1121,6 +1121,27 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                     _one_path(schema, m2.group(1)),
                     block=int(m2.group(3) or 2048))
                 order = None
+            elif name == "chunk":
+                # `chunk <tokens-field> by <id-field> [max <n>]
+                #  [overlap <n>]` — long-document striding
+                # (packing.chunk_documents); schema changes, order leaves
+                # scope
+                m2 = re.fullmatch(
+                    r"(\S+)\s+by\s+(\S+)(?:\s+max\s+(\d+))?"
+                    r"(?:\s+overlap\s+(\d+))?",
+                    args.strip())
+                if not m2:
+                    raise TqlError(
+                        "chunk: usage `chunk <tokens-field> by <id-field> "
+                        "[max <n>] [overlap <n>]`")
+                from tenzir_spark.operators.packing import chunk_documents
+
+                df = chunk_documents(
+                    df, _one_path(schema, m2.group(1)),
+                    _one_path(schema, m2.group(2)),
+                    max_len=int(m2.group(3) or 512),
+                    overlap=int(m2.group(4) or 0))
+                order = None
             elif name == "line-dedup":
                 # `line-dedup <text-field> by <id-field> [min <n>]
                 #  [mode keep_first|drop_all]` — corpus-level CCNet/

@@ -1289,6 +1289,55 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_chunk_documents(spark, sf):
+    """Long-document chunking with overlap (packing.py chunk_documents —
+    the BERT-striding/RAG-chunker counterpart to pack_sequences: packing
+    concatenates SHORT docs, chunking windows LONG ones, provenance
+    kept). Token ids derive injectively from words (md5-28bit, the
+    token_window_dedup convention) so the oracle replays the stride
+    arithmetic AND the token values; chunk arrays serialize to CSV for
+    the driver's canonicalizer."""
+    from tenzir_spark.operators.packing import chunk_documents
+
+    docs = load(spark, sf, "documents")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+        " ")
+    tokens = F.transform(
+        words, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10)
+        .cast("int"))
+    toked = docs.select("doc_id", tokens.alias("tokens"))
+    out = chunk_documents(toked, "tokens", "doc_id", max_len=16, overlap=4)
+    return out.select(
+        "doc_id", "chunk_idx",
+        F.array_join(
+            F.transform(F.col("chunk_tokens"), lambda t: t.cast("string")),
+            ",").alias("chunk_csv"),
+        "chunk_len", "n_chunks")
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_transform(
+           string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+           w -> CAST(('0x' || substr(md5(w), 1, 7))::BIGINT AS INT)) AS tks
+  FROM documents),
+base AS (
+  SELECT doc_id, tks,
+         greatest(CAST(ceil((len(tks) - 4) / 12.0) AS INT), 1) AS nc
+  FROM tk WHERE len(tks) > 0),
+chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         tks[i*12 + 1 : i*12 + 16] AS ct, nc
+  FROM base, UNNEST(range(0, nc)) u(i))
+SELECT doc_id, chunk_idx,
+       array_to_string(ct, ',') AS chunk_csv,
+       CAST(len(ct) AS INT) AS chunk_len, nc AS n_chunks
+FROM chunks
+"""
+
+
 def q_dedup_spans(spark, sf):
     """Lee et al. 2021 ExactSubstr SPAN REMOVAL (dedup.py
     dup_span_intervals + dedup_spans): every duplicated 8-token window
@@ -4032,6 +4081,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "materialize_blocks": (q_materialize_blocks, SQL_MATERIALIZE_BLOCKS),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "median_exact": (q_median_exact, SQL_MEDIAN_EXACT),
     "head_n": (q_head, SQL_HEAD),
     "rename_fields": (q_rename, SQL_RENAME),

@@ -1067,3 +1067,42 @@ def test_rolling_agg_fractional_numeric_ts(spark):
         df, on="k", ts="ts", col="v", window_s=10, fns=("count",)
     ).collect()}
     assert out[10.9] == 1  # true gap 10.7 > 10 — must NOT include ts=0.2
+
+
+def test_chunk_documents(spark):
+    from tenzir_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, list(range(30)), "a"),   # 3 chunks at max 16 / overlap 4
+         (2, list(range(16)), "b"),   # exactly one chunk
+         (3, list(range(4)), "c"),    # shorter than overlap: one chunk
+         (4, [], "d"),                # empty: no rows
+         (5, None, "e")],             # null: no rows
+        "doc_id: long, tokens: array<int>, src: string")
+    out = chunk_documents(df, "tokens", "doc_id", max_len=16, overlap=4,
+                          keep_cols=["src"]).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2, 3}
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # stride 12: starts 0,12,24 — 30 tokens, last chunk short not padded
+    assert [r["chunk_len"] for r in c1] == [16, 16, 6]
+    assert all(r["n_chunks"] == 3 and r["src"] == "a" for r in c1)
+    # reconstruction: dropping each non-first chunk's overlap re-yields
+    # the original token sequence
+    rebuilt = list(c1[0]["chunk_tokens"])
+    for r in c1[1:]:
+        rebuilt += list(r["chunk_tokens"])[4:]
+    assert rebuilt == list(range(30))
+    # neighbor overlap is literal: last 4 of chunk i == first 4 of i+1
+    for a, b in zip(c1, c1[1:]):
+        assert list(a["chunk_tokens"])[-16:][12:] == list(b["chunk_tokens"])[:4]
+    assert by_doc[2][0]["chunk_len"] == 16 and by_doc[2][0]["n_chunks"] == 1
+    assert by_doc[3][0]["chunk_len"] == 4 and by_doc[3][0]["n_chunks"] == 1
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="overlap"):
+        chunk_documents(df, "tokens", "doc_id", max_len=8, overlap=8)
+    with _pt.raises(ValueError, match="max_len"):
+        chunk_documents(df, "tokens", "doc_id", max_len=0)
