@@ -245,7 +245,7 @@ _PIPELINE_OPERATORS = [
     "chart", "shell", "version", "local", "remote", "unordered",
     "every", "cron", "python",
     # training-data curation extensions (not reference operators):
-    "sample", "c4-filter", "window-dedup", "dedup-spans", "pack", "chunk",
+    "sample", "c4-filter", "window-dedup", "dedup-spans", "pack", "chunk", "fim",
     "line-dedup",
     "redact-pii", "dsir-sample", "bpe", "semdedup", "cluster-dedup",
     "lm-filter", "gopher-filter", "repetition-filter",

@@ -245,3 +245,66 @@ def chunk_documents(
         chunk.alias("chunk_tokens"),
         F.size(chunk).alias("chunk_len"),
         "n_chunks")
+
+
+def fim_transform(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    rate_pct: int = 50,
+    mode: str = "psm",
+    prefix_tok: int = -1,
+    middle_tok: int = -2,
+    suffix_tok: int = -3,
+    seed: str = "fim",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022, "Efficient
+    Training of Language Models to Fill in the Middle"): for a
+    deterministic ``rate_pct``% subset of documents, cut the token
+    sequence at two uniform points and emit the sentinel-delimited
+    reorder — PSM ``<PRE> prefix <SUF> suffix <MID> middle`` or SPM
+    ``<PRE> <SUF> suffix <MID> prefix middle`` — so a plain
+    left-to-right LM objective learns infilling. The remaining docs pass
+    through unchanged (the paper's joint objective).
+
+    Determinism/portability: document selection and both cut points
+    derive from md5(seed:kind:id) reduced by INTEGER modulo — no float
+    fractions anywhere, so any engine (the DuckDB oracle included)
+    reproduces the exact same splits. Cut points are h % (n+1) in
+    [0, n]; the pair is sorted so prefix/middle/suffix are well formed
+    (empty segments allowed, matching the paper's uniform splitting).
+
+    Scale shape: one narrow projection — md5/conv/slice/concat all in
+    whole-stage codegen, zero shuffle, zero Python.
+    """
+    if mode not in ("psm", "spm"):
+        raise ValueError(f"mode must be 'psm' or 'spm', got {mode!r}")
+    if not 0 <= rate_pct <= 100:
+        raise ValueError(f"rate_pct must be in [0, 100], got {rate_pct}")
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+
+    def _h(kind: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:{kind}:"),
+                               F.col(id_col).cast("string"))), 1, 15),
+            16, 10).cast("long")
+
+    applied = (F.pmod(_h("sel"), F.lit(100)) < F.lit(rate_pct)) & (n > 0)
+    c1, c2 = F.pmod(_h("c1"), n + 1), F.pmod(_h("c2"), n + 1)
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    prefix = F.slice(toks, 1, lo)
+    middle = F.slice(toks, lo + 1, hi - lo)
+    suffix = F.slice(toks, hi + 1, n - hi)
+    pre = F.array(F.lit(prefix_tok))
+    mid = F.array(F.lit(middle_tok))
+    suf = F.array(F.lit(suffix_tok))
+    if mode == "psm":
+        fim = F.concat(pre, prefix, suf, suffix, mid, middle)
+    else:
+        fim = F.concat(pre, suf, suffix, mid, prefix, middle)
+    return df.select(
+        *df.columns,
+        applied.alias("fim_applied"),
+        F.when(applied, fim).otherwise(toks).alias("fim_tokens"))

@@ -1121,6 +1121,25 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                     _one_path(schema, m2.group(1)),
                     block=int(m2.group(3) or 2048))
                 order = None
+            elif name == "fim":
+                # `fim <tokens-field> by <id-field> [rate <pct>]
+                #  [mode psm|spm]` — fill-in-the-middle reorder
+                # (packing.fim_transform); adds fim_applied/fim_tokens
+                m2 = re.fullmatch(
+                    r"(\S+)\s+by\s+(\S+)(?:\s+rate\s+(\d+))?"
+                    r"(?:\s+mode\s+(psm|spm))?",
+                    args.strip())
+                if not m2:
+                    raise TqlError(
+                        "fim: usage `fim <tokens-field> by <id-field> "
+                        "[rate <pct>] [mode psm|spm]`")
+                from tenzir_spark.operators.packing import fim_transform
+
+                df = fim_transform(
+                    df, _one_path(schema, m2.group(1)),
+                    _one_path(schema, m2.group(2)),
+                    rate_pct=int(m2.group(3) or 50),
+                    mode=m2.group(4) or "psm")
             elif name == "chunk":
                 # `chunk <tokens-field> by <id-field> [max <n>]
                 #  [overlap <n>]` — long-document striding

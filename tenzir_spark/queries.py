@@ -1338,6 +1338,59 @@ FROM chunks
 """
 
 
+def q_fim_transform(spark, sf):
+    """Fill-in-the-middle (packing.py fim_transform — Bavarian et al.
+    2022): deterministic 50% of docs get the PSM sentinel reorder, cut
+    points integer-derived from md5(seed:kind:id) % (n+1) — no float
+    fractions, so the oracle replays selection, both cuts and the
+    reassembled token stream exactly."""
+    from tenzir_spark.operators.packing import fim_transform
+
+    docs = load(spark, sf, "documents")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+        " ")
+    tokens = F.transform(
+        words, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10)
+        .cast("int"))
+    toked = docs.select("doc_id", tokens.alias("tokens"))
+    out = fim_transform(toked, "tokens", "doc_id", rate_pct=50, mode="psm")
+    return out.select(
+        "doc_id", "fim_applied",
+        F.array_join(
+            F.transform(F.col("fim_tokens"), lambda t: t.cast("string")),
+            ",").alias("fim_csv"))
+
+
+SQL_FIM_TRANSFORM = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_transform(
+           string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+           w -> CAST(('0x' || substr(md5(w), 1, 7))::BIGINT AS INT)) AS tks
+  FROM documents),
+h AS (
+  SELECT doc_id, tks, len(tks) AS n,
+         ('0x' || substr(md5('fim:sel:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS hsel,
+         ('0x' || substr(md5('fim:c1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5('fim:c2:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h2
+  FROM tk),
+cut AS (
+  SELECT doc_id, tks, n, (hsel < 50 AND n > 0) AS fim_applied,
+         least(h1 % (n + 1), h2 % (n + 1)) AS lo,
+         greatest(h1 % (n + 1), h2 % (n + 1)) AS hi
+  FROM h)
+SELECT doc_id, fim_applied,
+       array_to_string(
+         CASE WHEN fim_applied THEN
+           list_concat([-1], list_concat(tks[1:lo],
+             list_concat([-3], list_concat(tks[hi+1:n],
+               list_concat([-2], tks[lo+1:hi])))))
+         ELSE tks END, ',') AS fim_csv
+FROM cut
+"""
+
+
 def q_dedup_spans(spark, sf):
     """Lee et al. 2021 ExactSubstr SPAN REMOVAL (dedup.py
     dup_span_intervals + dedup_spans): every duplicated 8-token window
@@ -4082,6 +4135,7 @@ REGISTRY: dict[str, tuple] = {
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "materialize_blocks": (q_materialize_blocks, SQL_MATERIALIZE_BLOCKS),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "fim_transform": (q_fim_transform, SQL_FIM_TRANSFORM),
     "median_exact": (q_median_exact, SQL_MEDIAN_EXACT),
     "head_n": (q_head, SQL_HEAD),
     "rename_fields": (q_rename, SQL_RENAME),

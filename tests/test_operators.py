@@ -1106,3 +1106,45 @@ def test_chunk_documents(spark):
         chunk_documents(df, "tokens", "doc_id", max_len=8, overlap=8)
     with _pt.raises(ValueError, match="max_len"):
         chunk_documents(df, "tokens", "doc_id", max_len=0)
+
+
+def test_fim_transform(spark):
+    from tenzir_spark.operators.packing import fim_transform
+
+    df = spark.createDataFrame(
+        [(i, list(range(100, 120))) for i in range(40)],
+        "doc_id: long, tokens: array<int>")
+    out = fim_transform(df, "tokens", "doc_id", rate_pct=50).collect()
+    assert len(out) == 40
+    applied = [r for r in out if r["fim_applied"]]
+    passed = [r for r in out if not r["fim_applied"]]
+    assert applied and passed  # deterministic 50% split hits both sides
+    for r in passed:
+        assert list(r["fim_tokens"]) == list(range(100, 120))
+    for r in applied:
+        t = list(r["fim_tokens"])
+        # sentinel layout: <PRE> prefix <SUF> suffix <MID> middle
+        assert t[0] == -1 and t.count(-1) == 1
+        assert t.count(-3) == 1 and t.count(-2) == 1
+        i_suf, i_mid = t.index(-3), t.index(-2)
+        assert 0 < i_suf < i_mid
+        prefix, suffix, middle = t[1:i_suf], t[i_suf+1:i_mid], t[i_mid+1:]
+        assert prefix + middle + suffix == list(range(100, 120))
+    # spm reorders the same segments
+    spm = {r["doc_id"]: r for r in
+           fim_transform(df, "tokens", "doc_id", rate_pct=50,
+                         mode="spm").collect()}
+    for r in applied:
+        t = list(spm[r["doc_id"]]["fim_tokens"])
+        assert t[0] == -1 and t[1] == -3  # <PRE><SUF>suffix<MID>prefix middle
+    # rate 100 applies everywhere (empty arrays excepted), rate 0 nowhere
+    assert all(r["fim_applied"] for r in
+               fim_transform(df, "tokens", "doc_id", rate_pct=100).collect())
+    assert not any(r["fim_applied"] for r in
+                   fim_transform(df, "tokens", "doc_id", rate_pct=0).collect())
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="mode"):
+        fim_transform(df, "tokens", "doc_id", mode="pms")
+    with _pt.raises(ValueError, match="rate_pct"):
+        fim_transform(df, "tokens", "doc_id", rate_pct=101)
