@@ -111,8 +111,14 @@ def materialize_blocks(
     if block <= 0:
         raise ValueError(f"block must be positive, got {block}")
     order_by = order_by or id_col
+    # leaf-name normalization — see pack_sequences
+    docs = df.select(F.col(id_col).alias(id_col.split(".")[-1]),
+                     F.col(tokens_col).alias(tokens_col.split(".")[-1]))
+    id_col, tokens_col = id_col.split(".")[-1], tokens_col.split(".")[-1]
+    if order_by not in (id_col, tokens_col):
+        order_by = order_by.split(".")[-1]
     toks = F.col(tokens_col)
-    docs = df.select(id_col, tokens_col).filter(F.size(toks) > 0)
+    docs = docs.filter(F.size(toks) > 0)
     pre = _global_prefix_sum(docs, order_by, F.size(toks).cast("long"),
                              out="_start")
     start = F.col("_start")
@@ -163,7 +169,15 @@ def pack_sequences(
         raise ValueError(f"block must be positive, got {block}")
     order_by = order_by or id_col
     n = F.col(n_tok_col).cast("long")
-    docs = df.filter(n.isNotNull() & (n > 0)).select(id_col, n_tok_col)
+    # dotted paths flatten to their leaf names in the select — reference
+    # by leaf afterwards (same latent trap chunk_documents fixes)
+    docs = (df.filter(n.isNotNull() & (n > 0))
+            .select(F.col(id_col).alias(id_col.split(".")[-1]),
+                    F.col(n_tok_col).alias(n_tok_col.split(".")[-1])))
+    id_col, n_tok_col = id_col.split(".")[-1], n_tok_col.split(".")[-1]
+    if order_by not in (id_col, n_tok_col):
+        order_by = order_by.split(".")[-1]
+    n = F.col(n_tok_col).cast("long")
     pre = _global_prefix_sum(docs, order_by, n, out="_start")
     start = F.col("_start")
     first_b = F.floor(start / block).cast("long")
@@ -235,13 +249,18 @@ def chunk_documents(
     starts = F.sequence(F.lit(0), (n_chunks - 1) * F.lit(stride),
                         F.lit(stride))
     keep = keep_cols or []
+    # a dotted id path (nested struct field) flattens to its LEAF name in
+    # the first select — reference it by that name afterwards, and emit
+    # it under the leaf name (the same flattening `select a.b` performs)
+    id_leaf = id_col.split(".")[-1]
     out = df.filter(n > 0).select(
-        F.col(id_col), *[F.col(c) for c in keep],
+        F.col(id_col).alias(id_leaf), *[F.col(c).alias(c.split(".")[-1])
+                                        for c in keep],
         n_chunks.alias("n_chunks"), toks.alias("_toks"),
         F.posexplode(starts).alias("chunk_idx", "_start"))
     chunk = F.slice(F.col("_toks"), F.col("_start") + 1, max_len)
     return out.select(
-        id_col, *keep, "chunk_idx",
+        id_leaf, *[c.split(".")[-1] for c in keep], "chunk_idx",
         chunk.alias("chunk_tokens"),
         F.size(chunk).alias("chunk_len"),
         "n_chunks")

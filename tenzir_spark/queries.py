@@ -1254,6 +1254,31 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def _doc_md5_tokens(docs, with_words: bool = False):
+    """(doc_id[, ws], tokens:array<int>) from the documents table — the
+    shared md5-28bit-per-word injective token derivation every
+    pre-tokenized witness uses (token_window_dedup convention). ONE
+    owner: widening the convention past 28 bits must change exactly this
+    function and _SQL_DOC_TOKENS together."""
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+        " ")
+    tokens = F.transform(
+        words, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10)
+        .cast("int"))
+    cols = [F.col("doc_id")] + ([words.alias("ws")] if with_words else [])
+    return docs.select(*cols, tokens.alias("tokens"))
+
+
+# the DuckDB twin of _doc_md5_tokens, as a `tk(doc_id, tks)` CTE body
+_SQL_DOC_TOKENS = r"""
+  SELECT doc_id,
+         list_transform(
+           string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+           w -> CAST(('0x' || substr(md5(w), 1, 7))::BIGINT AS INT)) AS tks
+  FROM documents"""
+
+
 def q_token_window_dedup(spark, sf):
     """Window dedup over PRE-TOKENIZED sequences (dedup.py
     token_window_dedup_stats — the north-star input shape,
@@ -1263,13 +1288,7 @@ def q_token_window_dedup(spark, sf):
     replays the count on the word windows themselves (same counts absent
     a hash collision, the caveat window_dedup already documents)."""
     docs = load(spark, sf, "documents")
-    words = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
-        " ")
-    tokens = F.transform(
-        words, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10)
-        .cast("int"))
-    toked = docs.select("doc_id", tokens.alias("tokens"))
+    toked = _doc_md5_tokens(docs)
     return dd.token_window_dedup_stats(
         toked, "tokens", "doc_id", w=8).orderBy("doc_id")
 
@@ -1300,13 +1319,7 @@ def q_chunk_documents(spark, sf):
     from tenzir_spark.operators.packing import chunk_documents
 
     docs = load(spark, sf, "documents")
-    words = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
-        " ")
-    tokens = F.transform(
-        words, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10)
-        .cast("int"))
-    toked = docs.select("doc_id", tokens.alias("tokens"))
+    toked = _doc_md5_tokens(docs)
     out = chunk_documents(toked, "tokens", "doc_id", max_len=16, overlap=4)
     return out.select(
         "doc_id", "chunk_idx",
@@ -1316,13 +1329,8 @@ def q_chunk_documents(spark, sf):
         "chunk_len", "n_chunks")
 
 
-SQL_CHUNK_DOCUMENTS = r"""
-WITH tk AS (
-  SELECT doc_id,
-         list_transform(
-           string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
-           w -> CAST(('0x' || substr(md5(w), 1, 7))::BIGINT AS INT)) AS tks
-  FROM documents),
+SQL_CHUNK_DOCUMENTS = rf"""
+WITH tk AS ({_SQL_DOC_TOKENS}),
 base AS (
   SELECT doc_id, tks,
          greatest(CAST(ceil((len(tks) - 4) / 12.0) AS INT), 1) AS nc
@@ -1347,13 +1355,7 @@ def q_fim_transform(spark, sf):
     from tenzir_spark.operators.packing import fim_transform
 
     docs = load(spark, sf, "documents")
-    words = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
-        " ")
-    tokens = F.transform(
-        words, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10)
-        .cast("int"))
-    toked = docs.select("doc_id", tokens.alias("tokens"))
+    toked = _doc_md5_tokens(docs)
     out = fim_transform(toked, "tokens", "doc_id", rate_pct=50, mode="psm")
     return out.select(
         "doc_id", "fim_applied",
@@ -1362,13 +1364,8 @@ def q_fim_transform(spark, sf):
             ",").alias("fim_csv"))
 
 
-SQL_FIM_TRANSFORM = r"""
-WITH tk AS (
-  SELECT doc_id,
-         list_transform(
-           string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
-           w -> CAST(('0x' || substr(md5(w), 1, 7))::BIGINT AS INT)) AS tks
-  FROM documents),
+SQL_FIM_TRANSFORM = rf"""
+WITH tk AS ({_SQL_DOC_TOKENS}),
 h AS (
   SELECT doc_id, tks, len(tks) AS n,
          ('0x' || substr(md5('fim:sel:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS hsel,
@@ -1406,14 +1403,7 @@ def q_dedup_spans(spark, sf):
     from tenzir_spark.operators.dedup import dedup_spans, dup_span_intervals
 
     docs = load(spark, sf, "documents")
-    words = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
-        " ")
-    tokens = F.transform(
-        words, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10)
-        .cast("int"))
-    toked = docs.select(
-        "doc_id", words.alias("ws"), tokens.alias("tokens"))
+    toked = _doc_md5_tokens(docs, with_words=True)
     ivs = dup_span_intervals(toked, "tokens", "doc_id", w=8)
     cleaned = dedup_spans(toked, "ws", "doc_id", spans_df=ivs)
     return cleaned.select(
@@ -1459,13 +1449,7 @@ def q_token_decontaminate(spark, sf):
     from tenzir_spark.operators.decontaminate import contamination_hits
 
     docs = load(spark, sf, "documents")
-    words = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
-        " ")
-    tokens = F.transform(
-        words, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10)
-        .cast("int"))
-    toked = docs.select("doc_id", tokens.alias("tokens"))
+    toked = _doc_md5_tokens(docs)
     hits = contamination_hits(
         toked.filter(F.col("doc_id") % 47 != 0),
         toked.filter(F.col("doc_id") % 47 == 0),

@@ -767,3 +767,35 @@ def test_asof_join_text_stage(spark, tmp_path):
 
     with _pytest.raises(TqlError, match="usage"):
         run_tql(df, "asof-join quotes ts ts")
+
+
+def test_chunk_and_fim_stages(spark):
+    """`chunk`/`fim` as pipeline text, including a NESTED id path for
+    chunk (dotted paths flatten to their leaf name in the output)."""
+    from tenzir_spark.plans.pipeline import TqlError, run_tql
+
+    df = spark.createDataFrame(
+        [(1, list(range(30)))], "doc_id: long, tokens: array<int>")
+    out = run_tql(df, "chunk tokens by doc_id max 16 overlap 4").collect()
+    assert sorted((r["chunk_idx"], r["chunk_len"]) for r in out) == \
+        [(0, 16), (1, 16), (2, 6)]
+
+    nested = df.select(F.struct(F.col("doc_id").alias("id")).alias("meta"),
+                       "tokens")
+    out = run_tql(nested, "chunk tokens by meta.id max 16 overlap 4")
+    rows = out.collect()
+    assert out.columns[0] == "id" and len(rows) == 3
+
+    r = run_tql(df, "fim tokens by doc_id rate 100 mode spm").collect()[0]
+    assert r["fim_applied"] and list(r["fim_tokens"])[:2] == [-1, -3]
+    r = run_tql(df, "fim tokens by doc_id rate 0").collect()[0]
+    assert not r["fim_applied"] and list(r["fim_tokens"]) == list(range(30))
+
+    with pytest.raises(TqlError, match="chunk: usage"):
+        run_tql(df, "chunk tokens max 16")
+    with pytest.raises(TqlError, match="fim: usage"):
+        run_tql(df, "fim tokens by doc_id mode xyz")
+    # operator-level arg validation surfaces as TqlError through the
+    # text path (overlap >= max_len)
+    with pytest.raises(TqlError, match="overlap"):
+        run_tql(df, "chunk tokens by doc_id max 8 overlap 8")
