@@ -96,6 +96,48 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     )
 
 
+def minhash_signature_sliced(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature whose permutations draw from FOUR independent
+    32-bit base hashes (the four 8-hex-char slices of one md5) —
+    permutation ``i`` maps slice ``i % 4`` through its affine map.
+
+    Why a second family exists: :func:`minhash_signature` feeds every
+    permutation the SAME 32-bit base hash. An affine map over so small a
+    domain barely wraps mod 2^61−1, so the per-permutation minima land on
+    the same few small-hash shingles — across documents, ONE shared
+    shingle can win the min for many permutations in both, which inflates
+    cross-document signature AGREEMENT far beyond Jaccard (measured: 9/16
+    positions agreeing at true Jaccard 0.04). Harmless for
+    ``minhash_near_dup_pairs`` (banding only proposes candidates; exact
+    shingle Jaccard verifies), fatal for any consumer that USES agreement
+    as the similarity estimate — the incremental
+    :class:`~tenzir_spark.operators.dedup_index.NearDupIndex`, which
+    cannot store shingle sets. With four independent slices the
+    correlation drops to within-group-of-4 only (measured on a 40-doc
+    random corpus: max cross-doc agreement 7/16 at Jaccard ≈ 0.05 vs
+    13/16 for the shared-base family; near-dup recall at the 8/16 bar is
+    1.0 for Jaccard ≥ 0.8). Still ONE md5 per (doc, shingle), still
+    engine-portable (DuckDB replays the slices with substring offsets).
+    """
+    params = _minhash_params(num_hashes)
+    base = F.transform(shingles, F.md5)
+    return F.aggregate(
+        base,
+        F.array_repeat(F.lit(_MINHASH_P).cast("long"), num_hashes),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(*[
+                (
+                    F.conv(F.substring(x, 8 * (i % 4) + 1, 8), 16, 10)
+                    .cast("long") * F.lit(a) + F.lit(b)
+                ) % F.lit(_MINHASH_P)
+                for i, (a, b) in enumerate(params)
+            ]),
+            lambda m, v: F.least(m, v),
+        ),
+    )
+
+
 def lsh_bands(signature: Column, num_hashes: int, bands: int) -> Column:
     """Hash contiguous signature rows into int64 band keys (banding LSH).
     The band self-join shuffles (id, band) pairs — 16 bytes per row."""
@@ -110,6 +152,31 @@ def lsh_bands(signature: Column, num_hashes: int, bands: int) -> Column:
             )
             for b in range(bands)
         ]
+    )
+
+
+def minhash_band_keys(signature: Column, num_hashes: int, bands: int) -> Column:
+    """Band keys as ONE transform over the stringified signature —
+    value-identical to :func:`lsh_bands` (same per-band
+    ``md5(v0,v1,…)`` → first-15-hex-chars int64), but every intermediate
+    has exactly ONE consumer expression, so CollapseProject inlining
+    cannot duplicate the signature work (the ``lsh_bands`` formulation
+    indexes ``signature`` ``num_hashes`` times — fine when the signature
+    is a materialized column, quadratic when it is an inlined aggregate
+    chain). This is the single owner of the band-key construction used
+    by :func:`minhash_near_dup_pairs` and the incremental
+    :class:`~tenzir_spark.operators.dedup_index.NearDupIndex`."""
+    rows = num_hashes // bands
+    sig_str = F.transform(signature, lambda v: v.cast("string"))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(sig_str, b * rows + 1, rows), ",")),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long"),
     )
 
 
@@ -291,33 +358,9 @@ def minhash_near_dup_pairs(
     # This removed the repartition-by-id exchange the old 16-branch
     # formulation needed as a CSE barrier — A/B at sf0.1/local[32]:
     # 11.5 s → 5.4 s warm, identical 249 verified pairs.
-    params = _minhash_params(num_hashes)
     n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    hb = F.transform(
-        "sh", lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-    )
-
-    def _perms_of(x):
-        return F.array(
-            *[(x * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P) for a, b in params]
-        )
-
-    sig = F.aggregate(
-        hb,
-        F.array_repeat(F.lit(_MINHASH_P).cast("long"), num_hashes),
-        lambda acc, x: F.zip_with(acc, _perms_of(x), lambda m, v: F.least(m, v)),
-    )
-    rows = num_hashes // bands
-    sig_str = F.transform(sig, lambda v: v.cast("string"))
-    band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.conv(
-            F.substring(
-                F.md5(F.array_join(F.slice(sig_str, b * rows + 1, rows), ",")),
-                1, 15,
-            ),
-            16, 10,
-        ).cast("long"),
+    band_keys = minhash_band_keys(
+        minhash_signature(F.col("sh"), num_hashes), num_hashes, bands
     )
     # the band self-join carries ONLY (id, band) — shingles re-attach
     # post-candidate, so the quadratic step never shuffles payloads.

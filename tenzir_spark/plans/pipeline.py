@@ -973,6 +973,36 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                     jaccard_threshold=float(m2.group(3) or 0.5))
                 df = dup_clusters(df, idc, pairs)
                 order = None
+            elif name == "near-dedup":
+                # `near-dedup <text-field> by <id-field> index <path>
+                #  [batch <n>] [threshold <f>]` — incremental near-dup
+                # dedup against the persisted MinHash index at <path>
+                # (operators/dedup_index.py NearDupIndex): the batch is
+                # classified against everything previously accepted,
+                # kept rows flow on AND are appended to the index under
+                # batch <n> (default 0). Joins reorder rows, so declared
+                # stream order leaves scope.
+                m2 = re.fullmatch(
+                    r"(\S+)\s+by\s+(\S+)\s+index\s+(\S+)"
+                    r"(?:\s+batch\s+(\d+))?(?:\s+threshold\s+([0-9.]+))?",
+                    args.strip())
+                if not m2:
+                    raise TqlError(
+                        "near-dedup: usage `near-dedup <text-field> by "
+                        "<id-field> index <path> [batch <n>] "
+                        "[threshold <f>]`")
+                from tenzir_spark.operators.dedup_index import NearDupIndex
+
+                ndi = NearDupIndex(
+                    m2.group(3),
+                    sig_threshold=float(m2.group(5) or 0.5))
+                df = (
+                    ndi.ingest(
+                        df, _one_path(schema, m2.group(1)),
+                        _one_path(schema, m2.group(2)),
+                        int(m2.group(4) or 0))
+                    .filter(F.col("kept")).drop("kept"))
+                order = None
             elif name == "lm-filter":
                 # `lm-filter <text-field> by <id-field> ref <f>=<v>
                 #  max-ppl <f>` — CCNet-style stupid-backoff bigram LM

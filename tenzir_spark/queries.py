@@ -3778,6 +3778,126 @@ ORDER BY doc_id
 """
 
 
+def q_near_dedup_index(spark, sf):
+    """Incremental near-dup index (operators/dedup_index.py NearDupIndex
+    — the RefinedWeb/Dolma "dedup each increment against everything
+    accepted" stage as a persisted MinHash index): documents split into
+    two batches by doc_id parity, ingested in order through a temp
+    index. Batch-1 docs dedup against batch 0's KEPT set via the stored
+    band keys + signature agreement (>= 8 of 16 positions), in-batch
+    clusters resolve by connected components with index-poisoning. The
+    DuckDB oracle replays both batches end to end — signature math,
+    band keys, the agreement bar, both recursive component closures and
+    the poisoned-cluster rule."""
+    import shutil
+    import tempfile
+
+    from tenzir_spark.operators.dedup_index import NearDupIndex
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    root = tempfile.mkdtemp(prefix="ndi_witness_")
+    try:
+        idx = NearDupIndex(root)
+        r0 = idx.ingest(docs.filter(F.col("doc_id") % 2 == 0),
+                        "text", "doc_id", 0)
+        out0 = _bounded_collect(
+            r0.select("doc_id", F.lit(0).alias("batch"), "kept"))
+        r1 = idx.ingest(docs.filter(F.col("doc_id") % 2 == 1),
+                        "text", "doc_id", 1)
+        out1 = _bounded_collect(
+            r1.select("doc_id", F.lit(1).alias("batch"), "kept"))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out0.unionByName(out1).orderBy("doc_id")
+
+_NDI_POS = ",".join(str(i) for i in range(1, 17))
+_NDI_AGREE = (
+    f"len(list_filter([{_NDI_POS}], i -> sa.sg[i] = sb.sg[i])) >= 8")
+# the SLICED permutation family (minhash_signature_sliced): permutation i
+# reads 32-bit slice i%4 of the shingle's md5 (substring offset 8*(i%4)+1)
+_NDI_MINS = ",\n         ".join(
+    f"min((('0x' || substring(hx, {8 * (i % 4) + 1}, 8))::BIGINT"
+    f" * {a} + {b}) % {_MINHASH_P}) AS m{i}"
+    for i, (a, b) in enumerate(_MH_PARAMS)
+)
+SQL_NEAR_DEDUP_INDEX = f"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, CAST(doc_id % 2 AS INT) AS b,
+         list_distinct([substring(text, CAST(i AS INT), 5)
+                        for i in range(1, greatest(length(text) - 4, 1) + 1)]) AS sh
+  FROM documents),
+scor AS (SELECT doc_id, b, sh FROM sh WHERE len(sh) >= 5),
+hx AS (
+  SELECT doc_id, b, md5(unnest(sh)) AS hx
+  FROM scor),
+sig AS (
+  SELECT doc_id, b,
+         {_NDI_MINS}
+  FROM hx GROUP BY doc_id, b),
+sigl AS (
+  SELECT doc_id, b, [{", ".join(f"m{i}" for i in range(16))}] AS sg
+  FROM sig),
+band AS (
+  SELECT doc_id, b,
+         unnest([{_MH_BANDS}]) AS band
+  FROM sig),
+p0 AS (
+  SELECT DISTINCT ba.doc_id AS s, bb.doc_id AS d
+  FROM band ba JOIN band bb ON ba.band = bb.band AND ba.doc_id < bb.doc_id
+  JOIN sigl sa ON sa.doc_id = ba.doc_id
+  JOIN sigl sb ON sb.doc_id = bb.doc_id
+  WHERE ba.b = 0 AND bb.b = 0 AND {_NDI_AGREE}),
+e0 AS (SELECT s, d FROM p0 UNION SELECT d, s FROM p0),
+r0(n, c) AS (
+  SELECT s, s FROM e0
+  UNION
+  SELECT e.d, r.c FROM r0 r JOIN e0 e ON e.s = r.n),
+c0 AS (SELECT n, min(c) AS comp FROM r0 GROUP BY n),
+kept0 AS (
+  SELECT s.doc_id FROM scor s LEFT JOIN c0 ON s.doc_id = c0.n
+  WHERE s.b = 0 AND (c0.n IS NULL OR c0.comp = s.doc_id)),
+pois AS (
+  SELECT DISTINCT nb.doc_id
+  FROM band nb
+  JOIN band ib ON nb.band = ib.band AND ib.b = 0
+  JOIN kept0 k ON ib.doc_id = k.doc_id
+  JOIN sigl sa ON sa.doc_id = nb.doc_id
+  JOIN sigl sb ON sb.doc_id = ib.doc_id
+  WHERE nb.b = 1 AND {_NDI_AGREE}),
+p1 AS (
+  SELECT DISTINCT ba.doc_id AS s, bb.doc_id AS d
+  FROM band ba JOIN band bb ON ba.band = bb.band AND ba.doc_id < bb.doc_id
+  JOIN sigl sa ON sa.doc_id = ba.doc_id
+  JOIN sigl sb ON sb.doc_id = bb.doc_id
+  WHERE ba.b = 1 AND bb.b = 1 AND {_NDI_AGREE}),
+e1 AS (SELECT s, d FROM p1 UNION SELECT d, s FROM p1),
+r1(n, c) AS (
+  SELECT s, s FROM e1
+  UNION
+  SELECT e.d, r.c FROM r1 r JOIN e1 e ON e.s = r.n),
+c1 AS (SELECT n, min(c) AS comp FROM r1 GROUP BY n),
+pc1 AS (SELECT DISTINCT c1.comp FROM c1 JOIN pois ON c1.n = pois.doc_id),
+kept1 AS (
+  SELECT s.doc_id FROM scor s
+  LEFT JOIN pois ON s.doc_id = pois.doc_id
+  LEFT JOIN c1 ON s.doc_id = c1.n
+  LEFT JOIN pc1 ON c1.comp = pc1.comp
+  WHERE s.b = 1 AND pois.doc_id IS NULL AND pc1.comp IS NULL
+    AND (c1.n IS NULL OR c1.comp = s.doc_id))
+SELECT d.doc_id, CAST(d.doc_id % 2 AS INT) AS batch,
+       CASE WHEN sc.doc_id IS NULL THEN TRUE
+            WHEN d.doc_id % 2 = 0 THEN k0.doc_id IS NOT NULL
+            ELSE k1.doc_id IS NOT NULL END AS kept
+FROM documents d
+LEFT JOIN scor sc ON sc.doc_id = d.doc_id
+LEFT JOIN kept0 k0 ON k0.doc_id = d.doc_id
+LEFT JOIN kept1 k1 ON k1.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_lm_perplexity(spark, sf):
     """CCNet-style LM quality scoring (operators/lm.py lm_score —
     stupid-backoff bigram model trained on the trusted subset
@@ -4078,7 +4198,7 @@ REGISTRY: dict[str, tuple] = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "minhash_lsh_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
-    "window_dedup": (q_window_dedup, SQL_WINDOW_DEDUP),
+    "near_dedup_index": (q_near_dedup_index, SQL_NEAR_DEDUP_INDEX),
     "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "cosine_near_dup_lsh": (q_cosine_pairs_lsh, SQL_COSINE_PAIRS_LSH),
@@ -4107,6 +4227,7 @@ REGISTRY: dict[str, tuple] = {
     "url_filter": (q_url_filter, SQL_URL_FILTER),
     # ---- past the 50-row window: family variants + remaining entries,
     # all still oracle-exact under the local gate
+    "window_dedup": (q_window_dedup, SQL_WINDOW_DEDUP),
     "line_dedup_keep_first": (q_line_dedup, SQL_LINE_DEDUP),
     "tql2_match_record": (q_tql2_match_record, SQL_TQL2_MATCH_RECORD),
     "tql2_lambda": (q_tql2_lambda, SQL_TQL2_LAMBDA),

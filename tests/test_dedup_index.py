@@ -1,0 +1,124 @@
+"""NearDupIndex — incremental near-dup dedup against a persisted index."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tenzir_spark.operators.dedup_index import NearDupIndex
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+# distinct-enough texts: unique docs share no 5-shingles; dup pairs are
+# exact copies (signature agreement 16/16)
+A = "the quick brown fox jumps over the lazy dog again and again today"
+B = "pack my box with five dozen liquor jugs before the long winter came"
+C = "sphinx of black quartz judge my vow while the river runs far south"
+D = "how vexingly quick daft zebras jump across the wide frozen canal"
+
+
+def kept_ids(out):
+    return sorted(r["doc_id"] for r in out.filter("kept").collect())
+
+
+def test_two_batch_cross_and_within(spark, tmp_path):
+    idx = NearDupIndex(str(tmp_path / "ndi"))
+    # batch 0: a unique doc + an in-batch duplicate pair
+    b0 = _docs(spark, [("d1", A), ("d2", B), ("d3", B)])
+    r0 = idx.ingest(b0, "text", "doc_id", 0)
+    assert kept_ids(r0) == ["d1", "d2"]  # d3 loses to d2 (smallest id)
+    # batch 1: dup of an accepted doc (dropped), dup of a DROPPED doc's
+    # content (also dropped — the content has an accepted representative
+    # d2 in the index), and a fresh doc (kept)
+    b1 = _docs(spark, [("e1", A), ("e2", B), ("e3", C)])
+    r1 = idx.ingest(b1, "text", "doc_id", 1)
+    assert kept_ids(r1) == ["e3"]
+    st = idx.stats(spark)
+    assert st == {"indexed_docs": 3, "batches": 2}
+
+
+def test_cluster_poisoned_by_index_match(spark, tmp_path):
+    idx = NearDupIndex(str(tmp_path / "ndi"))
+    idx.ingest(_docs(spark, [("d1", A)]), "text", "doc_id", 0)
+    # e1 matches the index; e2 is e1's in-batch duplicate with a SMALLER
+    # id — canonical by id order, but its component is poisoned by e1's
+    # index match, so the whole cluster drops; e9 unrelated, kept
+    b1 = _docs(spark, [("e2", A), ("e1", A), ("e9", D)])
+    r1 = idx.ingest(b1, "text", "doc_id", 1)
+    assert kept_ids(r1) == ["e9"]
+
+
+def test_durability_across_instances(spark, tmp_path):
+    root = str(tmp_path / "ndi")
+    NearDupIndex(root).ingest(_docs(spark, [("d1", A)]), "text", "doc_id", 0)
+    # a NEW instance (fresh process in real life) sees the same index
+    r1 = NearDupIndex(root).ingest(
+        _docs(spark, [("e1", A), ("e2", B)]), "text", "doc_id", 1)
+    assert kept_ids(r1) == ["e2"]
+
+
+def test_redelivery_idempotent(spark, tmp_path):
+    idx = NearDupIndex(str(tmp_path / "ndi"))
+    idx.ingest(_docs(spark, [("d1", A), ("d2", B)]), "text", "doc_id", 0)
+    b1 = _docs(spark, [("e1", A), ("e2", C)])
+    first = kept_ids(idx.ingest(b1, "text", "doc_id", 1))
+    # crash-redelivery of batch 1: probe excludes its own partition, so
+    # the decision is identical and the index state unchanged
+    second = kept_ids(idx.ingest(b1, "text", "doc_id", 1))
+    assert first == second == ["e2"]
+    assert idx.stats(spark) == {"indexed_docs": 3, "batches": 2}
+
+
+def test_unscorable_pass_through_unindexed(spark, tmp_path):
+    idx = NearDupIndex(str(tmp_path / "ndi"))
+    # "xy" has < 5 distinct 5-shingles: unscorable, kept, not indexed —
+    # in BOTH batches (never suppressed by the earlier copy)
+    r0 = idx.ingest(_docs(spark, [("d1", "xy"), ("d2", A)]),
+                    "text", "doc_id", 0)
+    assert kept_ids(r0) == ["d1", "d2"]
+    r1 = idx.ingest(_docs(spark, [("e1", "xy")]), "text", "doc_id", 1)
+    assert kept_ids(r1) == ["e1"]
+    assert idx.stats(spark)["indexed_docs"] == 1
+
+
+def test_classify_does_not_mutate_index(spark, tmp_path):
+    idx = NearDupIndex(str(tmp_path / "ndi"))
+    out = idx.classify(_docs(spark, [("d1", A)]), "text", "doc_id", 0)
+    assert kept_ids(out) == ["d1"]
+    assert idx.stats(spark) == {"indexed_docs": 0, "batches": 0}
+    assert not os.path.isdir(str(tmp_path / "ndi"))
+
+
+def test_column_collision_raises(spark, tmp_path):
+    idx = NearDupIndex(str(tmp_path / "ndi"))
+    df = _docs(spark, [("d1", A)]).withColumn("KEPT", F.lit(1))
+    with pytest.raises(ValueError, match="KEPT|kept"):
+        idx.classify(df, "text", "doc_id", 0)
+
+
+def test_plan_quality(spark, tmp_path):
+    """The classify OUTPUT plan must hold the scale contract: the
+    shingle→md5→signature chain ran exactly once (into the sig
+    checkpoint — so NO md5 expression may appear in the final plan,
+    which would mean a consumer re-runs the dominant compute), nothing
+    cartesian, nothing Python in the hot path."""
+    idx = NearDupIndex(str(tmp_path / "ndi"))
+    idx.ingest(_docs(spark, [("d1", A), ("d2", B)]), "text", "doc_id", 0)
+    out = idx.classify(
+        _docs(spark, [("e1", A), ("e2", A), ("e3", C)]),
+        "text", "doc_id", 1)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "md5" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bad_params_raise(tmp_path):
+    with pytest.raises(ValueError, match="divisible"):
+        NearDupIndex(str(tmp_path), num_hashes=16, bands=5)
+    with pytest.raises(ValueError, match="sig_threshold"):
+        NearDupIndex(str(tmp_path), sig_threshold=0.0)

@@ -650,6 +650,33 @@ def test_cluster_dedup_and_lm_filter_text_stages(spark, sf_dir):
         run_tql(docs, "lm-filter text by doc_id")
 
 
+def test_near_dedup_text_stage(spark, tmp_path):
+    """near-dedup as pipeline text: incremental index dedup — batch 0
+    populates the index, batch 1 dedups against it."""
+    import pytest as _pytest
+
+    from tenzir_spark.plans.pipeline import TqlError, run_tql
+
+    root = str(tmp_path / "ndi")
+    t = ("the quick brown fox jumps over the lazy dog again and again "
+         "while the winter rain keeps falling on the quiet old town")
+    u = ("pack my box with five dozen liquor jugs before the long dark "
+         "winter comes around and the river freezes solid once more")
+    b0 = spark.createDataFrame([("d1", t), ("d2", u)],
+                               "doc_id string, text string")
+    r0 = run_tql(b0, f"near-dedup text by doc_id index {root} batch 0")
+    assert r0.columns == b0.columns
+    assert r0.count() == 2
+    b1 = spark.createDataFrame([("e1", t), ("e2", "something else "
+                                                  "entirely different here "
+                                                  "that shares no shingles")],
+                               "doc_id string, text string")
+    r1 = run_tql(b1, f"near-dedup text by doc_id index {root} batch 1")
+    assert sorted(r["doc_id"] for r in r1.collect()) == ["e2"]
+    with _pytest.raises(TqlError, match="usage"):
+        run_tql(b0, "near-dedup text by doc_id")
+
+
 def test_web_curation_text_stages(spark):
     """html-extract / url-filter / quality-filter as pipeline text."""
     import pytest as _pytest
