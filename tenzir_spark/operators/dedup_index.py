@@ -63,6 +63,14 @@ Scale shape (the 100 TB contract):
 - Connected components run over pair-connected batch docs only
   (bounded by duplicates, not batch size), with per-round
   localCheckpoint (clustering.py's contract).
+
+Append-only caveat (by design): index entries are never retracted —
+lake-side UPDATEs/DELETEs of accepted documents do not remove their
+fingerprints, so a re-ingest of content whose original was later
+deleted still matches. For training-data curation this is the wanted
+semantics ("this content has been seen"); a lake mirroring CDC deletes
+into dedup state would need a retract log, which this index
+deliberately does not implement.
 """
 
 from __future__ import annotations
@@ -319,3 +327,86 @@ class NearDupIndex:
         n = sig.count()
         b = sig.select("batch").distinct().count()
         return {"indexed_docs": n, "batches": b}
+
+
+class ExactDupIndex:
+    """Exact-duplicate sibling of :class:`NearDupIndex`: a persisted set
+    of content hashes (md5 of the text — 16 bytes/doc) with the same
+    per-batch partition discipline (monotone batch ids, probe reads only
+    ``batch < b``, overwrite-on-redelivery). Use when only verbatim
+    duplicates matter — the probe is ONE hash anti-join, no signatures,
+    no clustering.
+
+    Semantics: a document is dropped if its content hash is already
+    indexed; within the batch, the smallest id per distinct hash is
+    kept. Kept docs' hashes are appended. Same append-only caveat as
+    NearDupIndex (see module docstring)."""
+
+    def __init__(self, root: str):
+        self.root = root.rstrip("/")
+        self._hash_path = f"{self.root}/hash"
+
+    def _index_hashes(self, spark: SparkSession, batch_id: int) -> DataFrame:
+        if os.path.isdir(self._hash_path) and any(
+                e.startswith("batch=") for e in os.listdir(self._hash_path)):
+            return (
+                spark.read.parquet(self._hash_path)
+                .filter(F.col("batch") < batch_id)
+                .select(F.col("h").alias("_ih"))
+            )
+        return spark.createDataFrame(
+            [], T.StructType([T.StructField("_ih", T.StringType())]))
+
+    def classify(self, df: DataFrame, text_col: str, id_col: str,
+                 batch_id: int, flag_col: str = "kept") -> DataFrame:
+        lower = {c.lower() for c in df.columns}
+        for c in (flag_col, "_xh", "_xdrop"):
+            if c.lower() in lower:
+                raise ValueError(
+                    f"ExactDupIndex: input already has a {c!r} column — "
+                    "drop or rename it first (case-insensitive resolution)")
+        spark = df.sparkSession
+        hashed = df.withColumn("_xh", F.md5(F.col(text_col)))
+        idx = self._index_hashes(spark, batch_id)
+        # in-batch winner per hash + index membership in ONE decision
+        # table: both the winner agg and the membership join shuffle
+        # 16-byte hash rows, never the text
+        winners = (
+            hashed.select(F.col("_xh").alias("_wxh"),
+                          F.col(id_col).alias("_wid"))
+            .groupBy("_wxh")
+            .agg(F.min("_wid").alias("_wid"))
+            .join(idx, F.col("_wxh") == idx["_ih"], "left_anti")
+        )
+        return (
+            hashed.join(
+                winners.withColumn("_keep", F.lit(True)),
+                (hashed["_xh"] == winners["_wxh"])
+                & (hashed[id_col] == winners["_wid"]),
+                "left")
+            .select(*[hashed[c] for c in df.columns],
+                    # NULL text hashes to NULL → joins nothing: treat as
+                    # unscorable (kept, never indexed) like NearDupIndex
+                    (F.coalesce(F.col("_keep"), F.lit(False))
+                     | hashed["_xh"].isNull()).alias(flag_col))
+        )
+
+    def ingest(self, df: DataFrame, text_col: str, id_col: str,
+               batch_id: int, flag_col: str = "kept") -> DataFrame:
+        out = self.classify(df, text_col, id_col, batch_id, flag_col)
+        (
+            out.filter(F.col(flag_col))
+            .select(F.md5(F.col(text_col)).alias("h"))
+            .filter(F.col("h").isNotNull())  # unscorable NULL text
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(f"{self._hash_path}/batch={batch_id}")
+        )
+        return out
+
+    def stats(self, spark: SparkSession) -> dict:
+        if not os.path.isdir(self._hash_path):
+            return {"indexed_hashes": 0, "batches": 0}
+        h = spark.read.parquet(self._hash_path)
+        return {"indexed_hashes": h.count(),
+                "batches": h.select("batch").distinct().count()}

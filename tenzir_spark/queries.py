@@ -3898,6 +3898,57 @@ ORDER BY d.doc_id
 """
 
 
+def q_exact_dup_index(spark, sf):
+    """Exact-dup sibling of near_dedup_index (dedup_index.py
+    ExactDupIndex — persisted content-hash set, same per-batch partition
+    discipline): parity-split two-batch replay; batch 1 anti-joins
+    batch 0's kept hashes, in-batch winner = smallest id per hash."""
+    import shutil
+    import tempfile
+
+    from tenzir_spark.operators.dedup_index import ExactDupIndex
+
+    docs = load(spark, sf, "documents")
+    root = tempfile.mkdtemp(prefix="xdi_witness_")
+    try:
+        idx = ExactDupIndex(root)
+        r0 = idx.ingest(docs.filter(F.col("doc_id") % 2 == 0),
+                        "text", "doc_id", 0)
+        out0 = _bounded_collect(
+            r0.select("doc_id", F.lit(0).alias("batch"), "kept"))
+        r1 = idx.ingest(docs.filter(F.col("doc_id") % 2 == 1),
+                        "text", "doc_id", 1)
+        out1 = _bounded_collect(
+            r1.select("doc_id", F.lit(1).alias("batch"), "kept"))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out0.unionByName(out1).orderBy("doc_id")
+
+SQL_EXACT_DUP_INDEX = """
+WITH hs AS (
+  SELECT doc_id, CAST(doc_id % 2 AS INT) AS b, md5(text) AS h
+  FROM documents),
+w0 AS (
+  SELECT h, min(doc_id) AS wid FROM hs
+  WHERE b = 0 AND h IS NOT NULL GROUP BY h),
+w1 AS (
+  SELECT h, min(doc_id) AS wid FROM hs
+  WHERE b = 1 AND h IS NOT NULL GROUP BY h),
+kept1 AS (
+  SELECT w1.wid AS doc_id FROM w1
+  LEFT JOIN w0 ON w1.h = w0.h WHERE w0.h IS NULL)
+SELECT d.doc_id, CAST(d.doc_id % 2 AS INT) AS batch,
+       CASE WHEN hs.h IS NULL THEN TRUE
+            WHEN d.doc_id % 2 = 0 THEN w0.wid IS NOT NULL
+            ELSE k1.doc_id IS NOT NULL END AS kept
+FROM documents d
+JOIN hs ON hs.doc_id = d.doc_id
+LEFT JOIN w0 ON w0.wid = d.doc_id
+LEFT JOIN kept1 k1 ON k1.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_lm_perplexity(spark, sf):
     """CCNet-style LM quality scoring (operators/lm.py lm_score —
     stupid-backoff bigram model trained on the trusted subset
@@ -4228,6 +4279,7 @@ REGISTRY: dict[str, tuple] = {
     # ---- past the 50-row window: family variants + remaining entries,
     # all still oracle-exact under the local gate
     "window_dedup": (q_window_dedup, SQL_WINDOW_DEDUP),
+    "exact_dup_index": (q_exact_dup_index, SQL_EXACT_DUP_INDEX),
     "line_dedup_keep_first": (q_line_dedup, SQL_LINE_DEDUP),
     "tql2_match_record": (q_tql2_match_record, SQL_TQL2_MATCH_RECORD),
     "tql2_lambda": (q_tql2_lambda, SQL_TQL2_LAMBDA),

@@ -122,3 +122,33 @@ def test_bad_params_raise(tmp_path):
         NearDupIndex(str(tmp_path), num_hashes=16, bands=5)
     with pytest.raises(ValueError, match="sig_threshold"):
         NearDupIndex(str(tmp_path), sig_threshold=0.0)
+
+
+def test_exact_index_two_batches(spark, tmp_path):
+    from tenzir_spark.operators.dedup_index import ExactDupIndex
+
+    idx = ExactDupIndex(str(tmp_path / "xdi"))
+    # in-batch exact dup collapses to smallest id; near-but-not-exact
+    # text (one char changed) is NOT a dup for the exact index
+    b0 = _docs(spark, [("d2", A), ("d1", A), ("d3", B)])
+    r0 = idx.ingest(b0, "text", "doc_id", 0)
+    assert kept_ids(r0) == ["d1", "d3"]
+    b1 = _docs(spark, [("e1", A), ("e2", A + "!"), ("e3", None)])
+    r1 = idx.ingest(b1, "text", "doc_id", 1)
+    # e1 exact-matches the index; e2 differs by one char (kept);
+    # NULL text is unscorable → kept, never indexed
+    assert kept_ids(r1) == ["e2", "e3"]
+    assert idx.stats(spark) == {"indexed_hashes": 3, "batches": 2}
+
+
+def test_exact_index_redelivery_and_durability(spark, tmp_path):
+    from tenzir_spark.operators.dedup_index import ExactDupIndex
+
+    root = str(tmp_path / "xdi")
+    ExactDupIndex(root).ingest(_docs(spark, [("d1", A)]), "text", "doc_id", 0)
+    b1 = _docs(spark, [("e1", A), ("e2", C)])
+    first = kept_ids(ExactDupIndex(root).ingest(b1, "text", "doc_id", 1))
+    second = kept_ids(ExactDupIndex(root).ingest(b1, "text", "doc_id", 1))
+    assert first == second == ["e2"]
+    from tenzir_spark.operators.dedup_index import ExactDupIndex as E
+    assert E(root).stats(spark) == {"indexed_hashes": 2, "batches": 2}
