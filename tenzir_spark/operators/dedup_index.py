@@ -75,8 +75,11 @@ deliberately does not implement.
 
 from __future__ import annotations
 
+import json
 import math
 import os
+import shutil
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -93,6 +96,78 @@ from tenzir_spark.operators.dedup import (
 def _sig_agreement(a: Column, b: Column) -> Column:
     """Number of positions where two equal-length signatures agree."""
     return F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v))
+
+
+_FOLD_MARKER = ".FOLD_COMMIT"
+
+
+def _apply_fold(path: str) -> None:
+    """Roll a committed fold forward: remove the folded partition dirs,
+    rename the temp dir into place, drop the marker. Idempotent — safe
+    to re-run from any crash point after the marker was written."""
+    marker = os.path.join(path, _FOLD_MARKER)
+    with open(marker) as f:
+        m = json.load(f)
+    for d in m["remove"]:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    tmp = os.path.join(path, m["tmp"])
+    target = os.path.join(path, m["target"])
+    if os.path.isdir(tmp):
+        os.rename(tmp, target)
+    os.remove(marker)
+
+
+def _recover_fold(path: str) -> None:
+    """Finish a crashed fold (marker present → roll FORWARD; the temp
+    dir holds the complete folded data, so forward is always safe) and
+    clear uncommitted fold temps (no marker → the fold never happened)."""
+    if not os.path.isdir(path):
+        return
+    if os.path.exists(os.path.join(path, _FOLD_MARKER)):
+        _apply_fold(path)
+    for e in os.listdir(path):
+        if e.startswith(".fold."):
+            shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+
+
+def _fold_partitions(spark: SparkSession, path: str, upto_batch: int) -> int:
+    """Fold every ``batch=<n>`` partition with ``n < upto_batch`` into a
+    single partition named after the LARGEST folded id — future probes
+    (``batch < b`` with monotone b > every folded id) see identical
+    rows, and redelivery below ``upto_batch`` must no longer happen
+    (folded history is acked by contract — the caller passes its resume
+    point). Crash-safe: folded rows land in a dot-temp dir (invisible
+    to Spark's partition discovery), a marker commits the swap, and
+    recovery rolls forward. Returns the number of partitions folded."""
+    _recover_fold(path)
+    if not os.path.isdir(path):
+        return 0
+    ids = sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(path)
+        if e.startswith("batch=") and int(e.split("=", 1)[1]) < upto_batch
+    )
+    if len(ids) <= 1:
+        return 0
+    target = ids[-1]
+    folded = (
+        spark.read.parquet(path)
+        .filter(F.col("batch") < upto_batch)
+        .drop("batch")
+    )
+    tmp = f".fold.{uuid.uuid4().hex}"
+    folded.write.parquet(os.path.join(path, tmp))
+    marker = {"remove": [f"batch={i}" for i in ids], "tmp": tmp,
+              "target": f"batch={target}"}
+    mp = os.path.join(path, _FOLD_MARKER)
+    mtmp = f"{mp}.tmp.{uuid.uuid4().hex}"
+    with open(mtmp, "w") as f:
+        f.write(json.dumps(marker))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(mtmp, mp)
+    _apply_fold(path)
+    return len(ids)
 
 
 class NearDupIndex:
@@ -143,6 +218,8 @@ class NearDupIndex:
                       id_type: T.DataType) -> tuple[DataFrame, DataFrame]:
         """(sig, band) probe tables from partitions ``batch < batch_id``;
         empty frames with the right schema when the index is fresh."""
+        _recover_fold(self._sig_path)
+        _recover_fold(self._band_path)
         if os.path.isdir(self._sig_path) and any(
                 e.startswith("batch=") for e in os.listdir(self._sig_path)):
             sig = (
@@ -319,8 +396,24 @@ class NearDupIndex:
         return out.drop("_nd_sig")
 
     # ------------------------------------------------------------------
+    def compact(self, spark: SparkSession, upto_batch: int) -> dict:
+        """Fold the per-batch partitions below ``upto_batch`` (the
+        caller's resume point — everything acked, never redelivered)
+        into one partition each for the sig and band tables. Probe
+        results are identical before and after; what changes is file
+        count (the small-files problem at 10^5 micro-batches) and the
+        partition-listing cost per probe. Crash-safe via a roll-forward
+        marker applied by every subsequent probe. Single-writer contract
+        as the lake: do not compact concurrently with ingest."""
+        return {
+            "sig_folded": _fold_partitions(spark, self._sig_path, upto_batch),
+            "band_folded": _fold_partitions(spark, self._band_path,
+                                            upto_batch),
+        }
+
     def stats(self, spark: SparkSession) -> dict:
         """Index size facts (indexed docs, batches) from the parquet."""
+        _recover_fold(self._sig_path)
         if not os.path.isdir(self._sig_path):
             return {"indexed_docs": 0, "batches": 0}
         sig = spark.read.parquet(self._sig_path)
@@ -347,6 +440,7 @@ class ExactDupIndex:
         self._hash_path = f"{self.root}/hash"
 
     def _index_hashes(self, spark: SparkSession, batch_id: int) -> DataFrame:
+        _recover_fold(self._hash_path)
         if os.path.isdir(self._hash_path) and any(
                 e.startswith("batch=") for e in os.listdir(self._hash_path)):
             return (
@@ -404,7 +498,14 @@ class ExactDupIndex:
         )
         return out
 
+    def compact(self, spark: SparkSession, upto_batch: int) -> dict:
+        """Fold acked per-batch hash partitions below ``upto_batch``
+        into one (see NearDupIndex.compact for the contract)."""
+        return {"hash_folded": _fold_partitions(
+            spark, self._hash_path, upto_batch)}
+
     def stats(self, spark: SparkSession) -> dict:
+        _recover_fold(self._hash_path)
         if not os.path.isdir(self._hash_path):
             return {"indexed_hashes": 0, "batches": 0}
         h = spark.read.parquet(self._hash_path)

@@ -124,6 +124,64 @@ def test_bad_params_raise(tmp_path):
         NearDupIndex(str(tmp_path), sig_threshold=0.0)
 
 
+def test_compaction_preserves_probe_results(spark, tmp_path):
+    """compact() folds acked batch partitions into one; probes see
+    identical rows before and after."""
+    idx = NearDupIndex(str(tmp_path / "ndi"))
+    idx.ingest(_docs(spark, [("d1", A)]), "text", "doc_id", 0)
+    idx.ingest(_docs(spark, [("d2", B)]), "text", "doc_id", 1)
+    idx.ingest(_docs(spark, [("d3", C)]), "text", "doc_id", 2)
+    assert idx.stats(spark) == {"indexed_docs": 3, "batches": 3}
+    folded = idx.compact(spark, upto_batch=3)
+    assert folded == {"sig_folded": 3, "band_folded": 3}
+    assert idx.stats(spark) == {"indexed_docs": 3, "batches": 1}
+    # dupes of every folded batch are still caught; fresh doc kept
+    r = idx.ingest(_docs(spark, [("e1", A), ("e2", B), ("e3", C),
+                                 ("e4", D)]), "text", "doc_id", 3)
+    assert kept_ids(r) == ["e4"]
+    # batch 3's ingest added a partition: folding again merges the two;
+    # a repeat on the single remaining partition is a no-op
+    assert idx.compact(spark, upto_batch=4) == {
+        "sig_folded": 2, "band_folded": 2}
+    assert idx.compact(spark, upto_batch=4) == {
+        "sig_folded": 0, "band_folded": 0}
+
+
+def test_fold_crash_rolls_forward(spark, tmp_path, monkeypatch):
+    """A crash between the fold marker and the swap must roll forward on
+    the next probe — identical probe results, no data loss."""
+    from tenzir_spark.operators import dedup_index as di
+
+    idx = NearDupIndex(str(tmp_path / "ndi"))
+    idx.ingest(_docs(spark, [("d1", A)]), "text", "doc_id", 0)
+    idx.ingest(_docs(spark, [("d2", B)]), "text", "doc_id", 1)
+    # crash right after the marker commit: _apply_fold never runs
+    monkeypatch.setattr(di, "_apply_fold", lambda path: None)
+    idx.compact(spark, upto_batch=2)
+    monkeypatch.undo()
+    import os
+    assert os.path.exists(
+        str(tmp_path / "ndi" / "sig" / ".FOLD_COMMIT"))
+    # next probe recovers and still sees both indexed docs
+    r = idx.ingest(_docs(spark, [("e1", A), ("e2", B), ("e3", C)]),
+                   "text", "doc_id", 2)
+    assert kept_ids(r) == ["e3"]
+    assert idx.stats(spark) == {"indexed_docs": 3, "batches": 2}
+
+
+def test_exact_index_compaction(spark, tmp_path):
+    from tenzir_spark.operators.dedup_index import ExactDupIndex
+
+    idx = ExactDupIndex(str(tmp_path / "xdi"))
+    idx.ingest(_docs(spark, [("d1", A)]), "text", "doc_id", 0)
+    idx.ingest(_docs(spark, [("d2", B)]), "text", "doc_id", 1)
+    assert idx.compact(spark, upto_batch=2) == {"hash_folded": 2}
+    assert idx.stats(spark) == {"indexed_hashes": 2, "batches": 1}
+    r = idx.ingest(_docs(spark, [("e1", A), ("e2", C)]),
+                   "text", "doc_id", 2)
+    assert kept_ids(r) == ["e2"]
+
+
 def test_exact_index_two_batches(spark, tmp_path):
     from tenzir_spark.operators.dedup_index import ExactDupIndex
 
