@@ -220,8 +220,16 @@ class NearDupIndex:
         empty frames with the right schema when the index is fresh."""
         _recover_fold(self._sig_path)
         _recover_fold(self._band_path)
-        if os.path.isdir(self._sig_path) and any(
-                e.startswith("batch=") for e in os.listdir(self._sig_path)):
+
+        def _has_batches(p: str) -> bool:
+            return os.path.isdir(p) and any(
+                e.startswith("batch=") for e in os.listdir(p))
+
+        # BOTH tables must exist: a crash between ingest's sig and band
+        # writes can leave the sig root alone (first-ever batch) — those
+        # docs are un-probe-able until the unacked batch is redelivered,
+        # never a read error (the documented crash window)
+        if _has_batches(self._sig_path) and _has_batches(self._band_path):
             sig = (
                 spark.read.parquet(self._sig_path)
                 .filter(F.col("batch") < batch_id)

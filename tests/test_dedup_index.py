@@ -169,6 +169,25 @@ def test_fold_crash_rolls_forward(spark, tmp_path, monkeypatch):
     assert idx.stats(spark) == {"indexed_docs": 3, "batches": 2}
 
 
+def test_crash_between_sig_and_band_writes(spark, tmp_path):
+    """A crash after the sig write but before the band write (first-ever
+    batch) must not break later probes — the batch is un-probe-able
+    until its (unacked) redelivery overwrites both tables."""
+    import shutil
+
+    root = str(tmp_path / "ndi")
+    idx = NearDupIndex(root)
+    idx.ingest(_docs(spark, [("d1", A)]), "text", "doc_id", 0)
+    shutil.rmtree(f"{root}/band")  # simulate the crash window
+    # probe survives; d1 is temporarily invisible
+    r1 = idx.classify(_docs(spark, [("e1", A)]), "text", "doc_id", 1)
+    assert kept_ids(r1) == ["e1"]
+    # redelivery of the unacked batch 0 heals both tables
+    idx.ingest(_docs(spark, [("d1", A)]), "text", "doc_id", 0)
+    r1b = idx.classify(_docs(spark, [("e1", A)]), "text", "doc_id", 1)
+    assert kept_ids(r1b) == []
+
+
 def test_exact_index_compaction(spark, tmp_path):
     from tenzir_spark.operators.dedup_index import ExactDupIndex
 
