@@ -98,6 +98,58 @@ def _sig_agreement(a: Column, b: Column) -> Column:
     return F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v))
 
 
+def _resolve_batch(df: DataFrame, id_col: str, flag_col: str,
+                   scorable: DataFrame, payload_col: str, payload_out: str,
+                   poisoned: DataFrame, pairs: DataFrame,
+                   max_iter: int) -> DataFrame:
+    """Shared decision core of the incremental indexes.
+
+    ``scorable`` is (_nid, <payload_col>) for the batch's fingerprint-
+    able docs; ``poisoned`` is (_nid) — docs matching the accepted
+    index; ``pairs`` is (_pa, _pb) — verified in-batch near-dup edges.
+    Connected components group the pair graph; a component containing
+    ANY poisoned member is dropped entirely (its content already has an
+    accepted representative); each surviving component keeps exactly its
+    smallest id; unscorable docs (absent from ``scorable``) are kept.
+    Returns ``df`` + boolean ``flag_col`` + the payload aliased
+    ``payload_out`` (carried so ingest can write the index without
+    recomputing fingerprints)."""
+    comp = connected_components(pairs, "_pa", "_pb", max_iter)
+    pcomp = (
+        comp.join(poisoned, comp["node"] == poisoned["_nid"])
+        .select("component")
+        .distinct()
+    )
+    dec = (
+        scorable
+        .join(poisoned.withColumn("_p", F.lit(True)), "_nid", "left")
+        .join(comp.select(F.col("node").alias("_nid"),
+                          F.col("component").alias("_comp")),
+              "_nid", "left")
+        .join(pcomp.select(F.col("component").alias("_comp"),
+                           F.lit(True).alias("_cp")),
+              "_comp", "left")
+        .select(
+            "_nid", payload_col,
+            (
+                F.coalesce(F.col("_p"), F.lit(False))
+                | F.coalesce(F.col("_cp"), F.lit(False))
+                | (F.col("_comp").isNotNull()
+                   & (F.col("_comp") != F.col("_nid")))
+            ).alias("_dropped"),
+        )
+    )
+    return (
+        df.join(dec, df[id_col] == dec["_nid"], "left")
+        .select(
+            df["*"],
+            (~F.coalesce(F.col("_dropped"), F.lit(False)))
+            .alias(flag_col),
+            F.col(payload_col).alias(payload_out),
+        )
+    )
+
+
 _FOLD_MARKER = ".FOLD_COMMIT"
 
 
@@ -322,42 +374,9 @@ class NearDupIndex:
             .select("_pa", "_pb")
         )
 
-        # 3. connected components over the batch's pair graph; a
-        # component with any index-matched member is dropped entirely
-        comp = connected_components(pairs, "_pa", "_pb", self.max_iter)
-        pcomp = (
-            comp.join(poisoned, comp["node"] == poisoned["_nid"])
-            .select("component")
-            .distinct()
-        )
-        dec = (
-            sigs
-            .join(poisoned.withColumn("_p", F.lit(True)), "_nid", "left")
-            .join(comp.select(F.col("node").alias("_nid"),
-                              F.col("component").alias("_comp")),
-                  "_nid", "left")
-            .join(pcomp.select(F.col("component").alias("_comp"),
-                               F.lit(True).alias("_cp")),
-                  "_comp", "left")
-            .select(
-                "_nid", "_nsig",
-                (
-                    F.coalesce(F.col("_p"), F.lit(False))
-                    | F.coalesce(F.col("_cp"), F.lit(False))
-                    | (F.col("_comp").isNotNull()
-                       & (F.col("_comp") != F.col("_nid")))
-                ).alias("_dropped"),
-            )
-        )
-        out = (
-            df.join(dec, df[id_col] == dec["_nid"], "left")
-            .select(
-                df["*"],
-                (~F.coalesce(F.col("_dropped"), F.lit(False)))
-                .alias(flag_col),
-                F.col("_nsig").alias("_nd_sig"),
-            )
-        )
+        # 3. shared decision core: CC + poisoned clusters + keep-min-id
+        out = _resolve_batch(df, id_col, flag_col, sigs, "_nsig", "_nd_sig",
+                             poisoned, pairs, self.max_iter)
         return out if with_sig else out.drop("_nd_sig")
 
     def classify(self, df: DataFrame, text_col: str, id_col: str,
@@ -428,6 +447,216 @@ class NearDupIndex:
         n = sig.count()
         b = sig.select("batch").distinct().count()
         return {"indexed_docs": n, "batches": b}
+
+
+class CosineDupIndex:
+    """Embedding sibling of :class:`NearDupIndex`: incremental semantic
+    near-dup dedup against a persisted sign-LSH index — the SemDeDup
+    family (Abbas et al. 2023) made incremental for continuous ingest.
+
+    Fingerprint: ``bands`` independent sign-random-projection buckets of
+    ``n_bits`` each over the engine-portable Rademacher planes
+    (similarity.py — md5-derived ±1, oracle-replayable). Band key =
+    ``band_no * 2^n_bits + bucket``. A candidate (shared band key) is a
+    DUPLICATE iff exact cosine similarity, rounded to 4 decimals (the
+    repo's cross-engine float convention), is ≥ ``threshold``; stored
+    embeddings make the verification exact, so unlike NearDupIndex no
+    estimator soundness question arises (the cost is dim×8 bytes/doc —
+    what every vector index stores; PQ codes via similarity.py's
+    pq_encode are the documented compression path).
+
+    Same batch discipline as NearDupIndex: ``emb/batch=<n>`` +
+    ``band/batch=<n>`` partitions, probe reads ``batch < b``
+    (idempotent redelivery), :meth:`compact` folds acked history,
+    crash between the two writes degrades to un-probe-able (healed by
+    redelivery). Unscorable (kept, never indexed): NULL embeddings,
+    wrong dimension, zero norm.
+    """
+
+    def __init__(self, root: str, dim: int, *, n_bits: int = 4,
+                 bands: int = 4, threshold: float = 0.9,
+                 max_iter: int = 50):
+        if not (0 < n_bits <= 30):
+            raise ValueError("n_bits must be in (0, 30]")
+        if not (-1.0 <= threshold <= 1.0):
+            raise ValueError("threshold must be a cosine in [-1, 1]")
+        from tenzir_spark.operators.similarity import rademacher_planes
+
+        self.root = root.rstrip("/")
+        self.dim = dim
+        self.n_bits = n_bits
+        self.bands = bands
+        self.threshold = threshold
+        self.max_iter = max_iter
+        self._planes = rademacher_planes(dim, bands * n_bits)
+        self._emb_path = f"{self.root}/emb"
+        self._band_path = f"{self.root}/band"
+
+    # ------------------------------------------------------------------
+    def _scorable(self, df: DataFrame, emb_col: str,
+                  id_col: str) -> DataFrame:
+        from tenzir_spark.operators.similarity import norm
+
+        e = F.col(emb_col)
+        return df.select(
+            F.col(id_col).alias("_nid"), e.alias("_ne")
+        ).filter(
+            e.isNotNull() & (F.size(e) == self.dim) & (norm(e) > 0)
+        )
+
+    def _band_keys(self) -> Column:
+        from tenzir_spark.operators.similarity import lsh_bucket
+
+        return F.array(*[
+            (F.lit(j * (1 << self.n_bits))
+             + lsh_bucket(F.col("_ne"),
+                          self._planes[j * self.n_bits:
+                                       (j + 1) * self.n_bits])
+             ).cast("long")
+            for j in range(self.bands)
+        ])
+
+    def _index_tables(self, spark: SparkSession, batch_id: int,
+                      id_type: T.DataType,
+                      emb_type: T.DataType) -> tuple[DataFrame, DataFrame]:
+        _recover_fold(self._emb_path)
+        _recover_fold(self._band_path)
+
+        def _has_batches(p: str) -> bool:
+            return os.path.isdir(p) and any(
+                e.startswith("batch=") for e in os.listdir(p))
+
+        if _has_batches(self._emb_path) and _has_batches(self._band_path):
+            emb = (
+                spark.read.parquet(self._emb_path)
+                .filter(F.col("batch") < batch_id)
+                .select(F.col("id").alias("_iid"), F.col("e").alias("_ie"))
+            )
+            band = (
+                spark.read.parquet(self._band_path)
+                .filter(F.col("batch") < batch_id)
+                .select("band", F.col("id").alias("_iid"))
+            )
+            return emb, band
+        empty_emb = spark.createDataFrame([], T.StructType([
+            T.StructField("_iid", id_type),
+            T.StructField("_ie", emb_type),
+        ]))
+        empty_band = spark.createDataFrame([], T.StructType([
+            T.StructField("band", T.LongType()),
+            T.StructField("_iid", id_type),
+        ]))
+        return empty_emb, empty_band
+
+    def _cos_ok(self, a: Column, b: Column) -> Column:
+        from tenzir_spark.operators.similarity import cosine
+
+        return F.round(cosine(a, b), 4) >= self.threshold
+
+    def _classify(self, df: DataFrame, emb_col: str, id_col: str,
+                  batch_id: int, flag_col: str,
+                  with_emb: bool) -> DataFrame:
+        lower = {c.lower() for c in df.columns}
+        scratch = ["_nid", "_ne", "_dropped"]
+        for c in ([flag_col, "_nd_emb"] if with_emb else [flag_col]) + scratch:
+            if c.lower() in lower:
+                raise ValueError(
+                    f"CosineDupIndex: input already has a {c!r} column — "
+                    "drop or rename it first (case-insensitive resolution)")
+        spark = df.sparkSession
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # 16 dot products per row with multiple consumers below —
+        # materialize once (dim×8 B + id per row, micro-batch-bounded)
+        feats = self._scorable(df, emb_col, id_col).localCheckpoint(
+            eager=True)
+        banded = feats.select(
+            "_nid", F.explode(self._band_keys()).alias("band")
+        ).repartition(n_parts, "band")
+        idx_emb, idx_band = self._index_tables(
+            spark, batch_id, df.schema[id_col].dataType,
+            df.schema[emb_col].dataType)
+
+        cand_idx = (
+            banded.join(idx_band, "band")
+            .select("_nid", "_iid")
+            .dropDuplicates(["_nid", "_iid"])
+        )
+        poisoned = (
+            cand_idx.join(feats, "_nid")
+            .join(idx_emb, "_iid")
+            .filter(self._cos_ok(F.col("_ne"), F.col("_ie")))
+            .select("_nid")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(b, "band")
+            .filter(F.col("a._nid") < F.col("b._nid"))
+            .select(F.col("a._nid").alias("_pa"), F.col("b._nid").alias("_pb"))
+            .dropDuplicates(["_pa", "_pb"])
+        )
+        e_a = feats.select(F.col("_nid").alias("_pa"),
+                           F.col("_ne").alias("_ea"))
+        e_b = feats.select(F.col("_nid").alias("_pb"),
+                           F.col("_ne").alias("_eb"))
+        pairs = (
+            cand.join(e_a, "_pa").join(e_b, "_pb")
+            .filter(self._cos_ok(F.col("_ea"), F.col("_eb")))
+            .select("_pa", "_pb")
+        )
+
+        out = _resolve_batch(df, id_col, flag_col, feats, "_ne", "_nd_emb",
+                             poisoned, pairs, self.max_iter)
+        return out if with_emb else out.drop("_nd_emb")
+
+    def classify(self, df: DataFrame, emb_col: str, id_col: str,
+                 batch_id: int, flag_col: str = "kept") -> DataFrame:
+        """``df`` + boolean ``flag_col`` — no index mutation."""
+        return self._classify(df, emb_col, id_col, batch_id, flag_col,
+                              with_emb=False)
+
+    def ingest(self, df: DataFrame, emb_col: str, id_col: str,
+               batch_id: int, flag_col: str = "kept") -> DataFrame:
+        """Classify, append kept docs' embeddings + band keys under
+        ``batch=<batch_id>`` (overwrite — idempotent redelivery),
+        return the classified frame."""
+        out = self._classify(df, emb_col, id_col, batch_id, flag_col,
+                             with_emb=True)
+        kept = (
+            out.filter(F.col(flag_col) & F.col("_nd_emb").isNotNull())
+            .select(F.col(id_col).alias("id"), F.col("_nd_emb").alias("e"))
+        )
+        emb_dir = f"{self._emb_path}/batch={batch_id}"
+        kept.write.mode("overwrite").parquet(emb_dir)
+        written = df.sparkSession.read.parquet(emb_dir)
+        (
+            written.select(F.col("e").alias("_ne"), "id")
+            .select(F.explode(self._band_keys()).alias("band"), "id")
+            .write.mode("overwrite")
+            .parquet(f"{self._band_path}/batch={batch_id}")
+        )
+        return out.drop("_nd_emb")
+
+    # ------------------------------------------------------------------
+    def compact(self, spark: SparkSession, upto_batch: int) -> dict:
+        """Fold acked per-batch partitions (NearDupIndex.compact's
+        contract)."""
+        return {
+            "emb_folded": _fold_partitions(spark, self._emb_path,
+                                           upto_batch),
+            "band_folded": _fold_partitions(spark, self._band_path,
+                                            upto_batch),
+        }
+
+    def stats(self, spark: SparkSession) -> dict:
+        _recover_fold(self._emb_path)
+        if not os.path.isdir(self._emb_path):
+            return {"indexed_docs": 0, "batches": 0}
+        e = spark.read.parquet(self._emb_path)
+        return {"indexed_docs": e.count(),
+                "batches": e.select("batch").distinct().count()}
 
 
 class ExactDupIndex:

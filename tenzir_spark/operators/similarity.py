@@ -51,10 +51,11 @@ def cosine_topk(df: DataFrame, emb_col: str, id_col: str, query_vec,
     )
 
 
-def lsh_bucket(emb_col: str, planes: np.ndarray) -> Column:
+def lsh_bucket(emb_col: str | Column, planes: np.ndarray) -> Column:
     """Pack sign-bits of dot(v, plane_j) into an int bucket id."""
+    col = F.col(emb_col) if isinstance(emb_col, str) else emb_col
     bits = [
-        F.when(dot(F.col(emb_col), _vec_lit(p)) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        F.when(dot(col, _vec_lit(p)) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         for j, p in enumerate(planes)
     ]
     out = bits[0]

@@ -3898,6 +3898,111 @@ ORDER BY d.doc_id
 """
 
 
+def q_cosine_dup_index(spark, sf):
+    """Embedding sibling of near_dedup_index (dedup_index.py
+    CosineDupIndex — incremental SemDeDup-style semantic dedup against
+    a persisted sign-LSH index): embeddings split by vec_id parity into
+    two batches; batch 1 probes batch 0's kept set via 4 Rademacher
+    band keys (4 bits each, engine-portable planes), EXACT cosine >= 0.3
+    verifies candidates, in-batch clusters resolve with
+    index-poisoning. The oracle replays buckets, cosine bar, both
+    recursive closures and the poisoned-cluster rule."""
+    import shutil
+    import tempfile
+
+    from tenzir_spark.operators.dedup_index import CosineDupIndex
+
+    em = load(spark, sf, "embeddings")
+    root = tempfile.mkdtemp(prefix="cdi_witness_")
+    try:
+        idx = CosineDupIndex(root, dim=64, n_bits=4, bands=4,
+                             threshold=0.3)
+        r0 = idx.ingest(em.filter(F.col("vec_id") % 2 == 0),
+                        "embedding", "vec_id", 0)
+        out0 = _bounded_collect(
+            r0.select("vec_id", F.lit(0).alias("batch"), "kept"))
+        r1 = idx.ingest(em.filter(F.col("vec_id") % 2 == 1),
+                        "embedding", "vec_id", 1)
+        out1 = _bounded_collect(
+            r1.select("vec_id", F.lit(1).alias("batch"), "kept"))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out0.unionByName(out1).orderBy("vec_id")
+
+_CDI_PLANES = _rademacher_sql_lists(n_bits=16, dim=64)
+def _cdi_band(j):
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"{_CDI_PLANES[4 * j + i]}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(4))
+    return f"({j} * 16 + {bucket})"
+_CDI_BANDS = ",\n                 ".join(_cdi_band(j) for j in range(4))
+_CDI_COS = ("round(list_cosine_similarity(sa.emb, sb.emb), 4) >= 0.3")
+SQL_COSINE_DUP_INDEX = f"""
+WITH RECURSIVE
+base AS (
+  SELECT vec_id, CAST(vec_id % 2 AS INT) AS b,
+         embedding::DOUBLE[] AS emb,
+         unnest([{_CDI_BANDS}]) AS band
+  FROM embeddings
+  WHERE len(embedding) = 64
+    AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0),
+scor AS (SELECT DISTINCT vec_id, b, emb FROM base),
+p0 AS (
+  SELECT DISTINCT ba.vec_id AS s, bb.vec_id AS d
+  FROM base ba JOIN base bb ON ba.band = bb.band AND ba.vec_id < bb.vec_id
+  JOIN scor sa ON sa.vec_id = ba.vec_id
+  JOIN scor sb ON sb.vec_id = bb.vec_id
+  WHERE ba.b = 0 AND bb.b = 0 AND {_CDI_COS}),
+e0 AS (SELECT s, d FROM p0 UNION SELECT d, s FROM p0),
+r0(n, c) AS (
+  SELECT s, s FROM e0
+  UNION
+  SELECT e.d, r.c FROM r0 r JOIN e0 e ON e.s = r.n),
+c0 AS (SELECT n, min(c) AS comp FROM r0 GROUP BY n),
+kept0 AS (
+  SELECT s.vec_id FROM scor s LEFT JOIN c0 ON s.vec_id = c0.n
+  WHERE s.b = 0 AND (c0.n IS NULL OR c0.comp = s.vec_id)),
+pois AS (
+  SELECT DISTINCT nb.vec_id
+  FROM base nb
+  JOIN base ib ON nb.band = ib.band AND ib.b = 0
+  JOIN kept0 k ON ib.vec_id = k.vec_id
+  JOIN scor sa ON sa.vec_id = nb.vec_id
+  JOIN scor sb ON sb.vec_id = ib.vec_id
+  WHERE nb.b = 1 AND {_CDI_COS}),
+p1 AS (
+  SELECT DISTINCT ba.vec_id AS s, bb.vec_id AS d
+  FROM base ba JOIN base bb ON ba.band = bb.band AND ba.vec_id < bb.vec_id
+  JOIN scor sa ON sa.vec_id = ba.vec_id
+  JOIN scor sb ON sb.vec_id = bb.vec_id
+  WHERE ba.b = 1 AND bb.b = 1 AND {_CDI_COS}),
+e1 AS (SELECT s, d FROM p1 UNION SELECT d, s FROM p1),
+r1(n, c) AS (
+  SELECT s, s FROM e1
+  UNION
+  SELECT e.d, r.c FROM r1 r JOIN e1 e ON e.s = r.n),
+c1 AS (SELECT n, min(c) AS comp FROM r1 GROUP BY n),
+pc1 AS (SELECT DISTINCT c1.comp FROM c1 JOIN pois ON c1.n = pois.vec_id),
+kept1 AS (
+  SELECT s.vec_id FROM scor s
+  LEFT JOIN pois ON s.vec_id = pois.vec_id
+  LEFT JOIN c1 ON s.vec_id = c1.n
+  LEFT JOIN pc1 ON c1.comp = pc1.comp
+  WHERE s.b = 1 AND pois.vec_id IS NULL AND pc1.comp IS NULL
+    AND (c1.n IS NULL OR c1.comp = s.vec_id))
+SELECT d.vec_id, CAST(d.vec_id % 2 AS INT) AS batch,
+       CASE WHEN sc.vec_id IS NULL THEN TRUE
+            WHEN d.vec_id % 2 = 0 THEN k0.vec_id IS NOT NULL
+            ELSE k1.vec_id IS NOT NULL END AS kept
+FROM embeddings d
+LEFT JOIN scor sc ON sc.vec_id = d.vec_id
+LEFT JOIN kept0 k0 ON k0.vec_id = d.vec_id
+LEFT JOIN kept1 k1 ON k1.vec_id = d.vec_id
+ORDER BY d.vec_id
+"""
+
+
 def q_exact_dup_index(spark, sf):
     """Exact-dup sibling of near_dedup_index (dedup_index.py
     ExactDupIndex — persisted content-hash set, same per-batch partition
@@ -4280,6 +4385,7 @@ REGISTRY: dict[str, tuple] = {
     # all still oracle-exact under the local gate
     "window_dedup": (q_window_dedup, SQL_WINDOW_DEDUP),
     "exact_dup_index": (q_exact_dup_index, SQL_EXACT_DUP_INDEX),
+    "cosine_dup_index": (q_cosine_dup_index, SQL_COSINE_DUP_INDEX),
     "line_dedup_keep_first": (q_line_dedup, SQL_LINE_DEDUP),
     "tql2_match_record": (q_tql2_match_record, SQL_TQL2_MATCH_RECORD),
     "tql2_lambda": (q_tql2_lambda, SQL_TQL2_LAMBDA),

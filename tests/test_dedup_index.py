@@ -20,8 +20,8 @@ C = "sphinx of black quartz judge my vow while the river runs far south"
 D = "how vexingly quick daft zebras jump across the wide frozen canal"
 
 
-def kept_ids(out):
-    return sorted(r["doc_id"] for r in out.filter("kept").collect())
+def kept_ids(out, id_col="doc_id"):
+    return sorted(r[id_col] for r in out.filter("kept").collect())
 
 
 def test_two_batch_cross_and_within(spark, tmp_path):
@@ -199,6 +199,63 @@ def test_exact_index_compaction(spark, tmp_path):
     r = idx.ingest(_docs(spark, [("e1", A), ("e2", C)]),
                    "text", "doc_id", 2)
     assert kept_ids(r) == ["e2"]
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id string, emb array<double>")
+
+
+def test_cosine_index_two_batches(spark, tmp_path):
+    from tenzir_spark.operators.dedup_index import CosineDupIndex
+
+    idx = CosineDupIndex(str(tmp_path / "cdi"), dim=4, threshold=0.9)
+    v = [1.0, 2.0, 3.0, 4.0]
+    w = [-4.0, 3.0, -2.0, 1.0]          # orthogonal to v (cos 0)
+    near_v = [1.1, 2.0, 3.0, 4.0]       # cos ≈ 0.9996
+    b0 = _vecs(spark, [("d1", v), ("d2", w)])
+    r0 = idx.ingest(b0, "emb", "vec_id", 0)
+    assert kept_ids(r0, "vec_id") == ["d1", "d2"]
+    b1 = _vecs(spark, [("e1", near_v),            # near-dup of indexed d1
+                       ("e2", [2.0, -1.0, 4.0, -3.0]),  # fresh direction
+                       ("e3", None),              # unscorable: NULL
+                       ("e4", [0.0, 0.0, 0.0, 0.0]),    # unscorable: zero
+                       ("e5", [1.0, 2.0])])      # unscorable: wrong dim
+    r1 = idx.ingest(b1, "emb", "vec_id", 1)
+    assert kept_ids(r1, "vec_id") == ["e2", "e3", "e4", "e5"]
+    assert idx.stats(spark) == {"indexed_docs": 3, "batches": 2}
+
+
+def test_cosine_index_in_batch_cluster_and_scaled_dup(spark, tmp_path):
+    from tenzir_spark.operators.dedup_index import CosineDupIndex
+
+    idx = CosineDupIndex(str(tmp_path / "cdi"), dim=4, threshold=0.9)
+    v = [1.0, 2.0, 3.0, 4.0]
+    # cosine is scale-invariant: 10*v is a perfect dup of v; smallest id
+    # wins the in-batch cluster
+    b0 = _vecs(spark, [("d2", [10.0, 20.0, 30.0, 40.0]), ("d1", v)])
+    r0 = idx.ingest(b0, "emb", "vec_id", 0)
+    assert kept_ids(r0, "vec_id") == ["d1"]
+    # redelivery idempotent
+    r0b = idx.ingest(b0, "emb", "vec_id", 0)
+    assert kept_ids(r0b, "vec_id") == ["d1"]
+    assert idx.stats(spark) == {"indexed_docs": 1, "batches": 1}
+
+
+def test_cosine_index_compaction(spark, tmp_path):
+    from tenzir_spark.operators.dedup_index import CosineDupIndex
+
+    idx = CosineDupIndex(str(tmp_path / "cdi"), dim=4, threshold=0.9)
+    idx.ingest(_vecs(spark, [("d1", [1.0, 0.0, 0.0, 0.0])]),
+               "emb", "vec_id", 0)
+    idx.ingest(_vecs(spark, [("d2", [0.0, 1.0, 0.0, 0.0])]),
+               "emb", "vec_id", 1)
+    assert idx.compact(spark, upto_batch=2) == {
+        "emb_folded": 2, "band_folded": 2}
+    r = idx.ingest(_vecs(spark, [("e1", [2.0, 0.0, 0.0, 0.0]),
+                                 ("e2", [0.0, 0.0, 1.0, 0.0])]),
+                   "emb", "vec_id", 2)
+    assert kept_ids(r, "vec_id") == ["e2"]
 
 
 def test_exact_index_two_batches(spark, tmp_path):
