@@ -248,7 +248,7 @@ _PIPELINE_OPERATORS = [
     "sample", "c4-filter", "window-dedup", "dedup-spans", "pack", "chunk", "fim",
     "line-dedup",
     "redact-pii", "dsir-sample", "bpe", "semdedup", "cluster-dedup",
-    "near-dedup",
+    "near-dedup", "semantic-dedup",
     "lm-filter", "gopher-filter", "repetition-filter",
     "html-extract", "url-filter", "quality-filter", "cross-dedup",
     "sessionize", "fill-forward", "rolling", "asof-join",

@@ -1003,6 +1003,36 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                         int(m2.group(4) or 0))
                     .filter(F.col("kept")).drop("kept"))
                 order = None
+            elif name == "semantic-dedup":
+                # `semantic-dedup <emb-field> by <id-field> index <path>
+                #  dim <d> [batch <n>] [threshold <f>]` — incremental
+                # SemDeDup against the persisted sign-LSH embedding
+                # index at <path> (operators/dedup_index.py
+                # CosineDupIndex); kept rows flow on and are appended
+                # under batch <n>.
+                m2 = re.fullmatch(
+                    r"(\S+)\s+by\s+(\S+)\s+index\s+(\S+)\s+dim\s+(\d+)"
+                    r"(?:\s+batch\s+(\d+))?(?:\s+threshold\s+([0-9.]+))?",
+                    args.strip())
+                if not m2:
+                    raise TqlError(
+                        "semantic-dedup: usage `semantic-dedup "
+                        "<emb-field> by <id-field> index <path> dim <d> "
+                        "[batch <n>] [threshold <f>]`")
+                from tenzir_spark.operators.dedup_index import (
+                    CosineDupIndex,
+                )
+
+                cdi = CosineDupIndex(
+                    m2.group(3), dim=int(m2.group(4)),
+                    threshold=float(m2.group(6) or 0.9))
+                df = (
+                    cdi.ingest(
+                        df, _one_path(schema, m2.group(1)),
+                        _one_path(schema, m2.group(2)),
+                        int(m2.group(5) or 0))
+                    .filter(F.col("kept")).drop("kept"))
+                order = None
             elif name == "lm-filter":
                 # `lm-filter <text-field> by <id-field> ref <f>=<v>
                 #  max-ppl <f>` — CCNet-style stupid-backoff bigram LM

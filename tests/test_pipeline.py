@@ -677,6 +677,28 @@ def test_near_dedup_text_stage(spark, tmp_path):
         run_tql(b0, "near-dedup text by doc_id")
 
 
+def test_semantic_dedup_text_stage(spark, tmp_path):
+    """semantic-dedup as pipeline text over the embedding index."""
+    import pytest as _pytest
+
+    from tenzir_spark.plans.pipeline import TqlError, run_tql
+
+    root = str(tmp_path / "cdi")
+    b0 = spark.createDataFrame(
+        [("d1", [1.0, 2.0, 3.0, 4.0]), ("d2", [-4.0, 3.0, -2.0, 1.0])],
+        "vec_id string, emb array<double>")
+    r0 = run_tql(b0, f"semantic-dedup emb by vec_id index {root} dim 4")
+    assert r0.count() == 2
+    b1 = spark.createDataFrame(
+        [("e1", [2.0, 4.0, 6.0, 8.0]), ("e2", [3.0, -4.0, 1.0, -2.0])],
+        "vec_id string, emb array<double>")
+    r1 = run_tql(b1, f"semantic-dedup emb by vec_id index {root} dim 4 "
+                     f"batch 1")
+    assert sorted(r["vec_id"] for r in r1.collect()) == ["e2"]
+    with _pytest.raises(TqlError, match="usage"):
+        run_tql(b0, "semantic-dedup emb by vec_id")
+
+
 def test_web_curation_text_stages(spark):
     """html-extract / url-filter / quality-filter as pipeline text."""
     import pytest as _pytest
