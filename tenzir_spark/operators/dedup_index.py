@@ -156,15 +156,21 @@ _FOLD_MARKER = ".FOLD_COMMIT"
 def _apply_fold(path: str) -> None:
     """Roll a committed fold forward: remove the folded partition dirs,
     rename the temp dir into place, drop the marker. Idempotent — safe
-    to re-run from any crash point after the marker was written."""
+    to re-run from any crash point after the marker was written.
+
+    The removals are gated on the temp dir still existing: the marker is
+    written only after the temp write completed, so a MISSING temp means
+    the rename already happened — re-running the removal list there
+    would delete the renamed target (it is itself one of the folded
+    names) and destroy the folded data."""
     marker = os.path.join(path, _FOLD_MARKER)
     with open(marker) as f:
         m = json.load(f)
-    for d in m["remove"]:
-        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     tmp = os.path.join(path, m["tmp"])
     target = os.path.join(path, m["target"])
     if os.path.isdir(tmp):
+        for d in m["remove"]:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
         os.rename(tmp, target)
     os.remove(marker)
 
@@ -691,7 +697,7 @@ class ExactDupIndex:
     def classify(self, df: DataFrame, text_col: str, id_col: str,
                  batch_id: int, flag_col: str = "kept") -> DataFrame:
         lower = {c.lower() for c in df.columns}
-        for c in (flag_col, "_xh", "_xdrop"):
+        for c in (flag_col, "_xh", "_keep"):
             if c.lower() in lower:
                 raise ValueError(
                     f"ExactDupIndex: input already has a {c!r} column — "

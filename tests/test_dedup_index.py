@@ -147,6 +147,28 @@ def test_compaction_preserves_probe_results(spark, tmp_path):
         "sig_folded": 0, "band_folded": 0}
 
 
+def test_fold_crash_after_rename_keeps_data(spark, tmp_path):
+    """Crash AFTER the tmp→target rename but BEFORE the marker removal:
+    recovery must NOT re-run the removal list (the target is itself a
+    folded name) — regression test for the data-loss window."""
+    import json
+    import os
+
+    from tenzir_spark.operators.dedup_index import _recover_fold
+
+    idx = NearDupIndex(str(tmp_path / "ndi"))
+    idx.ingest(_docs(spark, [("d1", A)]), "text", "doc_id", 0)
+    idx.ingest(_docs(spark, [("d2", B)]), "text", "doc_id", 1)
+    idx.compact(spark, upto_batch=2)  # full fold: batch=1 holds all
+    # reconstruct the crash state: marker present, temp already renamed
+    sig = str(tmp_path / "ndi" / "sig")
+    with open(os.path.join(sig, ".FOLD_COMMIT"), "w") as f:
+        json.dump({"remove": ["batch=0", "batch=1"],
+                   "tmp": ".fold.gone", "target": "batch=1"}, f)
+    _recover_fold(sig)
+    assert idx.stats(spark) == {"indexed_docs": 2, "batches": 1}
+
+
 def test_fold_crash_rolls_forward(spark, tmp_path, monkeypatch):
     """A crash between the fold marker and the swap must roll forward on
     the next probe — identical probe results, no data loss."""
