@@ -64,6 +64,15 @@ Scale shape (the 100 TB contract):
   (bounded by duplicates, not batch size), with per-round
   localCheckpoint (clustering.py's contract).
 
+Streaming use (`near-dedup … batch auto` in run_tql_stream): the stage
+runs per micro-batch with the connector's batch id, so the index
+advances one partition per micro-batch and crash-redelivery re-derives
+the identical decision. Intended for INSERT-only content streams
+(curation feeds). In an updating CDC stream an UPDATE whose new content
+near-matches anything accepted — including the doc's own earlier
+version — would be dropped before the merge; put the stage on the
+insert path, not on a general binlog tail.
+
 Append-only caveat (by design): index entries are never retracted —
 lake-side UPDATEs/DELETEs of accepted documents do not remove their
 fingerprints, so a re-ingest of content whose original was later
@@ -261,8 +270,21 @@ class NearDupIndex:
     def _scorable_sigs(self, df: DataFrame, text_col: str,
                        id_col: str) -> DataFrame:
         """(_nid, _nsig) for scorable docs — single-consumer expression
-        chain (shingles → signature), the CollapseProject-safe shape."""
-        sh = char_shingles(F.col(text_col), self.k)
+        chain (shingles → signature), the CollapseProject-safe shape.
+
+        Dispatches on the column dtype (the window_dedup convention):
+        strings shingle as character k-grams; ARRAY columns — the lake's
+        pre-tokenized payload shape — as distinct k-token windows
+        stringified with a ',' join (engine-portable; token ids are
+        ints, so the join is collision-free)."""
+        if isinstance(df.schema[text_col].dataType, T.ArrayType):
+            from tenzir_spark.operators.decontaminate import array_windows
+
+            sh = F.array_distinct(F.transform(
+                array_windows(F.col(text_col), self.k),
+                lambda w: F.array_join(w, ",")))
+        else:
+            sh = char_shingles(F.col(text_col), self.k)
         tbl = df.select(
             F.col(id_col).alias("_nid"), sh.alias("_nsh")
         ).filter(F.size("_nsh") >= self.k)

@@ -418,13 +418,35 @@ def _flag(args: str, name: str) -> tuple[str, str | None]:
 # ---------------------------------------------------------------------------
 
 
+def _dedup_batch_id(arg: str | None, stream_batch_id: int | None,
+                    stage: str) -> int:
+    """Resolve the dedup-index stages' ``batch`` argument: a literal int,
+    or ``auto`` = the streaming driver's per-micro-batch id (required —
+    a static id in a continuous pipeline would make every micro-batch
+    overwrite one index partition and probe nothing)."""
+    if arg == "auto":
+        if stream_batch_id is None:
+            raise TqlError(
+                f"{stage}: `batch auto` needs a streaming context "
+                "(run_tql_stream threads the micro-batch id); in batch "
+                "pipelines pass a literal `batch <n>`")
+        return int(stream_batch_id)
+    return int(arg or 0)
+
+
 def run_tql(df: DataFrame, text: str, order_by: str | None = None,
-            context_store=None) -> DataFrame:
+            context_store=None,
+            stream_batch_id: int | None = None) -> DataFrame:
     """Compile pipeline text onto ``df`` and return the resulting
     DataFrame (lazy — one Catalyst plan for the whole pipeline).
 
     ``order_by`` declares the stream-position column for order-sensitive
     operators; a ``sort`` stage re-declares it for everything downstream.
+    ``stream_batch_id`` is the per-micro-batch id a streaming driver
+    (run_tql_stream) threads through — ``near-dedup``/``semantic-dedup``
+    stages with ``batch auto`` resolve to it, so the dedup index advances
+    one partition per micro-batch with redelivery staying idempotent.
+
     ``context_store`` (an operators.contexts.ContextStore) enables the
     ``enrich <ctx> [--field <f>] [--filter]`` and ``lookup <ctx> --field
     <f>`` stages against named lake-backed contexts.
@@ -984,12 +1006,13 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                 # stream order leaves scope.
                 m2 = re.fullmatch(
                     r"(\S+)\s+by\s+(\S+)\s+index\s+(\S+)"
-                    r"(?:\s+batch\s+(\d+))?(?:\s+threshold\s+([0-9.]+))?",
+                    r"(?:\s+batch\s+(\d+|auto))?"
+                    r"(?:\s+threshold\s+([0-9.]+))?",
                     args.strip())
                 if not m2:
                     raise TqlError(
                         "near-dedup: usage `near-dedup <text-field> by "
-                        "<id-field> index <path> [batch <n>] "
+                        "<id-field> index <path> [batch <n>|auto] "
                         "[threshold <f>]`")
                 from tenzir_spark.operators.dedup_index import NearDupIndex
 
@@ -1000,7 +1023,8 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                     ndi.ingest(
                         df, _one_path(schema, m2.group(1)),
                         _one_path(schema, m2.group(2)),
-                        int(m2.group(4) or 0))
+                        _dedup_batch_id(m2.group(4), stream_batch_id,
+                                        "near-dedup"))
                     .filter(F.col("kept")).drop("kept"))
                 order = None
             elif name == "semantic-dedup":
@@ -1012,13 +1036,14 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                 # under batch <n>.
                 m2 = re.fullmatch(
                     r"(\S+)\s+by\s+(\S+)\s+index\s+(\S+)\s+dim\s+(\d+)"
-                    r"(?:\s+batch\s+(\d+))?(?:\s+threshold\s+([0-9.]+))?",
+                    r"(?:\s+batch\s+(\d+|auto))?"
+                    r"(?:\s+threshold\s+([0-9.]+))?",
                     args.strip())
                 if not m2:
                     raise TqlError(
                         "semantic-dedup: usage `semantic-dedup "
                         "<emb-field> by <id-field> index <path> dim <d> "
-                        "[batch <n>] [threshold <f>]`")
+                        "[batch <n>|auto] [threshold <f>]`")
                 from tenzir_spark.operators.dedup_index import (
                     CosineDupIndex,
                 )
@@ -1030,7 +1055,8 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                     cdi.ingest(
                         df, _one_path(schema, m2.group(1)),
                         _one_path(schema, m2.group(2)),
-                        int(m2.group(5) or 0))
+                        _dedup_batch_id(m2.group(5), stream_batch_id,
+                                        "semantic-dedup"))
                     .filter(F.col("kept")).drop("kept"))
                 order = None
             elif name == "lm-filter":
@@ -1823,8 +1849,9 @@ def run_tql_stream(spark, text: str, *, connector=None,
     root = im.group(1).rstrip("/")
     import os as _os
 
-    def _transform(df: DataFrame) -> DataFrame:
-        out = run_tql(df, middle, context_store=context_store) \
+    def _transform(df: DataFrame, batch_id: int = 0) -> DataFrame:
+        out = run_tql(df, middle, context_store=context_store,
+                      stream_batch_id=int(batch_id)) \
             if middle else df
         missing = [c for c in _ENVELOPE_COLS if c not in out.columns]
         if missing:

@@ -488,12 +488,25 @@ def run_connector(runner, connector: ChangeConnector,
     connector.seek(runner.watermarks())
     applied = 0
     stats = []
+    # a transform accepting (df, batch_id) gets the micro-batch id —
+    # stateful stages (the dedup indexes' `batch auto`) need it; a
+    # plain (df) transform keeps working
+    two_arg = False
+    if transform is not None:
+        import inspect
+
+        two_arg = len(inspect.signature(transform).parameters) >= 2
     while max_batches is None or applied < max_batches:
         b = connector.poll()
         if b is None:
             break
-        st = runner.apply_batch_df(
-            transform(b.df) if transform is not None else b.df, b.batch_id)
+        if transform is None:
+            body = b.df
+        elif two_arg:
+            body = transform(b.df, b.batch_id)
+        else:
+            body = transform(b.df)
+        st = runner.apply_batch_df(body, b.batch_id)
         wm = {int(k): int(v) for k, v in runner.watermarks().items()}
         connector.ack(wm)
         stats.append(st)

@@ -92,12 +92,27 @@ def stream_ingest(
         .parquet(changes_dir)
     )
 
+    # a transform accepting (df, batch_id) gets the epoch id — stateful
+    # stages (the dedup indexes' `batch auto`) need it; epoch replay
+    # after a checkpoint recovery reuses the SAME id, so those stages'
+    # overwrite-own-partition discipline stays idempotent
+    _two_arg = False
+    if transform is not None:
+        import inspect
+
+        _two_arg = len(inspect.signature(transform).parameters) >= 2
+
     def _apply(df, epoch_id: int) -> None:
         # transform: operator stages between source and sink (the TQL
         # text path compiles `where|set|…` into this hook); runs inside
         # foreachBatch so each micro-batch is transformed then MERGEd
-        runner.apply_batch_df(
-            transform(df) if transform is not None else df, int(epoch_id))
+        if transform is None:
+            body = df
+        elif _two_arg:
+            body = transform(df, int(epoch_id))
+        else:
+            body = transform(df)
+        runner.apply_batch_df(body, int(epoch_id))
 
     writer = stream.writeStream.foreachBatch(_apply).outputMode("update")
     writer = writer.option(

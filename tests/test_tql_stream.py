@@ -148,3 +148,59 @@ def test_tql_stream_log_connector_head(spark, tmp_path):
     st2 = run_tql_stream(spark, f"from log://{changes} | import {root}")
     assert st2["runner"].table.current_version() == v1
     assert st2["runner"].table.read(spark).count() == n1
+
+
+def test_tql_stream_near_dedup_batch_auto(spark, tmp_path):
+    """Continuous dedup-at-ingest: `near-dedup … batch auto` inside a
+    streaming pipeline advances the dedup index one partition per
+    micro-batch (batch auto = the connector's batch id), so content
+    accepted in batch 0 suppresses its re-appearance in batch 1, and a
+    forced restart with redelivery stays exactly-once AND re-classifies
+    identically (the index probe reads batch < b)."""
+    # insert-only content stream: token payloads; d-docs in batch 0
+    # (lsn 0-9), e-docs in batch 1 (lsn 10-19); e-docs 0-4 duplicate
+    # d-docs 0-4's token content exactly, e-docs 5-9 are fresh
+    def tok(i):
+        # 14 tokens: >= 2k-1 for k=5, so the doc has >= k distinct
+        # windows and is scorable
+        return [100 * j + i for j in range(1, 15)]
+
+    recs = [
+        {"part_id": i % 2, "lsn": i, "op": "insert", "doc_id": f"d{i}",
+         "tokens": tok(i), "n_tok": 14, "source": "s"}
+        for i in range(10)
+    ] + [
+        {"part_id": i % 2, "lsn": 10 + i, "op": "insert",
+         "doc_id": f"e{i}", "tokens": tok(i if i < 5 else 50 + i),
+         "n_tok": 14, "source": "s"}
+        for i in range(10)
+    ]
+    root = f"{tmp_path}/wh/t"
+    idx = f"{tmp_path}/ndi"
+    text = (f"from broker://sim | near-dedup tokens by doc_id index {idx} "
+            f"batch auto | import {root}")
+    broker = SimulatedBrokerConnector(spark, recs, batch_size=10)
+    st = run_tql_stream(spark, text, connector=broker)
+    assert st["batches"] == 2
+    rows = {r["doc_id"] for r in st["runner"].table.read(spark).collect()}
+    # batch 0: all 10 d-docs (distinct content); batch 1: only the 5
+    # fresh e-docs — the 5 duplicating d-content are dropped pre-apply
+    assert rows == {f"d{i}" for i in range(10)} | {
+        f"e{i}" for i in range(5, 10)}
+
+    # forced restart, broker redelivers everything: index partitions
+    # get overwritten idempotently, the watermark filter absorbs the
+    # replay, no new snapshots
+    v1 = st["runner"].table.current_version()
+    broker2 = SimulatedBrokerConnector(spark, recs, batch_size=10)
+    st2 = run_tql_stream(spark, text, connector=broker2)
+    assert st2["runner"].table.current_version() == v1
+    assert {r["doc_id"]
+            for r in st2["runner"].table.read(spark).collect()} == rows
+
+    # `batch auto` outside a streaming context is a targeted error
+    from tenzir_spark.plans.pipeline import run_tql
+    df = spark.createDataFrame([("a", [1, 2, 3, 4, 5, 6])],
+                               "doc_id string, tokens array<int>")
+    with pytest.raises(TqlError, match="streaming context"):
+        run_tql(df, f"near-dedup tokens by doc_id index {idx} batch auto")
