@@ -3821,13 +3821,17 @@ _NDI_MINS = ",\n         ".join(
     f" * {a} + {b}) % {_MINHASH_P}) AS m{i}"
     for i, (a, b) in enumerate(_MH_PARAMS)
 )
-SQL_NEAR_DEDUP_INDEX = f"""
-WITH RECURSIVE
+# char 5-shingles of the text column (NearDupIndex's string dispatch)
+_NDI_CHAR_SH = """
 sh AS (
   SELECT doc_id, CAST(doc_id % 2 AS INT) AS b,
          list_distinct([substring(text, CAST(i AS INT), 5)
                         for i in range(1, greatest(length(text) - 4, 1) + 1)]) AS sh
-  FROM documents),
+  FROM documents),"""
+# everything downstream of the shingle CTE is shingle-agnostic — ONE
+# owner of the two-batch replay (signatures, bands, agreement bar,
+# both recursive closures, the poisoned-cluster rule)
+_NDI_REPLAY_TAIL = f"""
 scor AS (SELECT doc_id, b, sh FROM sh WHERE len(sh) >= 5),
 hx AS (
   SELECT doc_id, b, md5(unnest(sh)) AS hx
@@ -3896,6 +3900,52 @@ LEFT JOIN kept0 k0 ON k0.doc_id = d.doc_id
 LEFT JOIN kept1 k1 ON k1.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
+SQL_NEAR_DEDUP_INDEX = ("WITH RECURSIVE\n" + _NDI_CHAR_SH
+                        + _NDI_REPLAY_TAIL)
+
+
+def q_token_near_dedup_index(spark, sf):
+    """NearDupIndex over PRE-TOKENIZED sequences — the north-star
+    payload shape (tokens:array<int>): the index's dtype dispatch
+    shingles k-token windows (array_join ','). The witness derives
+    token ids injectively from words (the shared md5-28bit convention,
+    _doc_md5_tokens/_SQL_DOC_TOKENS), so the oracle replays the window
+    strings, the sliced signatures and the full two-batch decision."""
+    import shutil
+    import tempfile
+
+    from tenzir_spark.operators.dedup_index import NearDupIndex
+
+    docs = _doc_md5_tokens(load(spark, sf, "documents")).repartition(
+        spark.sparkContext.defaultParallelism)
+    root = tempfile.mkdtemp(prefix="tndi_witness_")
+    try:
+        idx = NearDupIndex(root)
+        r0 = idx.ingest(docs.filter(F.col("doc_id") % 2 == 0),
+                        "tokens", "doc_id", 0)
+        out0 = _bounded_collect(
+            r0.select("doc_id", F.lit(0).alias("batch"), "kept"))
+        r1 = idx.ingest(docs.filter(F.col("doc_id") % 2 == 1),
+                        "tokens", "doc_id", 1)
+        out1 = _bounded_collect(
+            r1.select("doc_id", F.lit(1).alias("batch"), "kept"))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out0.unionByName(out1).orderBy("doc_id")
+
+# k-token windows of the derived token array, stringified with ',' —
+# dedup_index.py's array dispatch (array_join) replayed on the tk CTE
+_NDI_TOKEN_SH = """
+tk AS (""" + _SQL_DOC_TOKENS + """),
+sh AS (
+  SELECT doc_id, CAST(doc_id % 2 AS INT) AS b,
+         CASE WHEN len(tks) >= 5 THEN
+           list_distinct([array_to_string(tks[i:i+4], ',')
+                          for i in range(1, len(tks) - 3)])
+         ELSE [] END AS sh
+  FROM tk),"""
+SQL_TOKEN_NEAR_DEDUP_INDEX = (
+    "WITH RECURSIVE\n" + _NDI_TOKEN_SH + _NDI_REPLAY_TAIL)
 
 
 def q_cosine_dup_index(spark, sf):
@@ -4386,6 +4436,8 @@ REGISTRY: dict[str, tuple] = {
     "window_dedup": (q_window_dedup, SQL_WINDOW_DEDUP),
     "exact_dup_index": (q_exact_dup_index, SQL_EXACT_DUP_INDEX),
     "cosine_dup_index": (q_cosine_dup_index, SQL_COSINE_DUP_INDEX),
+    "token_near_dedup_index": (q_token_near_dedup_index,
+                               SQL_TOKEN_NEAR_DEDUP_INDEX),
     "line_dedup_keep_first": (q_line_dedup, SQL_LINE_DEDUP),
     "tql2_match_record": (q_tql2_match_record, SQL_TQL2_MATCH_RECORD),
     "tql2_lambda": (q_tql2_lambda, SQL_TQL2_LAMBDA),
