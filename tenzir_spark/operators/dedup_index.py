@@ -100,6 +100,7 @@ from tenzir_spark.operators.dedup import (
     minhash_band_keys,
     minhash_signature_sliced,
 )
+from tenzir_spark.plans.expr import dtype_of, field_col
 
 
 def _sig_agreement(a: Column, b: Column) -> Column:
@@ -149,7 +150,7 @@ def _resolve_batch(df: DataFrame, id_col: str, flag_col: str,
         )
     )
     return (
-        df.join(dec, df[id_col] == dec["_nid"], "left")
+        df.join(dec, field_col(id_col) == dec["_nid"], "left")
         .select(
             df["*"],
             (~F.coalesce(F.col("_dropped"), F.lit(False)))
@@ -157,6 +158,77 @@ def _resolve_batch(df: DataFrame, id_col: str, flag_col: str,
             F.col(payload_col).alias(payload_out),
         )
     )
+
+
+def _prune_hot_bands(banded: DataFrame, id_name: str, idx_band: DataFrame,
+                     idx_cnt: DataFrame,
+                     max_bucket: int | None) -> tuple[DataFrame, DataFrame]:
+    """Skew guard shared by the fingerprint indexes: drop every band key
+    whose COMBINED population (batch band rows + indexed band rows)
+    exceeds ``max_bucket`` — for this classify call, on BOTH sides. A
+    hot band yields O(B²) in-batch candidates and batch×index probe
+    rows; giant buckets are LSH noise (low-entropy fingerprints), not
+    near-duplicates. Counting the index side keeps the probe cost from
+    growing superlinearly when the accepted corpus itself has a
+    degenerate band.
+
+    ``idx_cnt`` is (band, _ci) — the index side's population, read from
+    the INCREMENTALLY-MAINTAINED ``bandcnt`` table (cost ∝ distinct
+    bands), never by re-counting the full band table per batch (that
+    would add a second index-size-proportional scan to every probe —
+    measured as a visible per-batch wall creep). The batch-side counts
+    ride the banded exchange (``count(id)``, not ``count(*)`` —
+    identical projection keeps ReuseExchange intact, the window_dedup
+    lesson)."""
+    if max_bucket is None:
+        return banded, idx_band
+    cnt_b = banded.groupBy("band").agg(F.count(id_name).alias("_cb"))
+    allowed = (
+        cnt_b.join(idx_cnt, "band", "full")
+        .filter((F.coalesce(F.col("_cb"), F.lit(0))
+                 + F.coalesce(F.col("_ci"), F.lit(0))) <= max_bucket)
+        .select("band")
+    )
+    return banded.join(allowed, "band"), idx_band.join(allowed, "band")
+
+
+def _has_batches(p: str) -> bool:
+    return os.path.isdir(p) and any(
+        e.startswith("batch=") for e in os.listdir(p))
+
+
+def _empty_bandcnt(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], T.StructType([
+        T.StructField("band", T.LongType()),
+        T.StructField("_ci", T.LongType()),
+    ]))
+
+
+def _write_bandcnt(spark: SparkSession, band_dir: str, cnt_dir: str) -> None:
+    """Per-batch band populations, written at add-time so probes read a
+    distinct-bands-sized table instead of re-counting the full band
+    table every batch (sum over batches == direct count — fold-safe)."""
+    (
+        spark.read.parquet(band_dir)
+        .groupBy("band").agg(F.count("id").alias("c"))
+        .write.mode("overwrite").parquet(cnt_dir)
+    )
+
+
+def _read_bandcnt(spark: SparkSession, path: str, batch_id: int,
+                  idx_band: DataFrame) -> DataFrame:
+    """(band, _ci) for partitions ``batch < batch_id`` — summed per-batch
+    counts. Falls back to counting ``idx_band`` directly when the cnt
+    table is missing (a crash between the band and bandcnt writes, or an
+    index written before the cnt table existed) — correctness identical,
+    just the slower full-count path for that probe."""
+    if _has_batches(path):
+        return (
+            spark.read.parquet(path)
+            .filter(F.col("batch") < batch_id)
+            .groupBy("band").agg(F.sum("c").alias("_ci"))
+        )
+    return idx_band.groupBy("band").agg(F.count("_iid").alias("_ci"))
 
 
 _FOLD_MARKER = ".FOLD_COMMIT"
@@ -195,6 +267,10 @@ def _recover_fold(path: str) -> None:
     for e in os.listdir(path):
         if e.startswith(".fold."):
             shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+        elif e.startswith(_FOLD_MARKER + ".tmp."):
+            # crash during the marker write itself — the fold never
+            # committed, so the stale temp file is pure junk
+            os.remove(os.path.join(path, e))
 
 
 def _fold_partitions(spark: SparkSession, path: str, upto_batch: int) -> int:
@@ -249,13 +325,22 @@ class NearDupIndex:
 
     def __init__(self, root: str, *, k: int = 5, num_hashes: int = 16,
                  bands: int = 4, sig_threshold: float = 0.5,
-                 max_iter: int = 50):
+                 max_iter: int = 50, max_bucket: int | None = 64):
         if num_hashes % bands:
             raise ValueError("num_hashes must be divisible by bands")
         if not (0.0 < sig_threshold <= 1.0):
             raise ValueError("sig_threshold must be in (0, 1]")
         self.root = root.rstrip("/")
         self.k = k
+        # band keys whose COMBINED population (batch rows + indexed
+        # rows) exceeds max_bucket are skipped for the whole classify
+        # call — a hot band yields O(B²) candidates and giant buckets
+        # are LSH noise, not near-duplicates (the minhash_near_dup_pairs
+        # skew guard, extended to count the index side too so the probe
+        # cost cannot grow superlinearly with a degenerate corpus).
+        # None disables (the oracle-witness setting is the default 64,
+        # replayed in SQL).
+        self.max_bucket = max_bucket
         self.num_hashes = num_hashes
         self.bands = bands
         self.sig_threshold = sig_threshold
@@ -265,6 +350,7 @@ class NearDupIndex:
         self.max_iter = max_iter
         self._sig_path = f"{self.root}/sig"
         self._band_path = f"{self.root}/band"
+        self._bandcnt_path = f"{self.root}/bandcnt"
 
     # ------------------------------------------------------------------
     def _scorable_sigs(self, df: DataFrame, text_col: str,
@@ -277,16 +363,16 @@ class NearDupIndex:
         pre-tokenized payload shape — as distinct k-token windows
         stringified with a ',' join (engine-portable; token ids are
         ints, so the join is collision-free)."""
-        if isinstance(df.schema[text_col].dataType, T.ArrayType):
+        if isinstance(dtype_of(df.schema, text_col), T.ArrayType):
             from tenzir_spark.operators.decontaminate import array_windows
 
             sh = F.array_distinct(F.transform(
-                array_windows(F.col(text_col), self.k),
+                array_windows(field_col(text_col), self.k),
                 lambda w: F.array_join(w, ",")))
         else:
-            sh = char_shingles(F.col(text_col), self.k)
+            sh = char_shingles(field_col(text_col), self.k)
         tbl = df.select(
-            F.col(id_col).alias("_nid"), sh.alias("_nsh")
+            field_col(id_col).alias("_nid"), sh.alias("_nsh")
         ).filter(F.size("_nsh") >= self.k)
         return tbl.select(
             "_nid",
@@ -294,21 +380,20 @@ class NearDupIndex:
                 F.col("_nsh"), self.num_hashes).alias("_nsig"),
         )
 
-    def _index_tables(self, spark: SparkSession, batch_id: int,
-                      id_type: T.DataType) -> tuple[DataFrame, DataFrame]:
-        """(sig, band) probe tables from partitions ``batch < batch_id``;
-        empty frames with the right schema when the index is fresh."""
+    def _index_tables(
+            self, spark: SparkSession, batch_id: int, id_type: T.DataType,
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(sig, band, bandcnt) probe tables from partitions
+        ``batch < batch_id``; empty frames with the right schema when
+        the index is fresh."""
         _recover_fold(self._sig_path)
         _recover_fold(self._band_path)
+        _recover_fold(self._bandcnt_path)
 
-        def _has_batches(p: str) -> bool:
-            return os.path.isdir(p) and any(
-                e.startswith("batch=") for e in os.listdir(p))
-
-        # BOTH tables must exist: a crash between ingest's sig and band
-        # writes can leave the sig root alone (first-ever batch) — those
-        # docs are un-probe-able until the unacked batch is redelivered,
-        # never a read error (the documented crash window)
+        # BOTH core tables must exist: a crash between ingest's sig and
+        # band writes can leave the sig root alone (first-ever batch) —
+        # those docs are un-probe-able until the unacked batch is
+        # redelivered, never a read error (the documented crash window)
         if _has_batches(self._sig_path) and _has_batches(self._band_path):
             sig = (
                 spark.read.parquet(self._sig_path)
@@ -320,7 +405,8 @@ class NearDupIndex:
                 .filter(F.col("batch") < batch_id)
                 .select("band", F.col("id").alias("_iid"))
             )
-            return sig, band
+            return sig, band, _read_bandcnt(
+                spark, self._bandcnt_path, batch_id, band)
         empty_sig = spark.createDataFrame([], T.StructType([
             T.StructField("_iid", id_type),
             T.StructField("_isig", T.ArrayType(T.LongType())),
@@ -329,15 +415,17 @@ class NearDupIndex:
             T.StructField("band", T.LongType()),
             T.StructField("_iid", id_type),
         ]))
-        return empty_sig, empty_band
+        return empty_sig, empty_band, _empty_bandcnt(spark)
 
     # ------------------------------------------------------------------
     def _classify(self, df: DataFrame, text_col: str, id_col: str,
                   batch_id: int, flag_col: str,
                   with_sig: bool) -> DataFrame:
         lower = {c.lower() for c in df.columns}
-        scratch = ["_nid", "_nsig", "_dropped"]  # joined onto df below
-        for c in ([flag_col, "_nd_sig"] if with_sig else [flag_col]) + scratch:
+        # _nd_sig is created (and, without with_sig, dropped) either way
+        # — a caller's same-named column would silently vanish
+        scratch = ["_nid", "_nsig", "_dropped", "_nd_sig"]
+        for c in [flag_col] + scratch:
             if c.lower() in lower:
                 raise ValueError(
                     f"NearDupIndex: input already has a {c!r} column — "
@@ -360,8 +448,10 @@ class NearDupIndex:
                 minhash_band_keys(F.col("_nsig"), self.num_hashes, self.bands)
             ).alias("band"),
         ).repartition(n_parts, "band")
-        idx_sig, idx_band = self._index_tables(
-            spark, batch_id, df.schema[id_col].dataType)
+        idx_sig, idx_band, idx_cnt = self._index_tables(
+            spark, batch_id, dtype_of(df.schema, id_col))
+        banded, idx_band = _prune_hot_bands(
+            banded, "_nid", idx_band, idx_cnt, self.max_bucket)
 
         # 1. docs matching the accepted corpus — candidate (new, indexed)
         # id pairs from the band join, verified by signature agreement
@@ -430,13 +520,15 @@ class NearDupIndex:
                              with_sig=True)
         kept_sigs = (
             out.filter(F.col(flag_col) & F.col("_nd_sig").isNotNull())
-            .select(F.col(id_col).alias("id"), F.col("_nd_sig").alias("sig"))
+            .select(field_col(id_col).alias("id"),
+                    F.col("_nd_sig").alias("sig"))
         )
         sig_dir = f"{self._sig_path}/batch={batch_id}"
         kept_sigs.write.mode("overwrite").parquet(sig_dir)
         # bands derive from the JUST-WRITTEN sig parquet — the expensive
         # classification plan runs once, the band write reads ~150 B/doc
         written = df.sparkSession.read.parquet(sig_dir)
+        band_dir = f"{self._band_path}/batch={batch_id}"
         (
             written.select(
                 F.explode(
@@ -446,8 +538,10 @@ class NearDupIndex:
                 "id",
             )
             .write.mode("overwrite")
-            .parquet(f"{self._band_path}/batch={batch_id}")
+            .parquet(band_dir)
         )
+        _write_bandcnt(df.sparkSession, band_dir,
+                       f"{self._bandcnt_path}/batch={batch_id}")
         return out.drop("_nd_sig")
 
     # ------------------------------------------------------------------
@@ -464,6 +558,8 @@ class NearDupIndex:
             "sig_folded": _fold_partitions(spark, self._sig_path, upto_batch),
             "band_folded": _fold_partitions(spark, self._band_path,
                                             upto_batch),
+            "bandcnt_folded": _fold_partitions(spark, self._bandcnt_path,
+                                               upto_batch),
         }
 
     def stats(self, spark: SparkSession) -> dict:
@@ -503,7 +599,7 @@ class CosineDupIndex:
 
     def __init__(self, root: str, dim: int, *, n_bits: int = 4,
                  bands: int = 4, threshold: float = 0.9,
-                 max_iter: int = 50):
+                 max_iter: int = 50, max_bucket: int | None = 64):
         if not (0 < n_bits <= 30):
             raise ValueError("n_bits must be in (0, 30]")
         if not (-1.0 <= threshold <= 1.0):
@@ -516,18 +612,20 @@ class CosineDupIndex:
         self.bands = bands
         self.threshold = threshold
         self.max_iter = max_iter
+        self.max_bucket = max_bucket  # see NearDupIndex — combined guard
         self._planes = rademacher_planes(dim, bands * n_bits)
         self._emb_path = f"{self.root}/emb"
         self._band_path = f"{self.root}/band"
+        self._bandcnt_path = f"{self.root}/bandcnt"
 
     # ------------------------------------------------------------------
     def _scorable(self, df: DataFrame, emb_col: str,
                   id_col: str) -> DataFrame:
         from tenzir_spark.operators.similarity import norm
 
-        e = F.col(emb_col)
+        e = field_col(emb_col)
         return df.select(
-            F.col(id_col).alias("_nid"), e.alias("_ne")
+            field_col(id_col).alias("_nid"), e.alias("_ne")
         ).filter(
             e.isNotNull() & (F.size(e) == self.dim) & (norm(e) > 0)
         )
@@ -544,15 +642,13 @@ class CosineDupIndex:
             for j in range(self.bands)
         ])
 
-    def _index_tables(self, spark: SparkSession, batch_id: int,
-                      id_type: T.DataType,
-                      emb_type: T.DataType) -> tuple[DataFrame, DataFrame]:
+    def _index_tables(
+            self, spark: SparkSession, batch_id: int, id_type: T.DataType,
+            emb_type: T.DataType,
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
         _recover_fold(self._emb_path)
         _recover_fold(self._band_path)
-
-        def _has_batches(p: str) -> bool:
-            return os.path.isdir(p) and any(
-                e.startswith("batch=") for e in os.listdir(p))
+        _recover_fold(self._bandcnt_path)
 
         if _has_batches(self._emb_path) and _has_batches(self._band_path):
             emb = (
@@ -565,7 +661,8 @@ class CosineDupIndex:
                 .filter(F.col("batch") < batch_id)
                 .select("band", F.col("id").alias("_iid"))
             )
-            return emb, band
+            return emb, band, _read_bandcnt(
+                spark, self._bandcnt_path, batch_id, band)
         empty_emb = spark.createDataFrame([], T.StructType([
             T.StructField("_iid", id_type),
             T.StructField("_ie", emb_type),
@@ -574,7 +671,7 @@ class CosineDupIndex:
             T.StructField("band", T.LongType()),
             T.StructField("_iid", id_type),
         ]))
-        return empty_emb, empty_band
+        return empty_emb, empty_band, _empty_bandcnt(spark)
 
     def _cos_ok(self, a: Column, b: Column) -> Column:
         from tenzir_spark.operators.similarity import cosine
@@ -585,8 +682,9 @@ class CosineDupIndex:
                   batch_id: int, flag_col: str,
                   with_emb: bool) -> DataFrame:
         lower = {c.lower() for c in df.columns}
-        scratch = ["_nid", "_ne", "_dropped"]
-        for c in ([flag_col, "_nd_emb"] if with_emb else [flag_col]) + scratch:
+        # _nd_emb is created (and, without with_emb, dropped) either way
+        scratch = ["_nid", "_ne", "_dropped", "_nd_emb"]
+        for c in [flag_col] + scratch:
             if c.lower() in lower:
                 raise ValueError(
                     f"CosineDupIndex: input already has a {c!r} column — "
@@ -600,9 +698,11 @@ class CosineDupIndex:
         banded = feats.select(
             "_nid", F.explode(self._band_keys()).alias("band")
         ).repartition(n_parts, "band")
-        idx_emb, idx_band = self._index_tables(
-            spark, batch_id, df.schema[id_col].dataType,
-            df.schema[emb_col].dataType)
+        idx_emb, idx_band, idx_cnt = self._index_tables(
+            spark, batch_id, dtype_of(df.schema, id_col),
+            dtype_of(df.schema, emb_col))
+        banded, idx_band = _prune_hot_bands(
+            banded, "_nid", idx_band, idx_cnt, self.max_bucket)
 
         cand_idx = (
             banded.join(idx_band, "band")
@@ -654,17 +754,21 @@ class CosineDupIndex:
                              with_emb=True)
         kept = (
             out.filter(F.col(flag_col) & F.col("_nd_emb").isNotNull())
-            .select(F.col(id_col).alias("id"), F.col("_nd_emb").alias("e"))
+            .select(field_col(id_col).alias("id"),
+                    F.col("_nd_emb").alias("e"))
         )
         emb_dir = f"{self._emb_path}/batch={batch_id}"
         kept.write.mode("overwrite").parquet(emb_dir)
         written = df.sparkSession.read.parquet(emb_dir)
+        band_dir = f"{self._band_path}/batch={batch_id}"
         (
             written.select(F.col("e").alias("_ne"), "id")
             .select(F.explode(self._band_keys()).alias("band"), "id")
             .write.mode("overwrite")
-            .parquet(f"{self._band_path}/batch={batch_id}")
+            .parquet(band_dir)
         )
+        _write_bandcnt(df.sparkSession, band_dir,
+                       f"{self._bandcnt_path}/batch={batch_id}")
         return out.drop("_nd_emb")
 
     # ------------------------------------------------------------------
@@ -676,6 +780,8 @@ class CosineDupIndex:
                                            upto_batch),
             "band_folded": _fold_partitions(spark, self._band_path,
                                             upto_batch),
+            "bandcnt_folded": _fold_partitions(spark, self._bandcnt_path,
+                                               upto_batch),
         }
 
     def stats(self, spark: SparkSession) -> dict:
@@ -716,8 +822,9 @@ class ExactDupIndex:
         return spark.createDataFrame(
             [], T.StructType([T.StructField("_ih", T.StringType())]))
 
-    def classify(self, df: DataFrame, text_col: str, id_col: str,
-                 batch_id: int, flag_col: str = "kept") -> DataFrame:
+    def _classify(self, df: DataFrame, text_col: str, id_col: str,
+                  batch_id: int, flag_col: str,
+                  with_hash: bool) -> DataFrame:
         lower = {c.lower() for c in df.columns}
         for c in (flag_col, "_xh", "_keep"):
             if c.lower() in lower:
@@ -725,43 +832,52 @@ class ExactDupIndex:
                     f"ExactDupIndex: input already has a {c!r} column — "
                     "drop or rename it first (case-insensitive resolution)")
         spark = df.sparkSession
-        hashed = df.withColumn("_xh", F.md5(F.col(text_col)))
+        hashed = df.withColumn("_xh", F.md5(field_col(text_col)))
         idx = self._index_hashes(spark, batch_id)
         # in-batch winner per hash + index membership in ONE decision
         # table: both the winner agg and the membership join shuffle
         # 16-byte hash rows, never the text
         winners = (
             hashed.select(F.col("_xh").alias("_wxh"),
-                          F.col(id_col).alias("_wid"))
+                          field_col(id_col).alias("_wid"))
             .groupBy("_wxh")
             .agg(F.min("_wid").alias("_wid"))
             .join(idx, F.col("_wxh") == idx["_ih"], "left_anti")
         )
-        return (
+        out = (
             hashed.join(
                 winners.withColumn("_keep", F.lit(True)),
                 (hashed["_xh"] == winners["_wxh"])
-                & (hashed[id_col] == winners["_wid"]),
+                & (field_col(id_col) == winners["_wid"]),
                 "left")
             .select(*[hashed[c] for c in df.columns],
                     # NULL text hashes to NULL → joins nothing: treat as
                     # unscorable (kept, never indexed) like NearDupIndex
                     (F.coalesce(F.col("_keep"), F.lit(False))
-                     | hashed["_xh"].isNull()).alias(flag_col))
+                     | hashed["_xh"].isNull()).alias(flag_col),
+                    hashed["_xh"])
         )
+        return out if with_hash else out.drop("_xh")
+
+    def classify(self, df: DataFrame, text_col: str, id_col: str,
+                 batch_id: int, flag_col: str = "kept") -> DataFrame:
+        return self._classify(df, text_col, id_col, batch_id, flag_col,
+                              with_hash=False)
 
     def ingest(self, df: DataFrame, text_col: str, id_col: str,
                batch_id: int, flag_col: str = "kept") -> DataFrame:
-        out = self.classify(df, text_col, id_col, batch_id, flag_col)
+        out = self._classify(df, text_col, id_col, batch_id, flag_col,
+                             with_hash=True)
         (
             out.filter(F.col(flag_col))
-            .select(F.md5(F.col(text_col)).alias("h"))
+            # reuse the classify-computed hash — no second md5 over text
+            .select(F.col("_xh").alias("h"))
             .filter(F.col("h").isNotNull())  # unscorable NULL text
             .distinct()
             .write.mode("overwrite")
             .parquet(f"{self._hash_path}/batch={batch_id}")
         )
-        return out
+        return out.drop("_xh")
 
     def compact(self, spark: SparkSession, upto_batch: int) -> dict:
         """Fold acked per-batch hash partitions below ``upto_batch``

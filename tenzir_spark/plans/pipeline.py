@@ -420,16 +420,20 @@ def _flag(args: str, name: str) -> tuple[str, str | None]:
 
 def _dedup_batch_id(arg: str | None, stream_batch_id: int | None,
                     stage: str) -> int:
-    """Resolve the dedup-index stages' ``batch`` argument: a literal int,
-    or ``auto`` = the streaming driver's per-micro-batch id (required —
-    a static id in a continuous pipeline would make every micro-batch
-    overwrite one index partition and probe nothing)."""
+    """Resolve the dedup-index stages' ``batch`` argument: a literal
+    int, ``auto`` = the streaming driver's per-micro-batch id, and — in
+    a streaming context — OMITTED also defaults to the micro-batch id
+    (a static id there would make every micro-batch overwrite one index
+    partition and probe nothing; silently disabling dedup is the worse
+    failure). ``auto`` outside streaming is a targeted error."""
     if arg == "auto":
         if stream_batch_id is None:
             raise TqlError(
                 f"{stage}: `batch auto` needs a streaming context "
                 "(run_tql_stream threads the micro-batch id); in batch "
                 "pipelines pass a literal `batch <n>`")
+        return int(stream_batch_id)
+    if arg is None and stream_batch_id is not None:
         return int(stream_batch_id)
     return int(arg or 0)
 

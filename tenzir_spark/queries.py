@@ -3847,9 +3847,13 @@ band AS (
   SELECT doc_id, b,
          unnest([{_MH_BANDS}]) AS band
   FROM sig),
+bc0 AS (
+  SELECT band, count(*) AS c FROM band WHERE b = 0 GROUP BY band),
+ok0 AS (SELECT band FROM bc0 WHERE c <= 64),
 p0 AS (
   SELECT DISTINCT ba.doc_id AS s, bb.doc_id AS d
   FROM band ba JOIN band bb ON ba.band = bb.band AND ba.doc_id < bb.doc_id
+  JOIN ok0 ON ok0.band = ba.band
   JOIN sigl sa ON sa.doc_id = ba.doc_id
   JOIN sigl sb ON sb.doc_id = bb.doc_id
   WHERE ba.b = 0 AND bb.b = 0 AND {_NDI_AGREE}),
@@ -3862,9 +3866,17 @@ c0 AS (SELECT n, min(c) AS comp FROM r0 GROUP BY n),
 kept0 AS (
   SELECT s.doc_id FROM scor s LEFT JOIN c0 ON s.doc_id = c0.n
   WHERE s.b = 0 AND (c0.n IS NULL OR c0.comp = s.doc_id)),
+bc1 AS (
+  SELECT band, count(*) AS c FROM (
+    SELECT band FROM band WHERE b = 1
+    UNION ALL
+    SELECT band.band FROM band JOIN kept0 k ON band.doc_id = k.doc_id
+    WHERE band.b = 0) GROUP BY band),
+ok1 AS (SELECT band FROM bc1 WHERE c <= 64),
 pois AS (
   SELECT DISTINCT nb.doc_id
   FROM band nb
+  JOIN ok1 ON ok1.band = nb.band
   JOIN band ib ON nb.band = ib.band AND ib.b = 0
   JOIN kept0 k ON ib.doc_id = k.doc_id
   JOIN sigl sa ON sa.doc_id = nb.doc_id
@@ -3873,6 +3885,7 @@ pois AS (
 p1 AS (
   SELECT DISTINCT ba.doc_id AS s, bb.doc_id AS d
   FROM band ba JOIN band bb ON ba.band = bb.band AND ba.doc_id < bb.doc_id
+  JOIN ok1 ON ok1.band = ba.band
   JOIN sigl sa ON sa.doc_id = ba.doc_id
   JOIN sigl sb ON sb.doc_id = bb.doc_id
   WHERE ba.b = 1 AND bb.b = 1 AND {_NDI_AGREE}),
@@ -3998,9 +4011,13 @@ base AS (
   WHERE len(embedding) = 64
     AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0),
 scor AS (SELECT DISTINCT vec_id, b, emb FROM base),
+bc0 AS (
+  SELECT band, count(*) AS c FROM base WHERE b = 0 GROUP BY band),
+ok0 AS (SELECT band FROM bc0 WHERE c <= 64),
 p0 AS (
   SELECT DISTINCT ba.vec_id AS s, bb.vec_id AS d
   FROM base ba JOIN base bb ON ba.band = bb.band AND ba.vec_id < bb.vec_id
+  JOIN ok0 ON ok0.band = ba.band
   JOIN scor sa ON sa.vec_id = ba.vec_id
   JOIN scor sb ON sb.vec_id = bb.vec_id
   WHERE ba.b = 0 AND bb.b = 0 AND {_CDI_COS}),
@@ -4013,9 +4030,17 @@ c0 AS (SELECT n, min(c) AS comp FROM r0 GROUP BY n),
 kept0 AS (
   SELECT s.vec_id FROM scor s LEFT JOIN c0 ON s.vec_id = c0.n
   WHERE s.b = 0 AND (c0.n IS NULL OR c0.comp = s.vec_id)),
+bc1 AS (
+  SELECT band, count(*) AS c FROM (
+    SELECT band FROM base WHERE b = 1
+    UNION ALL
+    SELECT base.band FROM base JOIN kept0 k ON base.vec_id = k.vec_id
+    WHERE base.b = 0) GROUP BY band),
+ok1 AS (SELECT band FROM bc1 WHERE c <= 64),
 pois AS (
   SELECT DISTINCT nb.vec_id
   FROM base nb
+  JOIN ok1 ON ok1.band = nb.band
   JOIN base ib ON nb.band = ib.band AND ib.b = 0
   JOIN kept0 k ON ib.vec_id = k.vec_id
   JOIN scor sa ON sa.vec_id = nb.vec_id
@@ -4024,6 +4049,7 @@ pois AS (
 p1 AS (
   SELECT DISTINCT ba.vec_id AS s, bb.vec_id AS d
   FROM base ba JOIN base bb ON ba.band = bb.band AND ba.vec_id < bb.vec_id
+  JOIN ok1 ON ok1.band = ba.band
   JOIN scor sa ON sa.vec_id = ba.vec_id
   JOIN scor sb ON sb.vec_id = bb.vec_id
   WHERE ba.b = 1 AND bb.b = 1 AND {_CDI_COS}),

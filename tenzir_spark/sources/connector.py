@@ -495,7 +495,13 @@ def run_connector(runner, connector: ChangeConnector,
     if transform is not None:
         import inspect
 
-        two_arg = len(inspect.signature(transform).parameters) >= 2
+        ps = inspect.signature(transform).parameters.values()
+        # count POSITIONAL slots only — a (df, **kw) or (df, *, opt)
+        # transform takes ONE positional arg; *args accepts any
+        two_arg = (
+            any(p.kind == p.VAR_POSITIONAL for p in ps)
+            or sum(p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                   for p in ps) >= 2)
     while max_batches is None or applied < max_batches:
         b = connector.poll()
         if b is None:

@@ -100,7 +100,13 @@ def stream_ingest(
     if transform is not None:
         import inspect
 
-        _two_arg = len(inspect.signature(transform).parameters) >= 2
+        ps = inspect.signature(transform).parameters.values()
+        # count POSITIONAL slots only — a (df, **kw) or (df, *, opt)
+        # transform takes ONE positional arg; *args accepts any
+        _two_arg = (
+            any(p.kind == p.VAR_POSITIONAL for p in ps)
+            or sum(p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                   for p in ps) >= 2)
 
     def _apply(df, epoch_id: int) -> None:
         # transform: operator stages between source and sink (the TQL

@@ -124,6 +124,47 @@ def test_bad_params_raise(tmp_path):
         NearDupIndex(str(tmp_path), sig_threshold=0.0)
 
 
+def test_max_bucket_skew_guard(spark, tmp_path):
+    """max_bucket prunes hot band keys on BOTH sides: with the guard at
+    0 every band is pruned, so even exact duplicates pass (the plumbing
+    proof); with the default the same input dedups."""
+    idx0 = NearDupIndex(str(tmp_path / "a"), max_bucket=0)
+    r = idx0.ingest(_docs(spark, [("d1", A), ("d2", A)]),
+                    "text", "doc_id", 0)
+    assert kept_ids(r) == ["d1", "d2"]  # all bands pruned → no pairs
+    idx = NearDupIndex(str(tmp_path / "b"))
+    r2 = idx.ingest(_docs(spark, [("d1", A), ("d2", A)]),
+                    "text", "doc_id", 0)
+    assert kept_ids(r2) == ["d1"]
+    # the guard counts the INDEX side too: with max_bucket=1 an indexed
+    # doc's band (population 1 + 1 new = 2) is pruned → no index match
+    idx1 = NearDupIndex(str(tmp_path / "c"), max_bucket=1)
+    idx1.ingest(_docs(spark, [("d1", A)]), "text", "doc_id", 0)
+    r3 = idx1.ingest(_docs(spark, [("e1", A)]), "text", "doc_id", 1)
+    assert kept_ids(r3) == ["e1"]
+
+
+def test_dotted_nested_paths(spark, tmp_path):
+    """Nested (dotted) field paths — what the pipeline stages' path
+    extractor produces — must work for id and content columns."""
+    df = spark.createDataFrame(
+        [(("d1", A),), (("d2", A),), (("d3", B),)],
+        "payload struct<doc_id string, text string>")
+    idx = NearDupIndex(str(tmp_path / "ndi"))
+    out = idx.ingest(df, "payload.text", "payload.doc_id", 0)
+    assert out.columns == ["payload", "kept"]
+    kept = sorted(r["payload"]["doc_id"]
+                  for r in out.filter("kept").collect())
+    assert kept == ["d1", "d3"]
+
+    from tenzir_spark.operators.dedup_index import ExactDupIndex
+    xd = ExactDupIndex(str(tmp_path / "xdi"))
+    out2 = xd.ingest(df, "payload.text", "payload.doc_id", 0)
+    kept2 = sorted(r["payload"]["doc_id"]
+                   for r in out2.filter("kept").collect())
+    assert kept2 == ["d1", "d3"]
+
+
 def test_compaction_preserves_probe_results(spark, tmp_path):
     """compact() folds acked batch partitions into one; probes see
     identical rows before and after."""
@@ -133,7 +174,8 @@ def test_compaction_preserves_probe_results(spark, tmp_path):
     idx.ingest(_docs(spark, [("d3", C)]), "text", "doc_id", 2)
     assert idx.stats(spark) == {"indexed_docs": 3, "batches": 3}
     folded = idx.compact(spark, upto_batch=3)
-    assert folded == {"sig_folded": 3, "band_folded": 3}
+    assert folded == {"sig_folded": 3, "band_folded": 3,
+                      "bandcnt_folded": 3}
     assert idx.stats(spark) == {"indexed_docs": 3, "batches": 1}
     # dupes of every folded batch are still caught; fresh doc kept
     r = idx.ingest(_docs(spark, [("e1", A), ("e2", B), ("e3", C),
@@ -142,9 +184,9 @@ def test_compaction_preserves_probe_results(spark, tmp_path):
     # batch 3's ingest added a partition: folding again merges the two;
     # a repeat on the single remaining partition is a no-op
     assert idx.compact(spark, upto_batch=4) == {
-        "sig_folded": 2, "band_folded": 2}
+        "sig_folded": 2, "band_folded": 2, "bandcnt_folded": 2}
     assert idx.compact(spark, upto_batch=4) == {
-        "sig_folded": 0, "band_folded": 0}
+        "sig_folded": 0, "band_folded": 0, "bandcnt_folded": 0}
 
 
 def test_fold_crash_after_rename_keeps_data(spark, tmp_path):
@@ -273,7 +315,7 @@ def test_cosine_index_compaction(spark, tmp_path):
     idx.ingest(_vecs(spark, [("d2", [0.0, 1.0, 0.0, 0.0])]),
                "emb", "vec_id", 1)
     assert idx.compact(spark, upto_batch=2) == {
-        "emb_folded": 2, "band_folded": 2}
+        "emb_folded": 2, "band_folded": 2, "bandcnt_folded": 2}
     r = idx.ingest(_vecs(spark, [("e1", [2.0, 0.0, 0.0, 0.0]),
                                  ("e2", [0.0, 0.0, 1.0, 0.0])]),
                    "emb", "vec_id", 2)
