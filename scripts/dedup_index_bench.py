@@ -62,6 +62,10 @@ def main() -> None:
     p.add_argument("--dup-frac", type=float, default=0.2)
     p.add_argument("--cores", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    p.add_argument("--compact-every", type=int, default=0,
+                   help="fold acked index partitions after every N "
+                        "batches (0 = never) — long-horizon runs "
+                        "exercise compaction under load")
     args = p.parse_args()
 
     from scripts.scaling_report import box_probe
@@ -75,7 +79,7 @@ def main() -> None:
                             else None)
     try:
         idx = NearDupIndex(root)
-        walls, kept = [], []
+        walls, kept, compact_walls = [], [], []
         for b in range(args.batches):
             df = batch_df(spark, b, args.docs, args.dup_frac)
             t0 = time.monotonic()
@@ -83,13 +87,26 @@ def main() -> None:
             k = out.filter("kept").count()
             walls.append(round(time.monotonic() - t0, 2))
             kept.append(k)
+            if args.compact_every and (b + 1) % args.compact_every == 0:
+                t0 = time.monotonic()
+                idx.compact(spark, upto_batch=b + 1)
+                compact_walls.append(round(time.monotonic() - t0, 2))
         first3 = sum(walls[1:4]) / 3   # skip batch 0 (codegen warmup)
         last3 = sum(walls[-3:]) / 3
+        # exactness over the whole horizon: batch 0 keeps everything,
+        # every later batch drops exactly its dup tail
+        n_dup = int(args.docs * args.dup_frac)
+        kept_exact = (kept[0] == args.docs
+                      and all(k == args.docs - n_dup for k in kept[1:]))
         print(json.dumps({
             "docs_per_batch": args.docs, "batches": args.batches,
             "dup_frac": args.dup_frac, "cores": args.cores,
             "batch_walls_s": walls, "kept_per_batch": kept,
+            "kept_exact": kept_exact,
             "wall_ratio_last3_first3": round(last3 / first3, 3),
+            "compact_every": args.compact_every or None,
+            "compact_walls_s": compact_walls,
+            "indexed_docs": idx.stats(spark)["indexed_docs"],
             "box_spark_job_ms": probe["box_spark_job_ms"],
         }))
     finally:
