@@ -144,6 +144,21 @@ def test_max_bucket_skew_guard(spark, tmp_path):
     assert kept_ids(r3) == ["e1"]
 
 
+def test_bandcnt_missing_falls_back_to_full_count(spark, tmp_path):
+    """An index without a bandcnt table (crash between the band and
+    bandcnt writes, or pre-bandcnt layout) probes via the direct band
+    count — same decisions, just the slower path."""
+    import shutil
+
+    root = str(tmp_path / "ndi")
+    idx = NearDupIndex(root)
+    idx.ingest(_docs(spark, [("d1", A), ("d2", B)]), "text", "doc_id", 0)
+    shutil.rmtree(f"{root}/bandcnt")
+    r1 = idx.ingest(_docs(spark, [("e1", A), ("e2", C)]),
+                    "text", "doc_id", 1)
+    assert kept_ids(r1) == ["e2"]
+
+
 def test_dotted_nested_paths(spark, tmp_path):
     """Nested (dotted) field paths — what the pipeline stages' path
     extractor produces — must work for id and content columns."""
