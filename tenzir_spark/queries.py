@@ -2935,8 +2935,8 @@ def q_bitz_roundtrip(spark, sf):
     recomputes the aggregate from the source table directly — any framing
     or decode corruption breaks the value hash."""
     import os
-    import shutil
     import tempfile
+    import uuid
 
     from tenzir_spark.sources.bitz import read_bitz, write_bitz
 
@@ -2944,10 +2944,10 @@ def q_bitz_roundtrip(spark, sf):
         load(spark, sf, "events").filter(F.col("event_id") < 20000)
         .select("event_id", "event_type", "user_id")
     )
+    # uuid-unique spool: a fixed path races when two harness processes
+    # (or a re-execution of this query) interleave rmtree/write/read
     path = os.path.join(
-        tempfile.gettempdir(),
-        f"tenzir_spark_bitz_{os.path.basename(sf.rstrip('/'))}")
-    shutil.rmtree(path, ignore_errors=True)
+        tempfile.gettempdir(), f"tenzir_spark_bitz_{uuid.uuid4().hex}")
     write_bitz(src.repartition(4), path)
     back = read_bitz(spark, path, "event_id long, event_type string, user_id long")
     return (
@@ -2981,8 +2981,8 @@ def q_fluentbit_forward(spark, sf):
     epoch-MICROS prove the EventTime nanosecond field survives framing;
     the oracle recomputes the aggregate from the source table directly."""
     import os
-    import shutil
     import tempfile
+    import uuid
 
     from tenzir_spark.sources.fluentbit import read_forward, write_forward
 
@@ -2990,10 +2990,10 @@ def q_fluentbit_forward(spark, sf):
         load(spark, sf, "events").filter(F.col("event_id") < 20000)
         .select("event_id", "ts", "event_type", "user_id")
     )
+    # uuid-unique spool: a fixed path races when two harness processes
+    # (or a re-execution of this query) interleave rmtree/write/read
     path = os.path.join(
-        tempfile.gettempdir(),
-        f"tenzir_spark_fwd_{os.path.basename(sf.rstrip('/'))}")
-    shutil.rmtree(path, ignore_errors=True)
+        tempfile.gettempdir(), f"tenzir_spark_fwd_{uuid.uuid4().hex}")
     write_forward(src.repartition(4), path, tag="events", time_col="ts",
                   mode="packed", compress=True)
     back = read_forward(

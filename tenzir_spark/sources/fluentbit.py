@@ -119,7 +119,11 @@ def decode_forward(blob: bytes) -> list[tuple[str, int, dict]]:
 
 def _records_frame(tags, times_ns, recs, names):
     cols = {"tag": list(tags)}
-    cols["time"] = pd.to_datetime(pd.Series(times_ns, dtype="int64"))
+    # tz-aware UTC so Spark maps the epoch-ns value to the same instant
+    # under ANY session timezone (a naive datetime would be read as
+    # session-local wall time and shift by the harness's TZ offset)
+    cols["time"] = pd.to_datetime(pd.Series(times_ns, dtype="int64"),
+                                  utc=True)
     for n in names:
         cols[n] = [r.get(n) for r in recs]
     return pd.DataFrame(cols)
@@ -139,7 +143,15 @@ def write_forward(df, path: str, tag: str = "tenzir", time_col=None,
     import os
 
     os.makedirs(path, exist_ok=True)
-    data_cols = None
+    # convert a timestamp time_col to epoch-ns JVM-side: the pandas
+    # conversion of a Spark timestamp is a naive session-local datetime,
+    # whose int64 value shifts with the session timezone — unix_micros is
+    # the true instant under any TZ
+    if time_col is not None:
+        from pyspark.sql import functions as F
+        if any(f.name == time_col and f.dataType.typeName() == "timestamp"
+               for f in df.schema.fields):
+            df = df.withColumn(time_col, F.unix_micros(time_col) * 1000)
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import uuid
@@ -164,7 +176,6 @@ def write_forward(df, path: str, tag: str = "tenzir", time_col=None,
             fh.close()
             yield pd.DataFrame({"file": [fn]})
 
-    del data_cols
     return [r["file"] for r in df.mapInPandas(_write, "file string").collect()]
 
 
