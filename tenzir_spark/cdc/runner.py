@@ -46,6 +46,22 @@ from tenzir_spark.lake.table import (
 
 CONTROL_COLS = ("lsn", "epoch", "part_id", "op")
 
+
+def accepts_batch_id(transform) -> bool:
+    """True when a micro-batch ``transform`` accepts ``(df, batch_id)``:
+    stateful stages (the dedup indexes' ``batch auto``) need the id; a
+    plain ``(df)`` transform keeps working. Counts POSITIONAL slots only
+    — a ``(df, **kw)`` or ``(df, *, opt)`` transform takes ONE
+    positional arg; ``*args`` accepts any. Single owner for both
+    streaming front-ends (stream_ingest and run_connector)."""
+    import inspect
+
+    ps = inspect.signature(transform).parameters.values()
+    return (
+        any(p.kind == p.VAR_POSITIONAL for p in ps)
+        or sum(p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+               for p in ps) >= 2)
+
 BASE_PAYLOAD_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),

@@ -197,6 +197,13 @@ def _has_batches(p: str) -> bool:
         e.startswith("batch=") for e in os.listdir(p))
 
 
+def _batch_ids(p: str) -> set[int]:
+    if not os.path.isdir(p):
+        return set()
+    return {int(e.split("=", 1)[1]) for e in os.listdir(p)
+            if e.startswith("batch=")}
+
+
 def _empty_bandcnt(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], T.StructType([
         T.StructField("band", T.LongType()),
@@ -215,14 +222,36 @@ def _write_bandcnt(spark: SparkSession, band_dir: str, cnt_dir: str) -> None:
     )
 
 
+def _backfill_bandcnt(spark: SparkSession, band_root: str,
+                      cnt_root: str) -> int:
+    """Heal bandcnt partitions missing for existing band partitions (an
+    index created before bandcnt existed, or a crash between the band
+    and bandcnt writes) — restores the incremental sum's full coverage
+    so probes never silently undercount after a later fold masks the
+    gap. No-op (one listdir) in the steady state."""
+    missing = _batch_ids(band_root) - _batch_ids(cnt_root)
+    for b in sorted(missing):
+        _write_bandcnt(spark, f"{band_root}/batch={b}",
+                       f"{cnt_root}/batch={b}")
+    return len(missing)
+
+
 def _read_bandcnt(spark: SparkSession, path: str, batch_id: int,
-                  idx_band: DataFrame) -> DataFrame:
+                  idx_band: DataFrame,
+                  band_path: str | None = None) -> DataFrame:
     """(band, _ci) for partitions ``batch < batch_id`` — summed per-batch
     counts. Falls back to counting ``idx_band`` directly when the cnt
-    table is missing (a crash between the band and bandcnt writes, or an
-    index written before the cnt table existed) — correctness identical,
-    just the slower full-count path for that probe."""
-    if _has_batches(path):
+    table is missing OR only PARTIALLY covers the band table's batch
+    partitions (a crash between the band and bandcnt writes, or an index
+    created before the cnt table existed that then gained new-code
+    ingests — summing only the covered batches would permanently
+    undercount the old batches' bands and mis-prune the skew guard) —
+    correctness identical, just the slower full-count path for that
+    probe."""
+    covered = {b for b in _batch_ids(path) if b < batch_id}
+    needed = ({b for b in _batch_ids(band_path) if b < batch_id}
+              if band_path is not None else (covered or None))
+    if covered and needed is not None and needed <= covered:
         return (
             spark.read.parquet(path)
             .filter(F.col("batch") < batch_id)
@@ -406,7 +435,8 @@ class NearDupIndex:
                 .select("band", F.col("id").alias("_iid"))
             )
             return sig, band, _read_bandcnt(
-                spark, self._bandcnt_path, batch_id, band)
+                spark, self._bandcnt_path, batch_id, band,
+                band_path=self._band_path)
         empty_sig = spark.createDataFrame([], T.StructType([
             T.StructField("_iid", id_type),
             T.StructField("_isig", T.ArrayType(T.LongType())),
@@ -542,6 +572,8 @@ class NearDupIndex:
         )
         _write_bandcnt(df.sparkSession, band_dir,
                        f"{self._bandcnt_path}/batch={batch_id}")
+        _backfill_bandcnt(df.sparkSession, self._band_path,
+                          self._bandcnt_path)
         return out.drop("_nd_sig")
 
     # ------------------------------------------------------------------
@@ -662,7 +694,8 @@ class CosineDupIndex:
                 .select("band", F.col("id").alias("_iid"))
             )
             return emb, band, _read_bandcnt(
-                spark, self._bandcnt_path, batch_id, band)
+                spark, self._bandcnt_path, batch_id, band,
+                band_path=self._band_path)
         empty_emb = spark.createDataFrame([], T.StructType([
             T.StructField("_iid", id_type),
             T.StructField("_ie", emb_type),
@@ -769,6 +802,8 @@ class CosineDupIndex:
         )
         _write_bandcnt(df.sparkSession, band_dir,
                        f"{self._bandcnt_path}/batch={batch_id}")
+        _backfill_bandcnt(df.sparkSession, self._band_path,
+                          self._bandcnt_path)
         return out.drop("_nd_emb")
 
     # ------------------------------------------------------------------

@@ -124,14 +124,30 @@ class BloomFilter:
 
 def bloom_filter_context(df: DataFrame, col: str, expected: int | None = None,
                          fpp: float = 0.01,
-                         hash_mode: str = "pandas") -> BloomFilter:
+                         hash_mode: str = "pandas",
+                         max_keys: int | None = 5_000_000) -> BloomFilter:
     """Build a Bloom filter context over a column. The context table is
     broadcast-small by definition (the reference ships whole contexts to
     every node, plugin.hpp:660-727), so a driver-side collect of the key
-    column is the same data movement. ``expected`` defaults to the actual
-    key count, so the advertised fpp holds regardless of caller guesses;
-    pass it explicitly only to pre-size for future updates."""
-    keys = [r[0] for r in df.select(col).filter(F.col(col).isNotNull()).collect()]
+    column is the same data movement — but nothing used to enforce the
+    contract, so ``max_keys`` bounds the collect (the LIMIT rides the
+    same job: at most max_keys+1 rows ever reach the driver) and raises
+    a clear error instead of OOMing the driver on a mistakenly-large
+    DataFrame; ``max_keys=None`` opts out. ``expected`` defaults to the
+    actual key count, so the advertised fpp holds regardless of caller
+    guesses; pass it explicitly only to pre-size for future updates."""
+    keyed = df.select(col).filter(F.col(col).isNotNull())
+    if max_keys is not None:
+        rows = keyed.limit(max_keys + 1).collect()
+        if len(rows) > max_keys:
+            raise ValueError(
+                f"bloom_filter_context: context column {col!r} exceeds "
+                f"max_keys={max_keys} — contexts are broadcast-small by "
+                "contract; pre-aggregate the keys or pass a larger "
+                "max_keys (or max_keys=None) explicitly")
+    else:
+        rows = keyed.collect()
+    keys = [r[0] for r in rows]
     bf = BloomFilter(expected if expected is not None else max(len(keys), 64),
                      fpp, hash_mode=hash_mode)
     bf.add_many(keys)

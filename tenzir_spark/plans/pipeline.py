@@ -418,6 +418,27 @@ def _flag(args: str, name: str) -> tuple[str, str | None]:
 # ---------------------------------------------------------------------------
 
 
+def _guard_insert_only(df: DataFrame, stage: str, allow: bool) -> DataFrame:
+    """Enforce the dedup indexes' append-only contract on CDC envelopes:
+    the index records accepted content forever, so an UPDATE whose new
+    content matches the doc's own earlier accepted version would be
+    silently dropped pre-merge — wrong on a general binlog tail. When
+    the stream carries an ``op`` column, any non-insert row raises at
+    execution (one codegen comparison per row; insert-only streams pass
+    untouched) unless ``--allow-updates`` opts in."""
+    if allow or "op" not in df.columns:
+        return df
+    return df.filter(
+        F.when(F.col("op") == "insert", F.lit(True)).otherwise(
+            F.raise_error(F.concat(
+                F.lit(f"{stage}: stream carries non-insert op '"),
+                F.col("op"),
+                F.lit("' — the dedup index is append-only (re-ingested "
+                      "UPDATE content matching an earlier accepted "
+                      "version is silently dropped); filter to inserts "
+                      "upstream or pass --allow-updates")))))
+
+
 def _dedup_batch_id(arg: str | None, stream_batch_id: int | None,
                     stage: str) -> int:
     """Resolve the dedup-index stages' ``batch`` argument: a literal
@@ -425,7 +446,10 @@ def _dedup_batch_id(arg: str | None, stream_batch_id: int | None,
     a streaming context — OMITTED also defaults to the micro-batch id
     (a static id there would make every micro-batch overwrite one index
     partition and probe nothing; silently disabling dedup is the worse
-    failure). ``auto`` outside streaming is a targeted error."""
+    failure). ``auto`` outside streaming is a targeted error — and so is
+    OMITTING ``batch`` in a batch pipeline: defaulting to 0 would make
+    every run probe ``batch < 0`` (nothing) and overwrite partition 0,
+    silently never dedupping against prior state."""
     if arg == "auto":
         if stream_batch_id is None:
             raise TqlError(
@@ -433,9 +457,15 @@ def _dedup_batch_id(arg: str | None, stream_batch_id: int | None,
                 "(run_tql_stream threads the micro-batch id); in batch "
                 "pipelines pass a literal `batch <n>`")
         return int(stream_batch_id)
-    if arg is None and stream_batch_id is not None:
-        return int(stream_batch_id)
-    return int(arg or 0)
+    if arg is None:
+        if stream_batch_id is not None:
+            return int(stream_batch_id)
+        raise TqlError(
+            f"{stage}: `batch <n>` is required in a batch pipeline — "
+            "each run must advance the index partition (defaulting to 0 "
+            "would probe nothing and overwrite partition 0 every run); "
+            "in streaming pipelines omit it or pass `batch auto`")
+    return int(arg)
 
 
 def run_tql(df: DataFrame, text: str, order_by: str | None = None,
@@ -1008,21 +1038,27 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                 # kept rows flow on AND are appended to the index under
                 # batch <n> (default 0). Joins reorder rows, so declared
                 # stream order leaves scope.
+                nd_args = args.strip()
+                allow_upd = "--allow-updates" in nd_args
+                if allow_upd:
+                    nd_args = nd_args.replace(
+                        "--allow-updates", "").strip()
                 m2 = re.fullmatch(
                     r"(\S+)\s+by\s+(\S+)\s+index\s+(\S+)"
                     r"(?:\s+batch\s+(\d+|auto))?"
                     r"(?:\s+threshold\s+([0-9.]+))?",
-                    args.strip())
+                    nd_args)
                 if not m2:
                     raise TqlError(
                         "near-dedup: usage `near-dedup <text-field> by "
                         "<id-field> index <path> [batch <n>|auto] "
-                        "[threshold <f>]`")
+                        "[threshold <f>] [--allow-updates]`")
                 from tenzir_spark.operators.dedup_index import NearDupIndex
 
                 ndi = NearDupIndex(
                     m2.group(3),
                     sig_threshold=float(m2.group(5) or 0.5))
+                df = _guard_insert_only(df, "near-dedup", allow_upd)
                 df = (
                     ndi.ingest(
                         df, _one_path(schema, m2.group(1)),
@@ -1038,16 +1074,22 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                 # index at <path> (operators/dedup_index.py
                 # CosineDupIndex); kept rows flow on and are appended
                 # under batch <n>.
+                sd_args = args.strip()
+                allow_upd = "--allow-updates" in sd_args
+                if allow_upd:
+                    sd_args = sd_args.replace(
+                        "--allow-updates", "").strip()
                 m2 = re.fullmatch(
                     r"(\S+)\s+by\s+(\S+)\s+index\s+(\S+)\s+dim\s+(\d+)"
                     r"(?:\s+batch\s+(\d+|auto))?"
                     r"(?:\s+threshold\s+([0-9.]+))?",
-                    args.strip())
+                    sd_args)
                 if not m2:
                     raise TqlError(
                         "semantic-dedup: usage `semantic-dedup "
                         "<emb-field> by <id-field> index <path> dim <d> "
-                        "[batch <n>|auto] [threshold <f>]`")
+                        "[batch <n>|auto] [threshold <f>] "
+                        "[--allow-updates]`")
                 from tenzir_spark.operators.dedup_index import (
                     CosineDupIndex,
                 )
@@ -1055,6 +1097,7 @@ def run_tql(df: DataFrame, text: str, order_by: str | None = None,
                 cdi = CosineDupIndex(
                     m2.group(3), dim=int(m2.group(4)),
                     threshold=float(m2.group(6) or 0.9))
+                df = _guard_insert_only(df, "semantic-dedup", allow_upd)
                 df = (
                     cdi.ingest(
                         df, _one_path(schema, m2.group(1)),

@@ -4419,18 +4419,20 @@ REGISTRY: dict[str, tuple] = {
     "flatten_unflatten": (q_flatten_roundtrip, SQL_FLATTEN_ROUNDTRIP),
     "enrich_lookup": (q_enrich, SQL_ENRICH),
     "join_q3": (q_join_q3, SQL_JOIN_Q3),
-    "timeshift": (q_timeshift, SQL_TIMESHIFT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "decontaminate_ngrams": (q_decontaminate, SQL_DECONTAMINATE),
-    "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "bpe_encode_exact": (q_bpe_exact, SQL_BPE_EXACT),
     "c4_stats": (q_c4_stats, SQL_C4_STATS),
     "stratified_mix": (q_stratified_mix, SQL_STRATIFIED_MIX),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "fim_transform": (q_fim_transform, SQL_FIM_TRANSFORM),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "minhash_lsh_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "near_dedup_index": (q_near_dedup_index, SQL_NEAR_DEDUP_INDEX),
+    "token_near_dedup_index": (q_token_near_dedup_index,
+                               SQL_TOKEN_NEAR_DEDUP_INDEX),
+    "cosine_dup_index": (q_cosine_dup_index, SQL_COSINE_DUP_INDEX),
     "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "cosine_near_dup_lsh": (q_cosine_pairs_lsh, SQL_COSINE_PAIRS_LSH),
@@ -4440,7 +4442,6 @@ REGISTRY: dict[str, tuple] = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
     "pq_adc_exact": (q_pq_adc_exact, SQL_PQ_ADC),
-    "parse_syslog5424": (q_parse_syslog5424, SQL_PARSE_SYSLOG5424),
     "lake_changelog": (q_lake_changelog, SQL_LAKE_CHANGELOG),
     "cdc_dlq": (q_cdc_dlq, SQL_CDC_DLQ),
     "lake_rebucket": (q_lake_rebucket, SQL_LAKE_REBUCKET),
@@ -4459,11 +4460,12 @@ REGISTRY: dict[str, tuple] = {
     "url_filter": (q_url_filter, SQL_URL_FILTER),
     # ---- past the 50-row window: family variants + remaining entries,
     # all still oracle-exact under the local gate
+    "timeshift": (q_timeshift, SQL_TIMESHIFT),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "parse_syslog5424": (q_parse_syslog5424, SQL_PARSE_SYSLOG5424),
     "window_dedup": (q_window_dedup, SQL_WINDOW_DEDUP),
     "exact_dup_index": (q_exact_dup_index, SQL_EXACT_DUP_INDEX),
-    "cosine_dup_index": (q_cosine_dup_index, SQL_COSINE_DUP_INDEX),
-    "token_near_dedup_index": (q_token_near_dedup_index,
-                               SQL_TOKEN_NEAR_DEDUP_INDEX),
     "line_dedup_keep_first": (q_line_dedup, SQL_LINE_DEDUP),
     "tql2_match_record": (q_tql2_match_record, SQL_TQL2_MATCH_RECORD),
     "tql2_lambda": (q_tql2_lambda, SQL_TQL2_LAMBDA),

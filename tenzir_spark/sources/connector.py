@@ -491,17 +491,9 @@ def run_connector(runner, connector: ChangeConnector,
     # a transform accepting (df, batch_id) gets the micro-batch id —
     # stateful stages (the dedup indexes' `batch auto`) need it; a
     # plain (df) transform keeps working
-    two_arg = False
-    if transform is not None:
-        import inspect
+    from tenzir_spark.cdc.runner import accepts_batch_id
 
-        ps = inspect.signature(transform).parameters.values()
-        # count POSITIONAL slots only — a (df, **kw) or (df, *, opt)
-        # transform takes ONE positional arg; *args accepts any
-        two_arg = (
-            any(p.kind == p.VAR_POSITIONAL for p in ps)
-            or sum(p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
-                   for p in ps) >= 2)
+    two_arg = transform is not None and accepts_batch_id(transform)
     while max_batches is None or applied < max_batches:
         b = connector.poll()
         if b is None:

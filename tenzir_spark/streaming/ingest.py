@@ -28,7 +28,12 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
-from tenzir_spark.cdc.runner import BASE_PAYLOAD_SCHEMA, CONTROL_COLS, IngestRunner
+from tenzir_spark.cdc.runner import (
+    BASE_PAYLOAD_SCHEMA,
+    CONTROL_COLS,
+    IngestRunner,
+    accepts_batch_id,
+)
 
 CHANGE_CONTROL_SCHEMA = T.StructType(
     [
@@ -96,17 +101,7 @@ def stream_ingest(
     # stages (the dedup indexes' `batch auto`) need it; epoch replay
     # after a checkpoint recovery reuses the SAME id, so those stages'
     # overwrite-own-partition discipline stays idempotent
-    _two_arg = False
-    if transform is not None:
-        import inspect
-
-        ps = inspect.signature(transform).parameters.values()
-        # count POSITIONAL slots only — a (df, **kw) or (df, *, opt)
-        # transform takes ONE positional arg; *args accepts any
-        _two_arg = (
-            any(p.kind == p.VAR_POSITIONAL for p in ps)
-            or sum(p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
-                   for p in ps) >= 2)
+    _two_arg = transform is not None and accepts_batch_id(transform)
 
     def _apply(df, epoch_id: int) -> None:
         # transform: operator stages between source and sink (the TQL

@@ -157,6 +157,28 @@ def test_bandcnt_missing_falls_back_to_full_count(spark, tmp_path):
     r1 = idx.ingest(_docs(spark, [("e1", A), ("e2", C)]),
                     "text", "doc_id", 1)
     assert kept_ids(r1) == ["e2"]
+    # ...and that ingest BACKFILLED the deleted batch-0 partition, so
+    # the incremental sum has full coverage again
+    assert sorted(os.listdir(f"{root}/bandcnt")) == ["batch=0", "batch=1"]
+
+
+def test_bandcnt_partial_coverage_falls_back(spark, tmp_path):
+    """A bandcnt table covering only SOME of the band table's batches
+    (pre-bandcnt index that later gained new-code ingests) must not be
+    summed — the probe falls back to the direct count. Proven through
+    the skew guard: with max_bucket=1 the indexed copy of A (batch 0,
+    whose bandcnt partition is missing) makes A's bands population
+    1+1=2 > 1 → pruned → e1 is KEPT. The broken partial sum would read
+    the index side as 0, not prune, and drop e1."""
+    import shutil
+
+    root = str(tmp_path / "ndi")
+    idx = NearDupIndex(root, max_bucket=1)
+    idx.ingest(_docs(spark, [("d1", A)]), "text", "doc_id", 0)
+    idx.ingest(_docs(spark, [("d2", B)]), "text", "doc_id", 1)
+    shutil.rmtree(f"{root}/bandcnt/batch=0")
+    out = idx.classify(_docs(spark, [("e1", A)]), "text", "doc_id", 2)
+    assert kept_ids(out) == ["e1"]
 
 
 def test_dotted_nested_paths(spark, tmp_path):

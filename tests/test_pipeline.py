@@ -687,8 +687,13 @@ def test_semantic_dedup_text_stage(spark, tmp_path):
     b0 = spark.createDataFrame(
         [("d1", [1.0, 2.0, 3.0, 4.0]), ("d2", [-4.0, 3.0, -2.0, 1.0])],
         "vec_id string, emb array<double>")
-    r0 = run_tql(b0, f"semantic-dedup emb by vec_id index {root} dim 4")
+    r0 = run_tql(b0, f"semantic-dedup emb by vec_id index {root} dim 4 "
+                     f"batch 0")
     assert r0.count() == 2
+    # omitted batch in a BATCH pipeline is a targeted error (defaulting
+    # to 0 would silently never dedup against prior state)
+    with _pytest.raises(TqlError, match="batch"):
+        run_tql(b0, f"semantic-dedup emb by vec_id index {root} dim 4")
     b1 = spark.createDataFrame(
         [("e1", [2.0, 4.0, 6.0, 8.0]), ("e2", [3.0, -4.0, 1.0, -2.0])],
         "vec_id string, emb array<double>")

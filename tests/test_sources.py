@@ -136,6 +136,21 @@ def test_bloom_filter_deterministic(spark):
     assert misses.mean() < 0.05  # fpp ~1%
 
 
+def test_bloom_context_max_keys_guard(spark):
+    """An over-limit context raises instead of OOMing the driver — the
+    LIMIT bounds the collect itself (at most max_keys+1 rows move); a
+    within-limit build is unchanged."""
+    import pytest
+
+    from tenzir_spark.operators.enrich import bloom_filter_context
+
+    df = spark.range(1000).selectExpr("concat('k', id) AS k")
+    with pytest.raises(ValueError, match="max_keys"):
+        bloom_filter_context(df, "k", max_keys=100)
+    bf = bloom_filter_context(df, "k", max_keys=1000)
+    assert bf.might_contain_many(["k1", "k999"]).all()
+
+
 def test_pseudonymize_prefix_preserving(spark):
     """Crypto-PAn property: shared k-bit prefixes are preserved exactly."""
     from pyspark.sql import Row

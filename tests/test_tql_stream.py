@@ -204,3 +204,42 @@ def test_tql_stream_near_dedup_batch_auto(spark, tmp_path):
                                "doc_id string, tokens array<int>")
     with pytest.raises(TqlError, match="streaming context"):
         run_tql(df, f"near-dedup tokens by doc_id index {idx} batch auto")
+
+
+def test_tql_stream_near_dedup_rejects_non_insert_ops(spark, tmp_path):
+    """The dedup index is append-only: `near-dedup` on a general binlog
+    tail (stream carrying UPDATE ops) fails loud at execution instead of
+    silently dropping re-ingested update content; `--allow-updates`
+    opts in explicitly."""
+    def tok(i):
+        return [100 * j + i for j in range(1, 15)]
+
+    recs = [
+        {"part_id": 0, "lsn": 0, "op": "insert", "doc_id": "d0",
+         "tokens": tok(0), "n_tok": 14, "source": "s"},
+        {"part_id": 0, "lsn": 1, "op": "update", "doc_id": "d0",
+         "tokens": tok(1), "n_tok": 14, "source": "s"},
+    ]
+    root = f"{tmp_path}/wh/t"
+    idx = f"{tmp_path}/ndi"
+    broker = SimulatedBrokerConnector(spark, recs, batch_size=2)
+    with pytest.raises(Exception, match="non-insert"):
+        run_tql_stream(
+            spark,
+            f"from broker://sim | near-dedup tokens by doc_id index {idx} "
+            f"batch auto | import {root}",
+            connector=broker)
+
+    # explicit opt-in: the same stream flows (updates classified like
+    # inserts — the documented append-only semantics apply)
+    broker2 = SimulatedBrokerConnector(spark, recs, batch_size=2)
+    st = run_tql_stream(
+        spark,
+        f"from broker://sim | near-dedup tokens by doc_id index "
+        f"{tmp_path}/ndi2 batch auto --allow-updates | import "
+        f"{tmp_path}/wh/t2",
+        connector=broker2)
+    assert st["batches"] == 1
+    rows = {(r["doc_id"], tuple(r["tokens"]))
+            for r in st["runner"].table.read(spark).collect()}
+    assert rows == {("d0", tuple(tok(1)))}  # LWW kept the update
