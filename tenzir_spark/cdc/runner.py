@@ -161,11 +161,16 @@ class IngestRunner:
         sorted_compaction: bool = False,
         dlq: bool = False,
         writer_lease: bool = False,
+        fs=None,
     ):
         self.spark = spark
         self.warehouse = warehouse
         self.table_name = table_name
-        self.table = LakeTable(warehouse, table_name, delta_codec=delta_codec)
+        # ``fs`` (lake/fs.py) makes the WHOLE warehouse portable: table
+        # manifests, metrics and DLQ driver-side IO all route through it
+        self.table = LakeTable(warehouse, table_name,
+                               delta_codec=delta_codec, fs=fs)
+        self.fs = self.table.fs
         self.metrics_dir = os.path.join(warehouse, "ingest_metrics")
         self.n_buckets = n_buckets
         self.salt_buckets = salt_buckets
@@ -310,32 +315,30 @@ class IngestRunner:
         batch's existing quarantine by (part_id, lsn) — each dead letter
         is kept exactly once no matter how many delivery attempts carry
         it."""
-        import shutil as _sh
         import uuid as _uuid
 
         import pyarrow as pa2
-        import pyarrow.parquet as pq2
 
         dlq_dir = os.path.join(self.warehouse, f"{self.table_name}_dlq",
                                f"batch={batch_id}")
         tmp_dir = os.path.join(self.warehouse, f"{self.table_name}_dlq",
                                f".attempt-{_uuid.uuid4().hex}")
-        rejected.write.mode("overwrite").parquet(tmp_dir)
+        rejected.write.mode("overwrite").parquet(self.fs.spark_path(tmp_dir))
         seen = set()
-        if os.path.isdir(dlq_dir):
-            for fn in os.listdir(dlq_dir):
+        if self.fs.isdir(dlq_dir):
+            for fn in self.fs.listdir(dlq_dir):
                 if fn.endswith(".parquet"):
-                    t = pq2.read_table(os.path.join(dlq_dir, fn),
-                                       columns=["part_id", "lsn"])
+                    t = self.fs.parquet_read(os.path.join(dlq_dir, fn),
+                                             columns=["part_id", "lsn"])
                     seen.update(zip(t["part_id"].to_pylist(),
                                     t["lsn"].to_pylist()))
         n_rej = 0
         n_in_batch = 0
         tag = _uuid.uuid4().hex[:8]
-        for fn in sorted(os.listdir(tmp_dir)):
+        for fn in sorted(self.fs.listdir(tmp_dir)):
             if not fn.endswith(".parquet"):
                 continue
-            t = pq2.read_table(os.path.join(tmp_dir, fn))
+            t = self.fs.parquet_read(os.path.join(tmp_dir, fn))
             if t.num_rows == 0:
                 continue
             n_in_batch += t.num_rows
@@ -346,17 +349,14 @@ class IngestRunner:
                 if not keep:
                     continue
                 t = t.take(pa2.array(keep, type=pa2.int64()))
-            os.makedirs(dlq_dir, exist_ok=True)
+            self.fs.makedirs(dlq_dir)
             out = os.path.join(dlq_dir, f"{tag}-{fn}")
-            pq2.write_table(t, out + ".inprogress")
-            os.replace(out + ".inprogress", out)
+            self.fs.parquet_write(t, out + ".inprogress")
+            self.fs.rename(out + ".inprogress", out)
             n_rej += t.num_rows
-        _sh.rmtree(tmp_dir, ignore_errors=True)
+        self.fs.rmtree(tmp_dir)
         if n_rej == 0:
-            import contextlib
-
-            with contextlib.suppress(OSError):  # parent only if empty
-                os.rmdir(os.path.dirname(dlq_dir))
+            self.fs.rmdir_if_empty(os.path.dirname(dlq_dir))
         self._last_dlq_count = n_rej
         self._last_dlq_in_batch = n_in_batch
 
@@ -787,18 +787,19 @@ class IngestRunner:
         writes them in microseconds. (On a cluster the metrics table would
         be object-store parquet just the same.)"""
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        os.makedirs(self.metrics_dir, exist_ok=True)
+        self.fs.makedirs(self.metrics_dir)
         names = [f.name for f in METRICS_SCHEMA.fields]
         cols = list(zip(*rows)) if rows else [[] for _ in names]
         tbl = pa.table(
             {n: pa.array(c, type=pa.int64() if n != "part_id" else pa.int32())
              for n, c in zip(names, cols)}
         )
-        pq.write_table(tbl, os.path.join(self.metrics_dir, f"batch-{batch_id:06d}.parquet"))
+        self.fs.parquet_write(
+            tbl,
+            os.path.join(self.metrics_dir, f"batch-{batch_id:06d}.parquet"))
         try:
-            entries = [f for f in os.listdir(self.metrics_dir)
+            entries = [f for f in self.fs.listdir(self.metrics_dir)
                        if f.endswith(".parquet")]
         except OSError:
             return
@@ -816,10 +817,9 @@ class IngestRunner:
         Crash-safe in the duplicates-over-loss direction: the folded file
         is published (atomic rename) BEFORE the originals are removed."""
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         paths = [os.path.join(self.metrics_dir, f) for f in sorted(entries)]
-        merged = pa.concat_tables([pq.read_table(p) for p in paths])
+        merged = pa.concat_tables([self.fs.parquet_read(p) for p in paths])
         df = merged.to_pandas().drop_duplicates(
             ["batch_id", "part_id"], keep="last")
         hi = int(df["batch_id"].max()) if len(df) else 0
@@ -828,14 +828,14 @@ class IngestRunner:
         # a crash mid-write can never leave a truncated file that breaks
         # (or a complete one that double-counts) every later metrics read
         tmp = os.path.join(self.metrics_dir, f".agg-{hi:09d}.inprogress")
-        pq.write_table(
+        self.fs.parquet_write(
             pa.Table.from_pandas(df, schema=merged.schema,
                                  preserve_index=False), tmp)
-        os.replace(tmp, out)
+        self.fs.rename(tmp, out)
         for p in paths:
             if p != out:
                 try:
-                    os.remove(p)
+                    self.fs.remove(p)
                 except FileNotFoundError:
                     pass
 
@@ -870,4 +870,5 @@ class IngestRunner:
         }
 
     def read_metrics(self) -> DataFrame:
-        return self.spark.read.schema(METRICS_SCHEMA).parquet(self.metrics_dir)
+        return self.spark.read.schema(METRICS_SCHEMA).parquet(
+            self.fs.spark_path(self.metrics_dir))

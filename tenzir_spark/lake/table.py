@@ -35,11 +35,12 @@ from __future__ import annotations
 
 import json
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from tenzir_spark.lake.fs import LocalFS
 
 BUCKET_COL = "_bucket"
 COMMIT_COL = "_commit"
@@ -49,21 +50,19 @@ LSN_COL = "_lsn"    # winner LSN carried in delta files (one-job stats mode:
 NEV_COL = "_n_ev"   # watermarks + dedup counts come from delta footers)
 
 
-def _atomic_write(path: str, payload: str) -> None:
-    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(payload)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
-
-
 class LakeTable:
-    """Single-writer ACID table. ``root = <warehouse>/<name>``."""
+    """Single-writer ACID table. ``root = <warehouse>/<name>``.
 
-    def __init__(self, warehouse: str, name: str, delta_codec: str = "zstd"):
+    ``fs`` is the driver-side filesystem for ALL manifest/state IO and
+    driver-side data-file bookkeeping (lake/fs.py — LocalFS default;
+    ArrowFS for s3a://gcs/HDFS warehouses). Spark data scans/writes go
+    through ``fs.spark_path`` so the JVM sees the matching URI."""
+
+    def __init__(self, warehouse: str, name: str, delta_codec: str = "zstd",
+                 fs=None):
         import threading
 
+        self.fs = fs or LocalFS()
         self.root = os.path.join(warehouse, name)
         self.data_dir = os.path.join(self.root, "data")
         self.meta_dir = os.path.join(self.root, "_snapshots")
@@ -81,7 +80,7 @@ class LakeTable:
         # True while a fold is reading a pinned snapshot outside the lock;
         # expire_snapshots refuses to delete files under a live fold
         self._compacting = False
-        self._lease_fd: int | None = None
+        self._lease_handle = None
 
     def _alloc_commit_id(self) -> int:
         """Commit ids name data directories (``_commit=<id>``) and define
@@ -122,7 +121,7 @@ class LakeTable:
 
     # ---------------------------------------------------------------- meta
     def exists(self) -> bool:
-        return os.path.exists(self.head_path)
+        return self.fs.exists(self.head_path)
 
     def create(
         self,
@@ -133,8 +132,8 @@ class LakeTable:
     ) -> None:
         if self.exists():
             raise ValueError(f"table already exists at {self.root}")
-        os.makedirs(self.data_dir, exist_ok=True)
-        os.makedirs(self.meta_dir, exist_ok=True)
+        self.fs.makedirs(self.data_dir)
+        self.fs.makedirs(self.meta_dir)
         snap = {
             "version": 0,
             "parent": None,
@@ -144,22 +143,22 @@ class LakeTable:
             "files": [],
             "properties": properties or {},
         }
-        _atomic_write(os.path.join(self.meta_dir, "v00000000.json"), json.dumps(snap))
-        _atomic_write(self.head_path, "0")
+        self.fs.write_text_atomic(
+            os.path.join(self.meta_dir, "v00000000.json"), json.dumps(snap))
+        self.fs.write_text_atomic(self.head_path, "0")
 
     def current_version(self) -> int:
-        with open(self.head_path) as f:
-            return int(f.read().strip())
+        return int(self.fs.read_text(self.head_path).strip())
 
     def snapshot(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
-        with open(os.path.join(self.meta_dir, f"v{v:08d}.json")) as f:
-            return json.load(f)
+        return json.loads(
+            self.fs.read_text(os.path.join(self.meta_dir, f"v{v:08d}.json")))
 
     def versions(self) -> list[int]:
         """Snapshot versions still retained on disk, ascending."""
         out = []
-        for fn in os.listdir(self.meta_dir):
+        for fn in self.fs.listdir(self.meta_dir):
             if fn.startswith("v") and fn.endswith(".json"):
                 out.append(int(fn[1:9]))
         return sorted(out)
@@ -235,43 +234,41 @@ class LakeTable:
             "max_cid": hwm,
             **(extra or {}),
         }
-        _atomic_write(os.path.join(self.meta_dir, f"v{version:08d}.json"), json.dumps(snap))
-        _atomic_write(self.head_path, str(version))
+        self.fs.write_text_atomic(
+            os.path.join(self.meta_dir, f"v{version:08d}.json"),
+            json.dumps(snap))
+        self.fs.write_text_atomic(self.head_path, str(version))
         return version
 
     # --------------------------------------------------------------- lease
     def acquire_writer_lease(self) -> None:
         """Single-writer enforcement across PROCESSES (within one process
-        the table lock already serializes): an OS advisory ``flock`` on
-        ``_snapshots/WRITER_LOCK`` held for this instance's lifetime. A
-        second writer fails fast with a clear message instead of
-        corrupting commit-id allocation (two processes would hand out the
-        same cid). Released automatically when the process dies — flock
-        semantics, so there is no stale-lease recovery problem. Readers
-        never take the lease (snapshot isolation needs no lock)."""
-        import fcntl
-
-        if self._lease_fd is not None:
+        the table lock already serializes): on LocalFS an OS advisory
+        ``flock`` on ``_snapshots/WRITER_LOCK`` held for this instance's
+        lifetime — released automatically when the process dies, so there
+        is no stale-lease recovery problem. A second writer fails fast
+        with a clear message instead of corrupting commit-id allocation
+        (two processes would hand out the same cid). On non-POSIX stores
+        the lease is a best-effort lock file with a staleness window
+        (lake/fs.py ArrowFS — single-writer is the deployment contract
+        there). Readers never take the lease (snapshot isolation needs no
+        lock)."""
+        if self._lease_handle is not None:
             return
-        os.makedirs(self.meta_dir, exist_ok=True)
-        fd = os.open(os.path.join(self.meta_dir, "WRITER_LOCK"),
-                     os.O_RDWR | os.O_CREAT, 0o644)
-        try:
-            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-        except OSError:
-            os.close(fd)
+        self.fs.makedirs(self.meta_dir)
+        handle = self.fs.try_acquire_lease(
+            os.path.join(self.meta_dir, "WRITER_LOCK"))
+        if handle is None:
             raise RuntimeError(
                 f"another process holds the writer lease on {self.root}; "
                 "this table is single-writer (concurrent readers are fine)"
-            ) from None
-        os.ftruncate(fd, 0)
-        os.write(fd, str(os.getpid()).encode())
-        self._lease_fd = fd
+            )
+        self._lease_handle = handle
 
     def release_writer_lease(self) -> None:
-        if self._lease_fd is not None:
-            os.close(self._lease_fd)  # closing the fd drops the flock
-            self._lease_fd = None
+        if self._lease_handle is not None:
+            self.fs.release_lease(self._lease_handle)
+            self._lease_handle = None
 
     def _refuse_if_foreign_writer(self, what: str) -> None:
         """Cross-process guard for maintenance GC (expire/orphans): the
@@ -283,25 +280,15 @@ class LakeTable:
         maintenance should construct their IngestRunner with
         ``writer_lease=True`` (the CLI default) so this probe sees them;
         an unleased embedded writer is invisible to cross-process GC."""
-        import fcntl
-
-        if self._lease_fd is not None:
+        if self._lease_handle is not None:
             return  # we ARE the writer; in-process guards apply
-        path = os.path.join(self.meta_dir, "WRITER_LOCK")
-        if not os.path.exists(path):
-            return
-        fd = os.open(path, os.O_RDWR)
-        try:
-            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            fcntl.flock(fd, fcntl.LOCK_UN)
-        except OSError:
+        if self.fs.lease_held_by_other(
+                os.path.join(self.meta_dir, "WRITER_LOCK")):
             raise RuntimeError(
                 f"refusing to {what}: another process holds the writer "
                 f"lease on {self.root} (its background compaction may pin "
                 "files this GC would delete); run maintenance from that "
-                "process or after it exits") from None
-        finally:
-            os.close(fd)
+                "process or after it exits")
 
     # ---------------------------------------------------------------- expr
     def bucket_expr(self, key_col: str) -> F.Column:
@@ -345,10 +332,11 @@ class LakeTable:
         schema = self._read_schema(payload_schema or self.schema(), with_deleted)
         if not file_entries:
             return spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, e["path"]) for e in file_entries]
+        paths = [self.fs.spark_path(os.path.join(self.root, e["path"]))
+                 for e in file_entries]
         out = (
             spark.read.schema(schema)
-            .option("basePath", self.data_dir)
+            .option("basePath", self.fs.spark_path(self.data_dir))
             .parquet(*paths)
         )
         # base files live under ``base=<cid>/_bucket=K/`` with ``_commit``
@@ -502,31 +490,27 @@ class LakeTable:
         (
             out.write.mode("overwrite")
             .partitionBy(BUCKET_COL)
-            .parquet(commit_dir)
+            .parquet(self.fs.spark_path(commit_dir))
         )
         entries = []
-        for dirpath, _dirnames, filenames in os.walk(commit_dir):
-            for fn in filenames:
-                if not fn.endswith(".parquet"):
-                    continue
-                full = os.path.join(dirpath, fn)
-                rel = os.path.relpath(full, self.root)
-                bucket = None
-                for part in dirpath.split(os.sep):
-                    if part.startswith(f"{BUCKET_COL}="):
-                        bucket = int(part.split("=", 1)[1])
-                if bucket is None:
-                    raise RuntimeError(f"unbucketed data file {full}")
-                import pyarrow.parquet as pq
-
-                entries.append(
-                    {
-                        "path": rel,
-                        "bucket": bucket,
-                        "commit": commit_version,
-                        "rows": pq.read_metadata(full).num_rows,
-                    }
-                )
+        for full in self.fs.walk_files(commit_dir):
+            if not full.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(full, self.root)
+            bucket = None
+            for part in os.path.dirname(full).split(os.sep):
+                if part.startswith(f"{BUCKET_COL}="):
+                    bucket = int(part.split("=", 1)[1])
+            if bucket is None:
+                raise RuntimeError(f"unbucketed data file {full}")
+            entries.append(
+                {
+                    "path": rel,
+                    "bucket": bucket,
+                    "commit": commit_version,
+                    "rows": self.fs.parquet_metadata(full).num_rows,
+                }
+            )
         return entries
 
     def delta_commit(
@@ -585,18 +569,16 @@ class LakeTable:
         # serialize that whole stage onto one task
         out.write.mode("overwrite").option(
             "compression", self.delta_codec
-        ).parquet(commit_dir)
-
-        import pyarrow.parquet as pq
+        ).parquet(self.fs.spark_path(commit_dir))
 
         entries = []
         buckets: set[int] = set()
         total = 0
-        for fn in sorted(os.listdir(commit_dir)):
+        for fn in sorted(self.fs.listdir(commit_dir)):
             if not fn.endswith(".parquet"):
                 continue
             full = os.path.join(commit_dir, fn)
-            md = pq.read_metadata(full)
+            md = self.fs.parquet_metadata(full)
             rows = md.num_rows
             fbuckets: set[int] = set()
             idx = md.schema.names.index(BUCKET_COL)
@@ -606,9 +588,7 @@ class LakeTable:
                     fbuckets.update(range(int(st.min), int(st.max) + 1))
                 else:  # fall back to the column itself (tiny)
                     fbuckets.update(
-                        pq.read_table(full, columns=[BUCKET_COL])[BUCKET_COL]
-                        .to_pylist()
-                    )
+                        self.fs.parquet_column(full, BUCKET_COL))
                     break
             total += rows
             buckets |= fbuckets
@@ -627,9 +607,7 @@ class LakeTable:
         new_props = properties(entries) if callable(properties) else properties
         if total == 0:
             # empty delta: drop the files; commit only if schema/props moved
-            import shutil
-
-            shutil.rmtree(commit_dir, ignore_errors=True)
+            self.fs.rmtree(commit_dir)
             entries = []
         with self._lock:
             snap = self.snapshot()
@@ -784,13 +762,13 @@ class LakeTable:
             # harmless orphan files (remove_orphan_files' job), never a
             # retained-looking manifest whose data is already gone
             for v in dropped:
-                os.remove(os.path.join(self.meta_dir, f"v{v:08d}.json"))
+                self.fs.remove(os.path.join(self.meta_dir, f"v{v:08d}.json"))
             n_bytes = 0
             for rel in sorted(dead):
                 full = os.path.join(self.root, rel)
                 try:
-                    n_bytes += os.path.getsize(full)
-                    os.remove(full)
+                    n_bytes += self.fs.size(full)
+                    self.fs.remove(full)
                 except FileNotFoundError:
                     pass
             self._prune_empty_data_dirs()
@@ -805,18 +783,18 @@ class LakeTable:
         ``_temporary/<app>/_temporary/attempt_*`` dirs, and rmdir'ing one
         makes the in-flight task's output create/chmod fail, aborting the
         whole batch job (observed at 10^9-event endurance scale)."""
-        for dirpath, _dirnames, _filenames in os.walk(self.data_dir, topdown=False):
+        for dirpath in self.fs.walk_dirs_bottom_up(self.data_dir):
             rel = os.path.relpath(dirpath, self.data_dir)
             parts = rel.split(os.sep)
             if any(p.startswith(("_temporary", ".")) for p in parts):
                 continue
             # live listdir, not the walk's snapshot: children pruned this
             # pass already left the directory, so parents fold up in one go
-            if dirpath != self.data_dir and not os.listdir(dirpath):
-                try:
-                    os.rmdir(dirpath)
-                except OSError:
-                    pass
+            try:
+                if not self.fs.listdir(dirpath):
+                    self.fs.rmdir_if_empty(dirpath)
+            except FileNotFoundError:
+                pass
 
     def remove_orphan_files(self, older_than_s: float = 3600.0) -> dict:
         """Iceberg ``remove_orphan_files`` analog: delete data files that
@@ -847,21 +825,18 @@ class LakeTable:
                 live.update(e["path"] for e in self.snapshot(v)["files"])
             cutoff = time.time() - older_than_s
             removed, n_bytes = 0, 0
-            for dirpath, _dirnames, filenames in os.walk(self.data_dir):
-                for fn in filenames:
-                    full = os.path.join(dirpath, fn)
-                    rel = os.path.relpath(full, self.root)
-                    if rel in live:
+            for full in self.fs.walk_files(self.data_dir):
+                rel = os.path.relpath(full, self.root)
+                if rel in live:
+                    continue
+                try:
+                    if self.fs.mtime(full) >= cutoff:
                         continue
-                    try:
-                        st = os.stat(full)
-                        if st.st_mtime >= cutoff:
-                            continue
-                        n_bytes += st.st_size
-                        os.remove(full)
-                        removed += 1
-                    except FileNotFoundError:
-                        pass
+                    n_bytes += self.fs.size(full)
+                    self.fs.remove(full)
+                    removed += 1
+                except FileNotFoundError:
+                    pass
             self._prune_empty_data_dirs()
             return {"deleted_files": removed, "deleted_bytes": n_bytes}
 

@@ -87,13 +87,13 @@ from __future__ import annotations
 import json
 import math
 import os
-import shutil
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from tenzir_spark.lake.fs import LocalFS
 from tenzir_spark.operators.clustering import connected_components
 from tenzir_spark.operators.dedup import (
     char_shingles,
@@ -192,15 +192,17 @@ def _prune_hot_bands(banded: DataFrame, id_name: str, idx_band: DataFrame,
     return banded.join(allowed, "band"), idx_band.join(allowed, "band")
 
 
-def _has_batches(p: str) -> bool:
-    return os.path.isdir(p) and any(
-        e.startswith("batch=") for e in os.listdir(p))
+def _has_batches(p: str, fs=None) -> bool:
+    fs = fs or LocalFS()
+    return fs.isdir(p) and any(
+        e.startswith("batch=") for e in fs.listdir(p))
 
 
-def _batch_ids(p: str) -> set[int]:
-    if not os.path.isdir(p):
+def _batch_ids(p: str, fs=None) -> set[int]:
+    fs = fs or LocalFS()
+    if not fs.isdir(p):
         return set()
-    return {int(e.split("=", 1)[1]) for e in os.listdir(p)
+    return {int(e.split("=", 1)[1]) for e in fs.listdir(p)
             if e.startswith("batch=")}
 
 
@@ -211,34 +213,36 @@ def _empty_bandcnt(spark: SparkSession) -> DataFrame:
     ]))
 
 
-def _write_bandcnt(spark: SparkSession, band_dir: str, cnt_dir: str) -> None:
+def _write_bandcnt(spark: SparkSession, band_dir: str, cnt_dir: str,
+                   fs=None) -> None:
     """Per-batch band populations, written at add-time so probes read a
     distinct-bands-sized table instead of re-counting the full band
     table every batch (sum over batches == direct count — fold-safe)."""
+    fs = fs or LocalFS()
     (
-        spark.read.parquet(band_dir)
+        spark.read.parquet(fs.spark_path(band_dir))
         .groupBy("band").agg(F.count("id").alias("c"))
-        .write.mode("overwrite").parquet(cnt_dir)
+        .write.mode("overwrite").parquet(fs.spark_path(cnt_dir))
     )
 
 
 def _backfill_bandcnt(spark: SparkSession, band_root: str,
-                      cnt_root: str) -> int:
+                      cnt_root: str, fs=None) -> int:
     """Heal bandcnt partitions missing for existing band partitions (an
     index created before bandcnt existed, or a crash between the band
     and bandcnt writes) — restores the incremental sum's full coverage
     so probes never silently undercount after a later fold masks the
     gap. No-op (one listdir) in the steady state."""
-    missing = _batch_ids(band_root) - _batch_ids(cnt_root)
+    missing = _batch_ids(band_root, fs) - _batch_ids(cnt_root, fs)
     for b in sorted(missing):
         _write_bandcnt(spark, f"{band_root}/batch={b}",
-                       f"{cnt_root}/batch={b}")
+                       f"{cnt_root}/batch={b}", fs)
     return len(missing)
 
 
 def _read_bandcnt(spark: SparkSession, path: str, batch_id: int,
                   idx_band: DataFrame,
-                  band_path: str | None = None) -> DataFrame:
+                  band_path: str | None = None, fs=None) -> DataFrame:
     """(band, _ci) for partitions ``batch < batch_id`` — summed per-batch
     counts. Falls back to counting ``idx_band`` directly when the cnt
     table is missing OR only PARTIALLY covers the band table's batch
@@ -248,12 +252,13 @@ def _read_bandcnt(spark: SparkSession, path: str, batch_id: int,
     undercount the old batches' bands and mis-prune the skew guard) —
     correctness identical, just the slower full-count path for that
     probe."""
-    covered = {b for b in _batch_ids(path) if b < batch_id}
-    needed = ({b for b in _batch_ids(band_path) if b < batch_id}
+    fs = fs or LocalFS()
+    covered = {b for b in _batch_ids(path, fs) if b < batch_id}
+    needed = ({b for b in _batch_ids(band_path, fs) if b < batch_id}
               if band_path is not None else (covered or None))
     if covered and needed is not None and needed <= covered:
         return (
-            spark.read.parquet(path)
+            spark.read.parquet(fs.spark_path(path))
             .filter(F.col("batch") < batch_id)
             .groupBy("band").agg(F.sum("c").alias("_ci"))
         )
@@ -263,7 +268,7 @@ def _read_bandcnt(spark: SparkSession, path: str, batch_id: int,
 _FOLD_MARKER = ".FOLD_COMMIT"
 
 
-def _apply_fold(path: str) -> None:
+def _apply_fold(path: str, fs=None) -> None:
     """Roll a committed fold forward: remove the folded partition dirs,
     rename the temp dir into place, drop the marker. Idempotent — safe
     to re-run from any crash point after the marker was written.
@@ -273,36 +278,38 @@ def _apply_fold(path: str) -> None:
     the rename already happened — re-running the removal list there
     would delete the renamed target (it is itself one of the folded
     names) and destroy the folded data."""
+    fs = fs or LocalFS()
     marker = os.path.join(path, _FOLD_MARKER)
-    with open(marker) as f:
-        m = json.load(f)
+    m = json.loads(fs.read_text(marker))
     tmp = os.path.join(path, m["tmp"])
     target = os.path.join(path, m["target"])
-    if os.path.isdir(tmp):
+    if fs.isdir(tmp):
         for d in m["remove"]:
-            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-        os.rename(tmp, target)
-    os.remove(marker)
+            fs.rmtree(os.path.join(path, d))
+        fs.rename(tmp, target)
+    fs.remove(marker)
 
 
-def _recover_fold(path: str) -> None:
+def _recover_fold(path: str, fs=None) -> None:
     """Finish a crashed fold (marker present → roll FORWARD; the temp
     dir holds the complete folded data, so forward is always safe) and
     clear uncommitted fold temps (no marker → the fold never happened)."""
-    if not os.path.isdir(path):
+    fs = fs or LocalFS()
+    if not fs.isdir(path):
         return
-    if os.path.exists(os.path.join(path, _FOLD_MARKER)):
-        _apply_fold(path)
-    for e in os.listdir(path):
+    if fs.exists(os.path.join(path, _FOLD_MARKER)):
+        _apply_fold(path, fs)
+    for e in fs.listdir(path):
         if e.startswith(".fold."):
-            shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+            fs.rmtree(os.path.join(path, e))
         elif e.startswith(_FOLD_MARKER + ".tmp."):
             # crash during the marker write itself — the fold never
             # committed, so the stale temp file is pure junk
-            os.remove(os.path.join(path, e))
+            fs.remove(os.path.join(path, e))
 
 
-def _fold_partitions(spark: SparkSession, path: str, upto_batch: int) -> int:
+def _fold_partitions(spark: SparkSession, path: str, upto_batch: int,
+                     fs=None) -> int:
     """Fold every ``batch=<n>`` partition with ``n < upto_batch`` into a
     single partition named after the LARGEST folded id — future probes
     (``batch < b`` with monotone b > every folded id) see identical
@@ -311,34 +318,30 @@ def _fold_partitions(spark: SparkSession, path: str, upto_batch: int) -> int:
     point). Crash-safe: folded rows land in a dot-temp dir (invisible
     to Spark's partition discovery), a marker commits the swap, and
     recovery rolls forward. Returns the number of partitions folded."""
-    _recover_fold(path)
-    if not os.path.isdir(path):
+    fs = fs or LocalFS()
+    _recover_fold(path, fs)
+    if not fs.isdir(path):
         return 0
     ids = sorted(
         int(e.split("=", 1)[1])
-        for e in os.listdir(path)
+        for e in fs.listdir(path)
         if e.startswith("batch=") and int(e.split("=", 1)[1]) < upto_batch
     )
     if len(ids) <= 1:
         return 0
     target = ids[-1]
     folded = (
-        spark.read.parquet(path)
+        spark.read.parquet(fs.spark_path(path))
         .filter(F.col("batch") < upto_batch)
         .drop("batch")
     )
     tmp = f".fold.{uuid.uuid4().hex}"
-    folded.write.parquet(os.path.join(path, tmp))
+    folded.write.parquet(fs.spark_path(os.path.join(path, tmp)))
     marker = {"remove": [f"batch={i}" for i in ids], "tmp": tmp,
               "target": f"batch={target}"}
-    mp = os.path.join(path, _FOLD_MARKER)
-    mtmp = f"{mp}.tmp.{uuid.uuid4().hex}"
-    with open(mtmp, "w") as f:
-        f.write(json.dumps(marker))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(mtmp, mp)
-    _apply_fold(path)
+    fs.write_text_atomic(os.path.join(path, _FOLD_MARKER),
+                         json.dumps(marker))
+    _apply_fold(path, fs)
     return len(ids)
 
 
@@ -354,11 +357,12 @@ class NearDupIndex:
 
     def __init__(self, root: str, *, k: int = 5, num_hashes: int = 16,
                  bands: int = 4, sig_threshold: float = 0.5,
-                 max_iter: int = 50, max_bucket: int | None = 64):
+                 max_iter: int = 50, max_bucket: int | None = 64, fs=None):
         if num_hashes % bands:
             raise ValueError("num_hashes must be divisible by bands")
         if not (0.0 < sig_threshold <= 1.0):
             raise ValueError("sig_threshold must be in (0, 1]")
+        self.fs = fs or LocalFS()
         self.root = root.rstrip("/")
         self.k = k
         # band keys whose COMBINED population (batch rows + indexed
@@ -415,28 +419,29 @@ class NearDupIndex:
         """(sig, band, bandcnt) probe tables from partitions
         ``batch < batch_id``; empty frames with the right schema when
         the index is fresh."""
-        _recover_fold(self._sig_path)
-        _recover_fold(self._band_path)
-        _recover_fold(self._bandcnt_path)
+        _recover_fold(self._sig_path, self.fs)
+        _recover_fold(self._band_path, self.fs)
+        _recover_fold(self._bandcnt_path, self.fs)
 
         # BOTH core tables must exist: a crash between ingest's sig and
         # band writes can leave the sig root alone (first-ever batch) —
         # those docs are un-probe-able until the unacked batch is
         # redelivered, never a read error (the documented crash window)
-        if _has_batches(self._sig_path) and _has_batches(self._band_path):
+        if _has_batches(self._sig_path, self.fs) and _has_batches(
+                self._band_path, self.fs):
             sig = (
-                spark.read.parquet(self._sig_path)
+                spark.read.parquet(self.fs.spark_path(self._sig_path))
                 .filter(F.col("batch") < batch_id)
                 .select(F.col("id").alias("_iid"), F.col("sig").alias("_isig"))
             )
             band = (
-                spark.read.parquet(self._band_path)
+                spark.read.parquet(self.fs.spark_path(self._band_path))
                 .filter(F.col("batch") < batch_id)
                 .select("band", F.col("id").alias("_iid"))
             )
             return sig, band, _read_bandcnt(
                 spark, self._bandcnt_path, batch_id, band,
-                band_path=self._band_path)
+                band_path=self._band_path, fs=self.fs)
         empty_sig = spark.createDataFrame([], T.StructType([
             T.StructField("_iid", id_type),
             T.StructField("_isig", T.ArrayType(T.LongType())),
@@ -554,10 +559,10 @@ class NearDupIndex:
                     F.col("_nd_sig").alias("sig"))
         )
         sig_dir = f"{self._sig_path}/batch={batch_id}"
-        kept_sigs.write.mode("overwrite").parquet(sig_dir)
+        kept_sigs.write.mode("overwrite").parquet(self.fs.spark_path(sig_dir))
         # bands derive from the JUST-WRITTEN sig parquet — the expensive
         # classification plan runs once, the band write reads ~150 B/doc
-        written = df.sparkSession.read.parquet(sig_dir)
+        written = df.sparkSession.read.parquet(self.fs.spark_path(sig_dir))
         band_dir = f"{self._band_path}/batch={batch_id}"
         (
             written.select(
@@ -568,12 +573,12 @@ class NearDupIndex:
                 "id",
             )
             .write.mode("overwrite")
-            .parquet(band_dir)
+            .parquet(self.fs.spark_path(band_dir))
         )
         _write_bandcnt(df.sparkSession, band_dir,
-                       f"{self._bandcnt_path}/batch={batch_id}")
+                       f"{self._bandcnt_path}/batch={batch_id}", self.fs)
         _backfill_bandcnt(df.sparkSession, self._band_path,
-                          self._bandcnt_path)
+                          self._bandcnt_path, self.fs)
         return out.drop("_nd_sig")
 
     # ------------------------------------------------------------------
@@ -587,19 +592,20 @@ class NearDupIndex:
         marker applied by every subsequent probe. Single-writer contract
         as the lake: do not compact concurrently with ingest."""
         return {
-            "sig_folded": _fold_partitions(spark, self._sig_path, upto_batch),
+            "sig_folded": _fold_partitions(spark, self._sig_path, upto_batch,
+                                           self.fs),
             "band_folded": _fold_partitions(spark, self._band_path,
-                                            upto_batch),
+                                            upto_batch, self.fs),
             "bandcnt_folded": _fold_partitions(spark, self._bandcnt_path,
-                                               upto_batch),
+                                               upto_batch, self.fs),
         }
 
     def stats(self, spark: SparkSession) -> dict:
         """Index size facts (indexed docs, batches) from the parquet."""
-        _recover_fold(self._sig_path)
-        if not os.path.isdir(self._sig_path):
+        _recover_fold(self._sig_path, self.fs)
+        if not self.fs.isdir(self._sig_path):
             return {"indexed_docs": 0, "batches": 0}
-        sig = spark.read.parquet(self._sig_path)
+        sig = spark.read.parquet(self.fs.spark_path(self._sig_path))
         n = sig.count()
         b = sig.select("batch").distinct().count()
         return {"indexed_docs": n, "batches": b}
@@ -631,13 +637,14 @@ class CosineDupIndex:
 
     def __init__(self, root: str, dim: int, *, n_bits: int = 4,
                  bands: int = 4, threshold: float = 0.9,
-                 max_iter: int = 50, max_bucket: int | None = 64):
+                 max_iter: int = 50, max_bucket: int | None = 64, fs=None):
         if not (0 < n_bits <= 30):
             raise ValueError("n_bits must be in (0, 30]")
         if not (-1.0 <= threshold <= 1.0):
             raise ValueError("threshold must be a cosine in [-1, 1]")
         from tenzir_spark.operators.similarity import rademacher_planes
 
+        self.fs = fs or LocalFS()
         self.root = root.rstrip("/")
         self.dim = dim
         self.n_bits = n_bits
@@ -678,24 +685,25 @@ class CosineDupIndex:
             self, spark: SparkSession, batch_id: int, id_type: T.DataType,
             emb_type: T.DataType,
     ) -> tuple[DataFrame, DataFrame, DataFrame]:
-        _recover_fold(self._emb_path)
-        _recover_fold(self._band_path)
-        _recover_fold(self._bandcnt_path)
+        _recover_fold(self._emb_path, self.fs)
+        _recover_fold(self._band_path, self.fs)
+        _recover_fold(self._bandcnt_path, self.fs)
 
-        if _has_batches(self._emb_path) and _has_batches(self._band_path):
+        if _has_batches(self._emb_path, self.fs) and _has_batches(
+                self._band_path, self.fs):
             emb = (
-                spark.read.parquet(self._emb_path)
+                spark.read.parquet(self.fs.spark_path(self._emb_path))
                 .filter(F.col("batch") < batch_id)
                 .select(F.col("id").alias("_iid"), F.col("e").alias("_ie"))
             )
             band = (
-                spark.read.parquet(self._band_path)
+                spark.read.parquet(self.fs.spark_path(self._band_path))
                 .filter(F.col("batch") < batch_id)
                 .select("band", F.col("id").alias("_iid"))
             )
             return emb, band, _read_bandcnt(
                 spark, self._bandcnt_path, batch_id, band,
-                band_path=self._band_path)
+                band_path=self._band_path, fs=self.fs)
         empty_emb = spark.createDataFrame([], T.StructType([
             T.StructField("_iid", id_type),
             T.StructField("_ie", emb_type),
@@ -791,19 +799,19 @@ class CosineDupIndex:
                     F.col("_nd_emb").alias("e"))
         )
         emb_dir = f"{self._emb_path}/batch={batch_id}"
-        kept.write.mode("overwrite").parquet(emb_dir)
-        written = df.sparkSession.read.parquet(emb_dir)
+        kept.write.mode("overwrite").parquet(self.fs.spark_path(emb_dir))
+        written = df.sparkSession.read.parquet(self.fs.spark_path(emb_dir))
         band_dir = f"{self._band_path}/batch={batch_id}"
         (
             written.select(F.col("e").alias("_ne"), "id")
             .select(F.explode(self._band_keys()).alias("band"), "id")
             .write.mode("overwrite")
-            .parquet(band_dir)
+            .parquet(self.fs.spark_path(band_dir))
         )
         _write_bandcnt(df.sparkSession, band_dir,
-                       f"{self._bandcnt_path}/batch={batch_id}")
+                       f"{self._bandcnt_path}/batch={batch_id}", self.fs)
         _backfill_bandcnt(df.sparkSession, self._band_path,
-                          self._bandcnt_path)
+                          self._bandcnt_path, self.fs)
         return out.drop("_nd_emb")
 
     # ------------------------------------------------------------------
@@ -812,18 +820,18 @@ class CosineDupIndex:
         contract)."""
         return {
             "emb_folded": _fold_partitions(spark, self._emb_path,
-                                           upto_batch),
+                                           upto_batch, self.fs),
             "band_folded": _fold_partitions(spark, self._band_path,
-                                            upto_batch),
+                                            upto_batch, self.fs),
             "bandcnt_folded": _fold_partitions(spark, self._bandcnt_path,
-                                               upto_batch),
+                                               upto_batch, self.fs),
         }
 
     def stats(self, spark: SparkSession) -> dict:
-        _recover_fold(self._emb_path)
-        if not os.path.isdir(self._emb_path):
+        _recover_fold(self._emb_path, self.fs)
+        if not self.fs.isdir(self._emb_path):
             return {"indexed_docs": 0, "batches": 0}
-        e = spark.read.parquet(self._emb_path)
+        e = spark.read.parquet(self.fs.spark_path(self._emb_path))
         return {"indexed_docs": e.count(),
                 "batches": e.select("batch").distinct().count()}
 
@@ -841,16 +849,16 @@ class ExactDupIndex:
     kept. Kept docs' hashes are appended. Same append-only caveat as
     NearDupIndex (see module docstring)."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, fs=None):
+        self.fs = fs or LocalFS()
         self.root = root.rstrip("/")
         self._hash_path = f"{self.root}/hash"
 
     def _index_hashes(self, spark: SparkSession, batch_id: int) -> DataFrame:
-        _recover_fold(self._hash_path)
-        if os.path.isdir(self._hash_path) and any(
-                e.startswith("batch=") for e in os.listdir(self._hash_path)):
+        _recover_fold(self._hash_path, self.fs)
+        if _has_batches(self._hash_path, self.fs):
             return (
-                spark.read.parquet(self._hash_path)
+                spark.read.parquet(self.fs.spark_path(self._hash_path))
                 .filter(F.col("batch") < batch_id)
                 .select(F.col("h").alias("_ih"))
             )
@@ -910,7 +918,7 @@ class ExactDupIndex:
             .filter(F.col("h").isNotNull())  # unscorable NULL text
             .distinct()
             .write.mode("overwrite")
-            .parquet(f"{self._hash_path}/batch={batch_id}")
+            .parquet(self.fs.spark_path(f"{self._hash_path}/batch={batch_id}"))
         )
         return out.drop("_xh")
 
@@ -918,12 +926,12 @@ class ExactDupIndex:
         """Fold acked per-batch hash partitions below ``upto_batch``
         into one (see NearDupIndex.compact for the contract)."""
         return {"hash_folded": _fold_partitions(
-            spark, self._hash_path, upto_batch)}
+            spark, self._hash_path, upto_batch, self.fs)}
 
     def stats(self, spark: SparkSession) -> dict:
-        _recover_fold(self._hash_path)
-        if not os.path.isdir(self._hash_path):
+        _recover_fold(self._hash_path, self.fs)
+        if not self.fs.isdir(self._hash_path):
             return {"indexed_hashes": 0, "batches": 0}
-        h = spark.read.parquet(self._hash_path)
+        h = spark.read.parquet(self.fs.spark_path(self._hash_path))
         return {"indexed_hashes": h.count(),
                 "batches": h.select("batch").distinct().count()}

@@ -257,7 +257,7 @@ def test_fold_crash_rolls_forward(spark, tmp_path, monkeypatch):
     idx.ingest(_docs(spark, [("d1", A)]), "text", "doc_id", 0)
     idx.ingest(_docs(spark, [("d2", B)]), "text", "doc_id", 1)
     # crash right after the marker commit: _apply_fold never runs
-    monkeypatch.setattr(di, "_apply_fold", lambda path: None)
+    monkeypatch.setattr(di, "_apply_fold", lambda path, fs=None: None)
     idx.compact(spark, upto_batch=2)
     monkeypatch.undo()
     import os
