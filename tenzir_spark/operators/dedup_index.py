@@ -55,11 +55,17 @@ Scale shape (the 100 TB contract):
   minhash_near_dup_pairs pattern).
 - Signatures attach only to CANDIDATE rows (post band-join), so the
   quadratic step shuffles 16-byte (id, band) rows.
-- The index side of the probe is a plain parquet scan today; at
-  cluster scale, bucket ``band/`` by band key so the probe is a
-  co-partitioned join with no index shuffle per batch. Index
-  partitions are per-batch directories — compact them with a periodic
-  rewrite exactly like the lake's fold (same trade-off table).
+- The index side of the probe NEVER SHUFFLES: the allowed-band set
+  derives from the batch (bounded by its distinct bands) and is
+  broadcast, so the index band table streams through a map-side hash
+  join and only candidate rows move (see _prune_hot_bands). The scan
+  itself is a columnar (band, id) read; ``band_buckets=N`` opts into a
+  ``bb=``-partitioned layout whose probe statically prunes to the
+  batch's buckets — worthwhile only when per-bucket data is large and
+  batch bands ≪ buckets (measured locally: fan-out overhead dominates,
+  BASELINE.md round-5 A/B), hence opt-in. Index partitions are
+  per-batch directories — compact them with a periodic rewrite exactly
+  like the lake's fold (same trade-off table).
 - Connected components run over pair-connected batch docs only
   (bounded by duplicates, not batch size), with per-round
   localCheckpoint (clustering.py's contract).
@@ -179,17 +185,32 @@ def _prune_hot_bands(banded: DataFrame, id_name: str, idx_band: DataFrame,
     measured as a visible per-batch wall creep). The batch-side counts
     ride the banded exchange (``count(id)``, not ``count(*)`` —
     identical projection keeps ReuseExchange intact, the window_dedup
-    lesson)."""
-    if max_bucket is None:
-        return banded, idx_band
+    lesson).
+
+    Scale shape: only bands PRESENT IN THE BATCH can ever produce
+    candidates (every downstream consumer inner-joins against the
+    batch's band rows), so ``allowed`` derives from the batch side (a
+    LEFT join against the index counts — decision-identical to the old
+    full-join form) and is bounded by the batch's distinct bands:
+    small enough to BROADCAST to the index side. The index band table
+    therefore never shuffles — it streams through a map-side hash join
+    and only matching rows (∝ candidates) move. The previous shape
+    shuffled the ENTIRE index band table per probe, the cost that
+    grows with the corpus instead of the batch."""
     cnt_b = banded.groupBy("band").agg(F.count(id_name).alias("_cb"))
+    if max_bucket is None:
+        # no skew guard: the batch's distinct bands still bound the
+        # index side (pure restriction, no pruning)
+        allowed = cnt_b.select("band")
+        return banded, idx_band.join(F.broadcast(allowed), "band")
     allowed = (
-        cnt_b.join(idx_cnt, "band", "full")
-        .filter((F.coalesce(F.col("_cb"), F.lit(0))
+        cnt_b.join(idx_cnt, "band", "left")
+        .filter((F.col("_cb")
                  + F.coalesce(F.col("_ci"), F.lit(0))) <= max_bucket)
         .select("band")
     )
-    return banded.join(allowed, "band"), idx_band.join(allowed, "band")
+    return (banded.join(allowed, "band"),
+            idx_band.join(F.broadcast(allowed), "band"))
 
 
 def _has_batches(p: str, fs=None) -> bool:
@@ -308,8 +329,55 @@ def _recover_fold(path: str, fs=None) -> None:
             fs.remove(os.path.join(path, e))
 
 
+def _check_layout(fs, root: str, band_path: str,
+                  band_buckets: int | None) -> None:
+    """Enforce one band layout per index lifetime: the ``_META.json``
+    marker records ``band_buckets`` at creation; a mismatched reader
+    gets a clear error instead of Spark's partition-discovery failure
+    (flat and ``bb=``-partitioned batches cannot mix in one scan)."""
+    meta_p = f"{root}/_META.json"
+    if fs.exists(meta_p):
+        stored = json.loads(fs.read_text(meta_p)).get("band_buckets")
+        if stored != band_buckets:
+            raise ValueError(
+                f"dedup index at {root} was created with "
+                f"band_buckets={stored}; this instance was constructed "
+                f"with band_buckets={band_buckets} — the band layout is "
+                "fixed for the index's lifetime")
+    elif band_buckets is not None and _has_batches(band_path, fs):
+        raise ValueError(
+            f"dedup index at {root} has an existing flat band layout "
+            "(pre-band_buckets); it cannot be read as "
+            f"band_buckets={band_buckets} — rebuild the index or use "
+            "band_buckets=None")
+
+
+def _write_layout_marker(fs, root: str, band_buckets: int | None) -> None:
+    meta_p = f"{root}/_META.json"
+    if not fs.exists(meta_p):
+        fs.makedirs(root)
+        fs.write_text_atomic(meta_p,
+                             json.dumps({"band_buckets": band_buckets}))
+
+
+def _band_bucket(col, n: int):
+    """Deterministic sub-bucket of a band key for the partitioned band
+    layout (``bb=<k>`` dirs)."""
+    return F.pmod(F.xxhash64(col), F.lit(n)).cast("int")
+
+
+def _touched_bb(banded: DataFrame, n: int) -> list[int]:
+    """The bb values the batch's band keys hash into — bounded by ``n``
+    (one tiny distinct job riding the banded exchange). These become a
+    STATIC partition filter on the index band scan, so Spark prunes
+    untouched ``bb=`` directories at planning time."""
+    rows = (banded.select(_band_bucket(F.col("band"), n).alias("bb"))
+            .distinct().collect())
+    return sorted(r["bb"] for r in rows)
+
+
 def _fold_partitions(spark: SparkSession, path: str, upto_batch: int,
-                     fs=None) -> int:
+                     fs=None, partition_by: list[str] | None = None) -> int:
     """Fold every ``batch=<n>`` partition with ``n < upto_batch`` into a
     single partition named after the LARGEST folded id — future probes
     (``batch < b`` with monotone b > every folded id) see identical
@@ -336,7 +404,11 @@ def _fold_partitions(spark: SparkSession, path: str, upto_batch: int,
         .drop("batch")
     )
     tmp = f".fold.{uuid.uuid4().hex}"
-    folded.write.parquet(fs.spark_path(os.path.join(path, tmp)))
+    w = folded.write
+    if partition_by:
+        # preserve the sub-partitioned layout (bucketed band tables)
+        w = w.partitionBy(*partition_by)
+    w.parquet(fs.spark_path(os.path.join(path, tmp)))
     marker = {"remove": [f"batch={i}" for i in ids], "tmp": tmp,
               "target": f"batch={target}"}
     fs.write_text_atomic(os.path.join(path, _FOLD_MARKER),
@@ -357,12 +429,23 @@ class NearDupIndex:
 
     def __init__(self, root: str, *, k: int = 5, num_hashes: int = 16,
                  bands: int = 4, sig_threshold: float = 0.5,
-                 max_iter: int = 50, max_bucket: int | None = 64, fs=None):
+                 max_iter: int = 50, max_bucket: int | None = 64,
+                 band_buckets: int | None = None, fs=None):
         if num_hashes % bands:
             raise ValueError("num_hashes must be divisible by bands")
         if not (0.0 < sig_threshold <= 1.0):
             raise ValueError("sig_threshold must be in (0, 1]")
+        if band_buckets is not None and band_buckets < 2:
+            raise ValueError("band_buckets must be >= 2 (or None)")
         self.fs = fs or LocalFS()
+        # band_buckets: OPT-IN sub-partitioned band layout
+        # (``band/batch=<b>/bb=<k>/``) — the probe then reads only the
+        # ``bb`` directories the batch's bands hash into (static
+        # partition pruning), so the index-side SCAN cost follows the
+        # batch, not the corpus, once the index dwarfs the batch. Fixed
+        # for the index's lifetime (_META.json layout marker — mixing
+        # layouts would break Spark's partition discovery).
+        self.band_buckets = band_buckets
         self.root = root.rstrip("/")
         self.k = k
         # band keys whose COMBINED population (batch rows + indexed
@@ -415,10 +498,12 @@ class NearDupIndex:
 
     def _index_tables(
             self, spark: SparkSession, batch_id: int, id_type: T.DataType,
+            touched_bb: list[int] | None = None,
     ) -> tuple[DataFrame, DataFrame, DataFrame]:
         """(sig, band, bandcnt) probe tables from partitions
         ``batch < batch_id``; empty frames with the right schema when
-        the index is fresh."""
+        the index is fresh. ``touched_bb`` (bucketed layout) statically
+        prunes the band scan to the batch's ``bb=`` directories."""
         _recover_fold(self._sig_path, self.fs)
         _recover_fold(self._band_path, self.fs)
         _recover_fold(self._bandcnt_path, self.fs)
@@ -434,11 +519,12 @@ class NearDupIndex:
                 .filter(F.col("batch") < batch_id)
                 .select(F.col("id").alias("_iid"), F.col("sig").alias("_isig"))
             )
-            band = (
-                spark.read.parquet(self.fs.spark_path(self._band_path))
-                .filter(F.col("batch") < batch_id)
-                .select("band", F.col("id").alias("_iid"))
-            )
+            band = spark.read.parquet(
+                self.fs.spark_path(self._band_path)
+            ).filter(F.col("batch") < batch_id)
+            if touched_bb is not None:
+                band = band.filter(F.col("bb").isin(touched_bb))
+            band = band.select("band", F.col("id").alias("_iid"))
             return sig, band, _read_bandcnt(
                 spark, self._bandcnt_path, batch_id, band,
                 band_path=self._band_path, fs=self.fs)
@@ -453,19 +539,14 @@ class NearDupIndex:
         return empty_sig, empty_band, _empty_bandcnt(spark)
 
     # ------------------------------------------------------------------
-    def _classify(self, df: DataFrame, text_col: str, id_col: str,
-                  batch_id: int, flag_col: str,
-                  with_sig: bool) -> DataFrame:
-        lower = {c.lower() for c in df.columns}
-        # _nd_sig is created (and, without with_sig, dropped) either way
-        # — a caller's same-named column would silently vanish
-        scratch = ["_nid", "_nsig", "_dropped", "_nd_sig"]
-        for c in [flag_col] + scratch:
-            if c.lower() in lower:
-                raise ValueError(
-                    f"NearDupIndex: input already has a {c!r} column — "
-                    "drop or rename it first (case-insensitive resolution)")
+    def _probe_frames(self, df: DataFrame, text_col: str, id_col: str,
+                      batch_id: int):
+        """(sigs, banded, idx_sig, idx_band) — the probe inputs exactly
+        as classify builds them. The single owner of the probe plan
+        shape; :meth:`probe_candidates` exposes it for plan audits."""
         spark = df.sparkSession
+        _check_layout(self.fs, self.root, self._band_path,
+                      self.band_buckets)
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         # the shingle→md5→signature chain is the dominant compute and has
         # FIVE consumers below (index probe, both pair sides, the decision
@@ -484,9 +565,41 @@ class NearDupIndex:
             ).alias("band"),
         ).repartition(n_parts, "band")
         idx_sig, idx_band, idx_cnt = self._index_tables(
-            spark, batch_id, dtype_of(df.schema, id_col))
+            spark, batch_id, dtype_of(df.schema, id_col),
+            touched_bb=(_touched_bb(banded, self.band_buckets)
+                        if self.band_buckets else None))
         banded, idx_band = _prune_hot_bands(
             banded, "_nid", idx_band, idx_cnt, self.max_bucket)
+        return sigs, banded, idx_sig, idx_band
+
+    def probe_candidates(self, df: DataFrame, text_col: str, id_col: str,
+                         batch_id: int) -> DataFrame:
+        """INTROSPECTION: the index-probe candidate join, lazily — for
+        plan audits (the index side must reach this join through a
+        broadcast of the batch's band set, never a full-index shuffle;
+        bucketed layouts additionally show ``bb`` partition filters).
+        Not part of the dedup decision API."""
+        _, banded, _, idx_band = self._probe_frames(
+            df, text_col, id_col, batch_id)
+        return (banded.join(idx_band, "band")
+                .select("_nid", "_iid")
+                .dropDuplicates(["_nid", "_iid"]))
+
+    def _classify(self, df: DataFrame, text_col: str, id_col: str,
+                  batch_id: int, flag_col: str,
+                  with_sig: bool) -> DataFrame:
+        lower = {c.lower() for c in df.columns}
+        # _nd_sig is created (and, without with_sig, dropped) either way
+        # — a caller's same-named column would silently vanish
+        scratch = ["_nid", "_nsig", "_dropped", "_nd_sig"]
+        for c in [flag_col] + scratch:
+            if c.lower() in lower:
+                raise ValueError(
+                    f"NearDupIndex: input already has a {c!r} column — "
+                    "drop or rename it first (case-insensitive resolution)")
+        spark = df.sparkSession
+        sigs, banded, idx_sig, idx_band = self._probe_frames(
+            df, text_col, id_col, batch_id)
 
         # 1. docs matching the accepted corpus — candidate (new, indexed)
         # id pairs from the band join, verified by signature agreement
@@ -564,21 +677,23 @@ class NearDupIndex:
         # classification plan runs once, the band write reads ~150 B/doc
         written = df.sparkSession.read.parquet(self.fs.spark_path(sig_dir))
         band_dir = f"{self._band_path}/batch={batch_id}"
-        (
-            written.select(
-                F.explode(
-                    minhash_band_keys(F.col("sig"), self.num_hashes,
-                                      self.bands)
-                ).alias("band"),
-                "id",
-            )
-            .write.mode("overwrite")
-            .parquet(self.fs.spark_path(band_dir))
+        band_rows = written.select(
+            F.explode(
+                minhash_band_keys(F.col("sig"), self.num_hashes, self.bands)
+            ).alias("band"),
+            "id",
         )
+        w = band_rows.write.mode("overwrite")
+        if self.band_buckets:
+            w = band_rows.withColumn(
+                "bb", _band_bucket(F.col("band"), self.band_buckets)
+            ).write.mode("overwrite").partitionBy("bb")
+        w.parquet(self.fs.spark_path(band_dir))
         _write_bandcnt(df.sparkSession, band_dir,
                        f"{self._bandcnt_path}/batch={batch_id}", self.fs)
         _backfill_bandcnt(df.sparkSession, self._band_path,
                           self._bandcnt_path, self.fs)
+        _write_layout_marker(self.fs, self.root, self.band_buckets)
         return out.drop("_nd_sig")
 
     # ------------------------------------------------------------------
@@ -594,8 +709,9 @@ class NearDupIndex:
         return {
             "sig_folded": _fold_partitions(spark, self._sig_path, upto_batch,
                                            self.fs),
-            "band_folded": _fold_partitions(spark, self._band_path,
-                                            upto_batch, self.fs),
+            "band_folded": _fold_partitions(
+                spark, self._band_path, upto_batch, self.fs,
+                partition_by=["bb"] if self.band_buckets else None),
             "bandcnt_folded": _fold_partitions(spark, self._bandcnt_path,
                                                upto_batch, self.fs),
         }
@@ -637,14 +753,18 @@ class CosineDupIndex:
 
     def __init__(self, root: str, dim: int, *, n_bits: int = 4,
                  bands: int = 4, threshold: float = 0.9,
-                 max_iter: int = 50, max_bucket: int | None = 64, fs=None):
+                 max_iter: int = 50, max_bucket: int | None = 64,
+                 band_buckets: int | None = None, fs=None):
         if not (0 < n_bits <= 30):
             raise ValueError("n_bits must be in (0, 30]")
         if not (-1.0 <= threshold <= 1.0):
             raise ValueError("threshold must be a cosine in [-1, 1]")
+        if band_buckets is not None and band_buckets < 2:
+            raise ValueError("band_buckets must be >= 2 (or None)")
         from tenzir_spark.operators.similarity import rademacher_planes
 
         self.fs = fs or LocalFS()
+        self.band_buckets = band_buckets  # see NearDupIndex
         self.root = root.rstrip("/")
         self.dim = dim
         self.n_bits = n_bits
@@ -683,7 +803,7 @@ class CosineDupIndex:
 
     def _index_tables(
             self, spark: SparkSession, batch_id: int, id_type: T.DataType,
-            emb_type: T.DataType,
+            emb_type: T.DataType, touched_bb: list[int] | None = None,
     ) -> tuple[DataFrame, DataFrame, DataFrame]:
         _recover_fold(self._emb_path, self.fs)
         _recover_fold(self._band_path, self.fs)
@@ -696,11 +816,12 @@ class CosineDupIndex:
                 .filter(F.col("batch") < batch_id)
                 .select(F.col("id").alias("_iid"), F.col("e").alias("_ie"))
             )
-            band = (
-                spark.read.parquet(self.fs.spark_path(self._band_path))
-                .filter(F.col("batch") < batch_id)
-                .select("band", F.col("id").alias("_iid"))
-            )
+            band = spark.read.parquet(
+                self.fs.spark_path(self._band_path)
+            ).filter(F.col("batch") < batch_id)
+            if touched_bb is not None:
+                band = band.filter(F.col("bb").isin(touched_bb))
+            band = band.select("band", F.col("id").alias("_iid"))
             return emb, band, _read_bandcnt(
                 spark, self._bandcnt_path, batch_id, band,
                 band_path=self._band_path, fs=self.fs)
@@ -731,6 +852,8 @@ class CosineDupIndex:
                     f"CosineDupIndex: input already has a {c!r} column — "
                     "drop or rename it first (case-insensitive resolution)")
         spark = df.sparkSession
+        _check_layout(self.fs, self.root, self._band_path,
+                      self.band_buckets)
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         # 16 dot products per row with multiple consumers below —
         # materialize once (dim×8 B + id per row, micro-batch-bounded)
@@ -741,7 +864,9 @@ class CosineDupIndex:
         ).repartition(n_parts, "band")
         idx_emb, idx_band, idx_cnt = self._index_tables(
             spark, batch_id, dtype_of(df.schema, id_col),
-            dtype_of(df.schema, emb_col))
+            dtype_of(df.schema, emb_col),
+            touched_bb=(_touched_bb(banded, self.band_buckets)
+                        if self.band_buckets else None))
         banded, idx_band = _prune_hot_bands(
             banded, "_nid", idx_band, idx_cnt, self.max_bucket)
 
@@ -802,16 +927,21 @@ class CosineDupIndex:
         kept.write.mode("overwrite").parquet(self.fs.spark_path(emb_dir))
         written = df.sparkSession.read.parquet(self.fs.spark_path(emb_dir))
         band_dir = f"{self._band_path}/batch={batch_id}"
-        (
+        band_rows = (
             written.select(F.col("e").alias("_ne"), "id")
             .select(F.explode(self._band_keys()).alias("band"), "id")
-            .write.mode("overwrite")
-            .parquet(self.fs.spark_path(band_dir))
         )
+        w = band_rows.write.mode("overwrite")
+        if self.band_buckets:
+            w = band_rows.withColumn(
+                "bb", _band_bucket(F.col("band"), self.band_buckets)
+            ).write.mode("overwrite").partitionBy("bb")
+        w.parquet(self.fs.spark_path(band_dir))
         _write_bandcnt(df.sparkSession, band_dir,
                        f"{self._bandcnt_path}/batch={batch_id}", self.fs)
         _backfill_bandcnt(df.sparkSession, self._band_path,
                           self._bandcnt_path, self.fs)
+        _write_layout_marker(self.fs, self.root, self.band_buckets)
         return out.drop("_nd_emb")
 
     # ------------------------------------------------------------------
@@ -821,8 +951,9 @@ class CosineDupIndex:
         return {
             "emb_folded": _fold_partitions(spark, self._emb_path,
                                            upto_batch, self.fs),
-            "band_folded": _fold_partitions(spark, self._band_path,
-                                            upto_batch, self.fs),
+            "band_folded": _fold_partitions(
+                spark, self._band_path, upto_batch, self.fs,
+                partition_by=["bb"] if self.band_buckets else None),
             "bandcnt_folded": _fold_partitions(spark, self._bandcnt_path,
                                                upto_batch, self.fs),
         }

@@ -181,6 +181,62 @@ def test_bandcnt_partial_coverage_falls_back(spark, tmp_path):
     assert kept_ids(out) == ["e1"]
 
 
+def test_band_buckets_layout(spark, tmp_path):
+    """band_buckets=N: the band table is sub-partitioned by ``bb=`` so
+    the probe statically prunes to the batch's buckets — decisions
+    identical to the flat layout, across ingest, redelivery, and a
+    fold (which must preserve the layout)."""
+    import os as _os
+
+    flat = NearDupIndex(str(tmp_path / "flat"))
+    buck = NearDupIndex(str(tmp_path / "buck"), band_buckets=8)
+    batches = [
+        [("d1", A), ("d2", B), ("d3", B)],
+        [("e1", A), ("e2", B), ("e3", C)],
+        [("f1", C), ("f2", D)],
+    ]
+    for i, rows in enumerate(batches):
+        kf = kept_ids(flat.ingest(_docs(spark, rows), "text", "doc_id", i))
+        kb = kept_ids(buck.ingest(_docs(spark, rows), "text", "doc_id", i))
+        assert kf == kb, (i, kf, kb)
+    # the layout is real: bb= dirs under each batch partition
+    band0 = str(tmp_path / "buck" / "band" / "batch=0")
+    assert any(e.startswith("bb=") for e in _os.listdir(band0))
+    # fold preserves the bucketed layout and probes keep working
+    st = buck.compact(spark, upto_batch=3)
+    assert st["band_folded"] == 3
+    folded = str(tmp_path / "buck" / "band" / "batch=2")
+    assert any(e.startswith("bb=") for e in _os.listdir(folded))
+    r = buck.ingest(_docs(spark, [("g1", A), ("g2", "totally novel "
+                                               "content nothing shares "
+                                               "shingles with this")]),
+                    "text", "doc_id", 3)
+    assert kept_ids(r) == ["g2"]
+
+
+def test_band_buckets_layout_mismatch_raises(spark, tmp_path):
+    """The band layout is fixed at index creation: a mismatched reader
+    must get a clear error, not a partition-discovery failure."""
+    root = str(tmp_path / "ndi")
+    NearDupIndex(root, band_buckets=8).ingest(
+        _docs(spark, [("d1", A)]), "text", "doc_id", 0)
+    with pytest.raises(ValueError, match="band_buckets"):
+        NearDupIndex(root).classify(
+            _docs(spark, [("e1", A)]), "text", "doc_id", 1)
+    with pytest.raises(ValueError, match="band_buckets"):
+        NearDupIndex(root, band_buckets=16).classify(
+            _docs(spark, [("e1", A)]), "text", "doc_id", 1)
+    # and a pre-band_buckets FLAT index refuses a bucketed reader
+    root2 = str(tmp_path / "ndi2")
+    NearDupIndex(root2).ingest(_docs(spark, [("d1", A)]),
+                               "text", "doc_id", 0)
+    import os as _os
+    _os.remove(f"{root2}/_META.json")  # simulate the legacy layout
+    with pytest.raises(ValueError, match="flat"):
+        NearDupIndex(root2, band_buckets=8).classify(
+            _docs(spark, [("e1", A)]), "text", "doc_id", 1)
+
+
 def test_dotted_nested_paths(spark, tmp_path):
     """Nested (dotted) field paths — what the pipeline stages' path
     extractor produces — must work for id and content columns."""
