@@ -294,7 +294,10 @@ class _Parser:
         while self.peek()[0] not in ("newline", "eof") and \
                 self.peek() != ("op", "|") and self.peek() != ("op", "}"):
             if args:
-                self.expect("op", ",")
+                # the reference allows `{ ... }` WITHOUT a comma as the
+                # final argument (parser.cpp:215-230)
+                if self.peek() != ("op", "{"):
+                    self.expect("op", ",")
             if (self.peek()[0] == "ident"
                     and self.toks[self.i + 1] == ("op", "=")
                     and self.toks[self.i + 2] != ("op", "=")):
@@ -303,6 +306,15 @@ class _Parser:
                 args.append(("named", name, self.expr()))
             else:
                 args.append(self.expr())
+            if args[-1][0] == "pipe":
+                # a subpipeline is always the FINAL argument
+                # (parser.cpp:225-236)
+                if self.peek()[0] not in ("newline", "eof") and \
+                        self.peek() not in (("op", "|"), ("op", "}")):
+                    raise TqlError(
+                        "tql2: expected end of statement after a final "
+                        "subpipeline argument")
+                break
         return args
 
     # -- expressions (precedence climbing, parser.cpp:246)
@@ -400,10 +412,23 @@ class _Parser:
         raise TqlError(f"tql2: unexpected token {v!r} in expression")
 
     def _record(self):
-        """{name: expr, "name": expr, ...} (parser.cpp:451-476); a brace
-        holding anything else is a pipeline expression — unimplemented."""
+        """The reference's parse_record_or_pipeline_expr
+        (parser.cpp:431-449): `{}` or `{ident|"str" : …}` is a RECORD
+        (parser.cpp:451-476); any other brace content parses as a
+        PIPELINE EXPRESSION — a subpipeline argument (`apply {…}`,
+        every/cron's braced body). Where an operator has no subpipeline
+        semantics the executor raises a clear TqlError."""
         self.next()  # '{'
         self._skip_newlines()
+        # record iff empty or (ident|string) ':' follows — the
+        # reference's exact discrimination (parser.cpp:436-440)
+        is_record = self.peek() == ("op", "}") or (
+            self.peek()[0] in ("ident", "string")
+            and self.toks[self.i + 1] == ("op", ":"))
+        if not is_record:
+            body = self.pipeline(stop_at_rbrace=True)
+            self.expect("op", "}")
+            return ("pipe", body)
         fields = []
         while not self.accept("op", "}"):
             if fields:
@@ -412,8 +437,9 @@ class _Parser:
             name_tok = self.accept("ident") or self.accept("string")
             if name_tok is None or not (self.peek() == ("op", ":")):
                 raise TqlError(
-                    "tql2: pipeline expressions `{ ... }` are not implemented "
-                    "(records are: `{name: expr, ...}`)")
+                    "tql2: expected a record field `name: expr` "
+                    "(a brace holding statements is a pipeline "
+                    "expression and must be an operator's final argument)")
             name = name_tok[1]
             if name_tok[0] == "string":
                 name = name[1:-1]
@@ -535,6 +561,11 @@ def _hof_fn(param: str, body, env: dict):
 
 def _compile(e, env: dict):
     kind = e[0]
+    if kind == "pipe":
+        raise TqlError(
+            "tql2: a `{ pipeline }` subpipeline is not a value — it is "
+            "only valid as an operator's final argument (apply/every/"
+            "cron)")
     if kind == "lit":
         return _lit(e[1])
     if kind == "var":
@@ -727,6 +758,22 @@ def _need_order(order, name):
 
 
 def _invoke(df, name, args, env, ops, agg_ops, order) -> tuple:
+    if name == "apply":
+        # `apply { pipeline }` — inline subpipeline include: the braced
+        # body runs on the stream in place (the executable TQL2 form of
+        # the reference's apply, builtins/operators/apply.cpp — there it
+        # includes a named pipeline from disk; the braced-argument
+        # grammar is parser.cpp:215-230 + 431-449)
+        if len(args) != 1 or args[0][0] != "pipe":
+            raise TqlError("tql2: apply expects one `{ pipeline }` "
+                           "subpipeline argument")
+        return _apply_statements(df, args[0][1], dict(env), order)
+    if any(a[0] == "pipe" or (a[0] == "named" and a[2][0] == "pipe")
+           for a in args):
+        raise TqlError(
+            f"tql2: operator {name!r} does not take a subpipeline "
+            "argument (subpipeline consumers: apply, every, cron, "
+            "if/else, match arms)")
     if name == "where":
         if len(args) != 1:
             raise TqlError("tql2: where expects one expression")

@@ -3281,6 +3281,50 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_tql2_if_pipeline(spark, sf):
+    """TQL2 braced-subpipeline constructs beyond every/cron
+    (plans/tql2.py; reference grammar parser.cpp:215-236 — a `{
+    pipeline }` as an operator's final argument — and the if/else
+    stream-routing statement parser.cpp:130-148 with full OPERATOR
+    bodies, not just assignments): `apply { where … | assign }` runs an
+    inline subpipeline; each if/else branch carries its own `where` +
+    assignments; the split streams reunify and aggregate. The oracle
+    replays the routing as disjoint filtered SELECTs UNION ALL'd."""
+    import os
+
+    from tenzir_spark.plans.tql2 import run_tql2_source
+
+    path = os.path.join(sf, "events.parquet")
+    return run_tql2_source(spark, f'''
+from "{path}"
+apply {{ where value >= 10.0 | v = value * 2.0 }}
+if event_type == "click" {{
+  where user_id > 50
+  tag = "c"
+  v = v + 1.0
+}} else {{
+  tag = "o"
+}}
+summarize tag, n=count(), s=sum(v)
+s = s.round()
+sort tag
+''')
+
+SQL_TQL2_IF_PIPELINE = """
+WITH base AS (
+  SELECT *, value * 2.0 AS v FROM events WHERE value >= 10.0
+), routed AS (
+  SELECT 'c' AS tag, v + 1.0 AS v FROM base
+  WHERE event_type = 'click' AND user_id > 50
+  UNION ALL
+  SELECT 'o' AS tag, v FROM base
+  WHERE NOT COALESCE(event_type = 'click', FALSE)
+)
+SELECT tag, COUNT(*) AS n, ROUND(SUM(v), 0) AS s
+FROM routed GROUP BY tag ORDER BY tag
+"""
+
+
 def q_tql2_aggs(spark, sf):
     """TQL2 aggregation-function registry, complete vs the reference's
     builtins (libtenzir/builtins/aggregation-functions/): any/all boolean
@@ -4467,6 +4511,7 @@ REGISTRY: dict[str, tuple] = {
     "window_dedup": (q_window_dedup, SQL_WINDOW_DEDUP),
     "exact_dup_index": (q_exact_dup_index, SQL_EXACT_DUP_INDEX),
     "line_dedup_keep_first": (q_line_dedup, SQL_LINE_DEDUP),
+    "tql2_if_pipeline": (q_tql2_if_pipeline, SQL_TQL2_IF_PIPELINE),
     "tql2_match_record": (q_tql2_match_record, SQL_TQL2_MATCH_RECORD),
     "tql2_lambda": (q_tql2_lambda, SQL_TQL2_LAMBDA),
     "unroll_list": (q_unroll, SQL_UNROLL),

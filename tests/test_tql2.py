@@ -62,7 +62,7 @@ def test_clear_errors(df):
         run_tql2(df, "where n < $nope")
     with pytest.raises(TqlError, match="constant expressions"):
         run_tql2(df, "let $x = n + 1")
-    with pytest.raises(TqlError, match="pipeline expressions"):
+    with pytest.raises(TqlError, match="not a value"):
         run_tql2(df, "where src == { select n }")
     with pytest.raises(TqlError, match="at least one arm"):
         run_tql2(df, "match src { }")
@@ -486,3 +486,50 @@ def test_tql2_every_subpipeline(spark, tmp_path):
         run_tql2_every(spark, 'cron "0 0 3 * * *" { where k > 1 }', n_runs=1)
     with pytest.raises(TqlError, match="export"):
         run_tql2_every(spark, 'every 10s { export "r", bogus=1 }', n_runs=1)
+
+
+def test_apply_subpipeline_argument(df):
+    """`apply { pipeline }` — the general braced-subpipeline operator
+    argument (parser.cpp:215-236 + 431-449): the body runs inline on
+    the stream, operator statements included."""
+    out = run_tql2(df, '''
+apply { where n >= 3 | score = n * 2 | select src, score }
+sort src
+''')
+    assert [(r["src"], r["score"]) for r in out.collect()] == [
+        ("books", 18), ("web", 6), ("web", 14)]
+
+
+def test_if_branches_run_operator_bodies(df):
+    """if/else branches are FULL pipelines — where/select/summarize
+    inside the braces, not just assignments."""
+    out = run_tql2(df, '''
+if src == "web" {
+  where n > 5
+  summarize src, total=sum(n)
+} else {
+  total = n
+  select src, total
+}
+sort src
+''')
+    assert [(r["src"], r["total"]) for r in out.collect()] == [
+        ("books", 9), ("code", 2), ("web", 7)]
+
+
+def test_subpipeline_argument_errors(df):
+    # non-consumers refuse with a targeted message
+    with pytest.raises(TqlError, match="does not take a subpipeline"):
+        run_tql2(df, "select { where n > 1 }")
+    # a subpipeline is not a value
+    with pytest.raises(TqlError, match="not a value"):
+        run_tql2(df, "x = { where n > 1 }")
+    # a subpipeline must be the FINAL argument
+    with pytest.raises(TqlError, match="end of statement"):
+        run_tql2(df, "apply { select src } select n")
+    with pytest.raises(TqlError, match="apply expects"):
+        run_tql2(df, "apply")
+    # records keep working through the same brace discrimination
+    out = run_tql2(df, "r = {a: n, b: src} | select r")
+    assert out.schema.simpleString() == \
+        "struct<r:struct<a:bigint,b:string>>"
