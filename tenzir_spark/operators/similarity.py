@@ -289,13 +289,31 @@ def cosine_near_dup_pairs_lsh(df: DataFrame, emb_col: str, id_col: str,
 
 
 def cosine_near_dup_pairs(df: DataFrame, emb_col: str, id_col: str,
-                          threshold: float = 0.99, max_rows: int | None = None) -> DataFrame:
+                          threshold: float = 0.99,
+                          max_rows: int | None = None,
+                          max_input_rows: int | None = 20_000) -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold (brute-force
     self-join — the verification baseline for cosine_near_dup_pairs_lsh,
-    which is the scale path; bound the input here)."""
+    which is the scale path; ``max_rows`` additionally bounds the witness
+    by an id filter).
+
+    ``max_input_rows`` enforces the baseline contract: a cartesian over
+    more rows than this raises (one count job — trivial next to the
+    n² join it prevents) instead of silently running an O(n²) plan on a
+    production-sized input. Pass ``None`` only for deliberate offline
+    verification sweeps; the LSH/index twins are the scale path."""
     base = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"))
     if max_rows:
         base = base.filter(F.col("id") < max_rows)
+    if max_input_rows is not None:
+        n = base.count()
+        if n > max_input_rows:
+            raise ValueError(
+                f"cosine_near_dup_pairs: {n} input rows exceed "
+                f"max_input_rows={max_input_rows} — this operator is a "
+                "brute-force O(n²) verification BASELINE; use "
+                "cosine_near_dup_pairs_lsh or CosineDupIndex at scale "
+                "(or pass max_input_rows=None deliberately)")
     a, b = base.alias("a"), base.alias("b")
     sim = cosine(F.col("a.e"), F.col("b.e"))
     return (

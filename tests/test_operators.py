@@ -1148,3 +1148,21 @@ def test_fim_transform(spark):
         fim_transform(df, "tokens", "doc_id", mode="pms")
     with _pt.raises(ValueError, match="rate_pct"):
         fim_transform(df, "tokens", "doc_id", rate_pct=101)
+
+
+def test_cosine_brute_baseline_input_guard(spark):
+    """The brute-force cosine baseline refuses production-sized inputs
+    (it is O(n²) by construction — the LSH/index twins are the scale
+    path); explicit opt-out still works."""
+    import pytest as _pytest
+
+    from tenzir_spark.operators.similarity import cosine_near_dup_pairs
+
+    df = spark.range(200).selectExpr(
+        "cast(id AS string) AS vec_id",
+        "array(cast(id AS double), 1.0d) AS emb")
+    with _pytest.raises(ValueError, match="max_input_rows"):
+        cosine_near_dup_pairs(df, "emb", "vec_id", max_input_rows=100)
+    out = cosine_near_dup_pairs(df, "emb", "vec_id", threshold=0.999,
+                                max_input_rows=None)
+    assert out.count() > 0
