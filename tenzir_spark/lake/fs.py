@@ -211,7 +211,13 @@ class ArrowFS:
         return [i.path.rsplit("/", 1)[-1] for i in infos]
 
     def size(self, path: str) -> int:
-        return self._info(path).size
+        info = self._info(path)
+        if info.size is None:
+            # missing file (or a directory): FileInfo.size is None —
+            # surface the same error LocalFS raises so GC's
+            # vanished-file handling works on both stores
+            raise FileNotFoundError(path)
+        return info.size
 
     def mtime(self, path: str) -> float:
         m = self._info(path).mtime

@@ -28,12 +28,13 @@ from tenzir_spark.operators.enrich import enrich
 class ContextStore:
     """Named contexts under ``<root>/contexts/<name>``."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, fs=None):
         self.spark = spark
         self.root = os.path.join(root, "contexts")
+        self.fs = fs  # lake/fs.py filesystem; None = LocalFS
 
     def _table(self, name: str) -> LakeTable:
-        return LakeTable(self.root, name)
+        return LakeTable(self.root, name, fs=self.fs)
 
     # ------------------------------------------------------------ lifecycle
     def create(self, name: str, df: DataFrame, key: str) -> None:

@@ -412,11 +412,14 @@ class LakeChangeConnector(ChangeConnector):
     after a restart is idempotent."""
 
     def __init__(self, spark: SparkSession, warehouse: str, table_name: str,
-                 versions_per_poll: int = 1, start_at: int | None = None):
+                 versions_per_poll: int = 1, start_at: int | None = None,
+                 fs=None):
         from tenzir_spark.lake.table import LakeTable
 
         self.spark = spark
-        self.upstream = LakeTable(warehouse, table_name)
+        # fs (lake/fs.py): read the UPSTREAM's manifests through a
+        # portable filesystem — lake-to-lake replication across stores
+        self.upstream = LakeTable(warehouse, table_name, fs=fs)
         self.versions_per_poll = max(1, int(versions_per_poll))
         # start_at: a FLOOR on where tailing begins — the re-bootstrap
         # contract the horizon error points to: full-read the upstream at

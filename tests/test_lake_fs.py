@@ -239,11 +239,16 @@ def test_atomic_write_and_listing(proto_fs):
     assert fs.isdir(f"{wh}/m") and not fs.isdir(f"{wh}/m/HEAD")
     assert "HEAD" in fs.listdir(f"{wh}/m")
     assert list(fs.walk_files(f"{wh}/m")) != []
+    assert fs.size(f"{wh}/m/HEAD") == 1
     fs.remove(f"{wh}/m/HEAD")
     with pytest.raises(FileNotFoundError):
         fs.read_text(f"{wh}/m/HEAD")
     with pytest.raises(FileNotFoundError):
         fs.remove(f"{wh}/m/HEAD")
+    # size of a vanished file raises like os.path.getsize (the expire
+    # GC's vanished-file handling depends on it)
+    with pytest.raises(FileNotFoundError):
+        fs.size(f"{wh}/m/HEAD")
 
 
 # ---------------------------------------------------------------------------
